@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 registers here as a named query
+  * (SparkSession, sfDir) => DataFrame, with a DuckDB-portable oracle
+  * SQL twin used by the driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the GLS Lomb–Scargle periodogram of every series in the
+    * events table (150 series × 200 frequencies). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    spectral.Gls.glsPeriodogram(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    tsa.TimeSeriesOps.queries ++
+      spectral.Gls.queries ++
+      spectral.PhaseFold.queries ++
+      dedup.Dedup.queries ++
+      sim.Similarity.queries ++
+      text.TextOps.queries ++
+      relational.Tpch.queries
+
+  def oracleSql: Map[String, String] =
+    tsa.TimeSeriesOps.oracles ++
+      spectral.Gls.oracles ++
+      spectral.PhaseFold.oracles ++
+      dedup.Dedup.oracles ++
+      sim.Similarity.oracles ++
+      text.TextOps.oracles ++
+      relational.Tpch.oracles
 }

@@ -1,0 +1,240 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines,
+  * over the `documents` table.
+  *
+  * Scale posture: exact dedup is a hash groupBy (one shuffle);
+  * MinHash-LSH generates candidate pairs from band buckets (candidate
+  * count ∝ bucket occupancy, never n²); SimHash pairs via banded
+  * Hamming distance. All hashing is md5-based (60-bit prefixes), which
+  * is deterministic and identical in Spark and the DuckDB oracle.
+  */
+object Dedup {
+
+  /** 60-bit deterministic hash: Spark side. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Same hash on the oracle side. */
+  def h60Sql(e: String): String = s"(('0x'||substr(md5($e),1,15))::BIGINT)"
+
+  /** Tokens with position: (doc_id, idx, tok). Split on single space,
+    * drop empties — semantics identical in both engines. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "tok")
+      .filter(col("tok") =!= "")
+
+  private val tokensSql: String =
+    """tk AS (
+      |  SELECT doc_id, idx, tok FROM (
+      |    SELECT d.doc_id,
+      |      generate_subscripts(string_split(lower(d.text), ' '), 1) - 1 AS idx,
+      |      unnest(string_split(lower(d.text), ' ')) AS tok
+      |    FROM documents d)
+      |  WHERE tok <> '')""".stripMargin
+
+  /** Word 3-shingles via window leads: (doc_id, shingle). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("idx")
+    tokens(spark, dir)
+      .withColumn("t1", lead("tok", 1).over(wd))
+      .withColumn("t2", lead("tok", 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    s"""$tokensSql,
+       |sh AS (SELECT DISTINCT doc_id,
+       |  tok || ' ' || t1 || ' ' || t2 AS shingle
+       |  FROM (SELECT doc_id, tok,
+       |    lead(tok,1) OVER (PARTITION BY doc_id ORDER BY idx) AS t1,
+       |    lead(tok,2) OVER (PARTITION BY doc_id ORDER BY idx) AS t2
+       |    FROM tk)
+       |  WHERE t2 IS NOT NULL)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_exact — hash-groupBy exact duplicate detection.
+  // -------------------------------------------------------------------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_minhash_lsh — MinHash signatures (16 perms via seeded md5),
+  // 4 bands × 4 rows; candidate pairs share ≥1 band bucket; verified
+  // with exact shingle Jaccard.
+  // -------------------------------------------------------------------
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val perms = spark.range(0, 16).toDF("perm")
+    val sig = sh.crossJoin(broadcast(perms))
+      .select(col("doc_id"), col("perm"),
+        h60(concat(col("perm"), lit(":"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "perm").agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", (col("perm") / 4).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(transform(array_sort(
+        collect_list(struct(col("perm"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",")).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("ninter"))
+    cand.join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .join(counts.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("ninter").cast("double") /
+          (col("n1") + col("n2") - col("ninter")), 4).as("jaccard"))
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $shinglesSql,
+       |sig AS (SELECT doc_id, p.perm,
+       |  min(${h60Sql("cast(p.perm AS varchar) || ':' || shingle")}) AS mh
+       |  FROM sh CROSS JOIN generate_series(0, 15) AS p(perm)
+       |  GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, cast(floor(perm / 4) AS BIGINT) AS band,
+       |  md5(string_agg(cast(mh AS varchar), ',' ORDER BY perm)) AS bkey
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id1, c.id2, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.id1
+       |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.id1, c.id2,
+       |  round(cast(coalesce(i.ninter, 0) AS double)
+       |        / (n1.n + n2.n - coalesce(i.ninter, 0)), 4) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+       |JOIN cnt n1 ON n1.doc_id = c.id1
+       |JOIN cnt n2 ON n2.doc_id = c.id2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_simhash — 60-bit SimHash from token-hash bit votes
+  // (multiplicity-weighted), plus 4×15-bit band keys for Hamming
+  // bucketing at scale. Integer arithmetic end-to-end => exact oracle.
+  // -------------------------------------------------------------------
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(spark, dir).select(col("doc_id"), h60(col("tok")).as("h"))
+    val bits = spark.range(0, 60).toDF("bit")
+    val sim = tk.crossJoin(broadcast(bits))
+      .select(col("doc_id"), col("bit"),
+        (expr("shiftright(h, cast(bit AS int))") % 2 * 2 - 1).as("vote"))
+      .groupBy("doc_id", "bit")
+      .agg(sum("vote").as("votes"))
+      .select(col("doc_id"),
+        when(col("votes") > 0,
+          expr("shiftleft(cast(1 AS bigint), cast(bit AS int))"))
+          .otherwise(0L).as("bitval"))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+    sim.select(col("doc_id"), col("simhash"),
+      (col("simhash") % 32768).as("band0"),
+      (shiftright(col("simhash"), 15) % 32768).as("band1"),
+      (shiftright(col("simhash"), 30) % 32768).as("band2"),
+      (shiftright(col("simhash"), 45) % 32768).as("band3"))
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $tokensSql,
+       |th AS (SELECT doc_id, ${h60Sql("tok")} AS h FROM tk),
+       |votes AS (SELECT doc_id, b.bit,
+       |  sum((h >> b.bit) % 2 * 2 - 1) AS votes
+       |  FROM th CROSS JOIN generate_series(0, 59) AS b(bit)
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |  cast(sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit)
+       |           ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1)
+       |SELECT doc_id, simhash,
+       |  simhash % 32768 AS band0,
+       |  (simhash >> 15) % 32768 AS band1,
+       |  (simhash >> 30) % 32768 AS band2,
+       |  (simhash >> 45) % 32768 AS band3
+       |FROM sim""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_ngram_jaccard — exact word-3-gram Jaccard for blocked pairs
+  // (same lang + close length: the correctness-scale blocking; at
+  // 100 TB the MinHash bands above are the blocking).
+  // -------------------------------------------------------------------
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 25)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val sh = shingles(spark, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(counts.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("ninter").cast("double") /
+          (col("n1") + col("n2") - col("ninter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM documents a JOIN documents b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND abs(a.n_chars - b.n_chars) <= 25),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT p.id1, p.id2, count(*) AS ninter
+       |  FROM pairs p
+       |  JOIN sh s1 ON s1.doc_id = p.id1
+       |  JOIN sh s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(cast(ninter AS double) / (n1.n + n2.n - ninter), 4) AS jaccard
+       |FROM inter
+       |JOIN cnt n1 ON n1.doc_id = id1
+       |JOIN cnt n2 ON n2.doc_id = id2
+       |WHERE round(cast(ninter AS double) / (n1.n + n2.n - ninter), 4) >= 0.05""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

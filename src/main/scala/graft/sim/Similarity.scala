@@ -1,0 +1,150 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * `ann_cosine_topk` is the exact brute-force baseline: query set ×
+  * corpus, dot products as a relational aggregation (posexplode +
+  * join on component index) so the DuckDB oracle can replay it.
+  * `ann_lsh_topk` is the 100 TB path: deterministic random-hyperplane
+  * signatures bucket the corpus; only same-bucket candidates are
+  * scored (candidates ∝ bucket occupancy, not n²).
+  */
+object Similarity {
+
+  private val NQ = 10 // query vectors: vec_id < NQ
+  private val TOPK = 5
+
+  /** (vec_id, i, v) exploded components, cast to double. */
+  private def comps(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        col("col").cast("double").as("v"))
+
+  private val compsSql: String =
+    """cp AS (
+      |  SELECT vec_id, idx - 1 AS i, cast(v AS double) AS v FROM (
+      |    SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |           unnest(embedding) AS v
+      |    FROM embeddings))""".stripMargin
+
+  /** Cosine similarities for query ids × corpus (excluding self). */
+  private def cosines(spark: SparkSession, dir: String): DataFrame = {
+    val c = comps(spark, dir)
+    val norms = c.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val q = c.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
+    val dots = q.join(c.select(col("vec_id").as("cid"), col("i"), col("v")), "i")
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("qv") * col("v")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as("qid"), col("nrm").as("qn")), "qid")
+      .join(norms.select(col("vec_id").as("cid"), col("nrm").as("cn")), "cid")
+      .select(col("qid"), col("cid"),
+        round(col("dot") / (col("qn") * col("cn")), 6).as("cosine"))
+  }
+
+  private val cosinesSql: String =
+    s"""$compsSql,
+       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
+       |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    sum(q.v * c.v) AS dot
+       |  FROM cp q JOIN cp c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ
+       |  GROUP BY 1, 2),
+       |cs AS (SELECT d.qid, d.cid,
+       |    round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nr nq ON nq.vec_id = d.qid
+       |  JOIN nr nc ON nc.vec_id = d.cid)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ann_cosine_topk — exact top-k per query (rank on rounded cosine,
+  // vec_id tiebreak => deterministic).
+  // -------------------------------------------------------------------
+  def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid").asc)
+    cosines(spark, dir)
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
+  val annCosineTopkSql: String =
+    s"""WITH $cosinesSql,
+       |rk AS (SELECT qid, cid, cosine,
+       |  row_number() OVER (PARTITION BY qid
+       |                     ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM cs)
+       |SELECT qid, cid, cosine, cast(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $TOPK""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ann_lsh_topk — 8 deterministic hyperplanes r_p[i] = cos(p*131 + i*7)
+  // (an analytic pseudo-random direction both engines can evaluate);
+  // bucket = sign bits; candidates share the query's bucket; cosine
+  // re-rank within bucket.
+  // -------------------------------------------------------------------
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = comps(spark, dir)
+    val planes = spark.range(0, 8).toDF("p")
+    val proj = c.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("p"),
+        (col("v") * cos(col("p") * 131.0 + col("i") * 7.0)).as("pv"))
+      .groupBy("vec_id", "p")
+      .agg(sum("pv").as("proj"))
+      .select(col("vec_id"),
+        when(col("proj") > 0,
+          expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+          .otherwise(0L).as("bitval"))
+      .groupBy("vec_id").agg(sum("bitval").cast("long").as("bucket"))
+    val cs = cosines(spark, dir)
+    val qb = proj.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val cb = proj.select(col("vec_id").as("cid"), col("bucket").as("cbucket"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid").asc)
+    cs.join(qb, "qid").join(cb, "cid")
+      .filter(col("bucket") === col("cbucket"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
+  val annLshTopkSql: String =
+    s"""WITH $cosinesSql,
+       |pj AS (SELECT vec_id, p.p, sum(v * cos(p.p*131.0 + i*7.0)) AS proj
+       |  FROM cp CROSS JOIN generate_series(0, 7) AS p(p)
+       |  GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |  cast(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+       |       AS BIGINT) AS bucket
+       |  FROM pj GROUP BY 1),
+       |flt AS (SELECT cs.qid, cs.cid, cs.cosine
+       |  FROM cs
+       |  JOIN bk qb ON qb.vec_id = cs.qid
+       |  JOIN bk cb ON cb.vec_id = cs.cid
+       |  WHERE qb.bucket = cb.bucket),
+       |rk AS (SELECT qid, cid, cosine,
+       |  row_number() OVER (PARTITION BY qid
+       |                     ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM flt)
+       |SELECT qid, cid, cosine, cast(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $TOPK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_lsh_topk" -> (annLshTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql)
+}

@@ -1,0 +1,201 @@
+package graft.text
+
+import graft.Tables
+import graft.dedup.Dedup.{h60, h60Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, language ID (stopword-ratio
+  * heuristic), quality scoring, and rolling-hash fingerprinting.
+  * All pure per-row expressions + one groupBy — codegen'd, no UDFs.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "von")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "de", "des")
+  private val stopEs = Seq("el", "la", "los", "y", "es", "un", "de", "en")
+
+  /** (doc_id, tok) exploded non-empty lowercase tokens. */
+  private def tok(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  private val tokSql: String =
+    """tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS tok
+      |    FROM documents d)
+      |  WHERE tok <> '')""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_token_count — whitespace tokens, distinct tokens, chars.
+  // -------------------------------------------------------------------
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    tok(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"),
+        sum(length(col("tok"))).as("n_token_chars"))
+
+  val textTokenCountSql: String =
+    s"""WITH $tokSql
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  count(DISTINCT tok) AS n_distinct,
+       |  cast(sum(length(tok)) AS BIGINT) AS n_token_chars
+       |FROM tk GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_langid — n-gram/stopword-ratio heuristic: per-language
+  // stopword hit ratios; argmax with fixed preference order.
+  // -------------------------------------------------------------------
+  private def ratio(words: Seq[String]) =
+    round(sum(when(col("tok").isin(words: _*), 1).otherwise(0))
+      .cast("double") / count(lit(1)), 6)
+
+  private def ratioSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"round(cast(sum(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS double) / count(*), 6)"
+  }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    tok(spark, dir).groupBy("doc_id")
+      .agg(ratio(stopEn).as("r_en"), ratio(stopDe).as("r_de"),
+        ratio(stopFr).as("r_fr"), ratio(stopEs).as("r_es"))
+      .withColumn("pred_lang",
+        when(col("r_en") >= greatest(col("r_de"), col("r_fr"), col("r_es")), "en")
+          .when(col("r_de") >= greatest(col("r_fr"), col("r_es")), "de")
+          .when(col("r_fr") >= col("r_es"), "fr")
+          .otherwise("es"))
+
+  val textLangidSql: String =
+    s"""WITH $tokSql,
+       |r AS (SELECT doc_id,
+       |  ${ratioSql(stopEn)} AS r_en, ${ratioSql(stopDe)} AS r_de,
+       |  ${ratioSql(stopFr)} AS r_fr, ${ratioSql(stopEs)} AS r_es
+       |  FROM tk GROUP BY 1)
+       |SELECT doc_id, r_en, r_de, r_fr, r_es,
+       |  CASE WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
+       |       WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
+       |       WHEN r_fr >= r_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM r""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_quality — length / punctuation ratio / stopword ratio / mean
+  // word length composite score (the usual pretraining-filter shape).
+  // -------------------------------------------------------------------
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    val nonPunct = regexp_replace(col("text"), "[a-z0-9 ]", "")
+    val base = d.select(col("doc_id"),
+      length(col("text")).cast("double").as("len"),
+      length(nonPunct).cast("double").as("n_punct"))
+    val t = tok(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("n_tok"),
+        sum(length(col("tok"))).cast("double").as("tok_chars"),
+        sum(when(col("tok").isin(stopEn: _*), 1).otherwise(0))
+          .cast("double").as("n_stop"))
+    base.join(t, "doc_id").select(col("doc_id"),
+      round(col("n_punct") / col("len"), 6).as("punct_ratio"),
+      round(col("tok_chars") / col("n_tok"), 6).as("mean_word_len"),
+      round(col("n_stop") / col("n_tok"), 6).as("stop_ratio"),
+      round(
+        when(col("len") / 400.0 < 1.0, col("len") / 400.0).otherwise(1.0) * 0.4 +
+          (lit(1.0) - col("n_punct") / col("len")) * 0.3 +
+          when(col("n_stop") / col("n_tok") * 5.0 < 1.0,
+            col("n_stop") / col("n_tok") * 5.0).otherwise(1.0) * 0.3,
+        6).as("quality"))
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopEn.map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokSql,
+       |t AS (SELECT doc_id, cast(count(*) AS double) AS n_tok,
+       |  cast(sum(length(tok)) AS double) AS tok_chars,
+       |  cast(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS double)
+       |    AS n_stop
+       |  FROM tk GROUP BY 1),
+       |b AS (SELECT doc_id, cast(length(text) AS double) AS len,
+       |  cast(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS double)
+       |    AS n_punct
+       |  FROM documents)
+       |SELECT b.doc_id,
+       |  round(n_punct / len, 6) AS punct_ratio,
+       |  round(tok_chars / n_tok, 6) AS mean_word_len,
+       |  round(n_stop / n_tok, 6) AS stop_ratio,
+       |  round(
+       |    CASE WHEN len / 400.0 < 1.0 THEN len / 400.0 ELSE 1.0 END * 0.4
+       |    + (1.0 - n_punct / len) * 0.3
+       |    + CASE WHEN n_stop / n_tok * 5.0 < 1.0
+       |           THEN n_stop / n_tok * 5.0 ELSE 1.0 END * 0.3, 6) AS quality
+       |FROM b JOIN t ON t.doc_id = b.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // text_fingerprint — rolling-hash document fingerprint: min/max 60-bit
+  // hash over 8-char shingles (winnowing-lite) + shingle cardinality.
+  // -------------------------------------------------------------------
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"),
+        h60(expr("substring(text, i, 8)")).as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+        countDistinct("h").as("n_shingles"))
+
+  // Constant series (docs are well under 4096 chars) because DuckDB's
+  // generate_series cannot take lateral column bounds; the i filter
+  // reproduces Spark's per-row sequence(1, len-7).
+  val textFingerprintSql: String =
+    s"""WITH sh AS (
+       |  SELECT d.doc_id,
+       |    ${h60Sql("substr(d.text, g.i, 8)")} AS h
+       |  FROM documents d, generate_series(1, 4096) AS g(i)
+       |  WHERE g.i <= length(d.text) - 7 AND length(d.text) >= 8)
+       |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+       |  count(DISTINCT h) AS n_shingles
+       |FROM sh GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // multimodal_extract — opaque-binary-column plumbing: payload is a
+  // binary column (utf-8 bytes here; images/audio in production), the
+  // "decode" is a clearly-fake deterministic metadata extraction
+  // (md5-derived dims) — the Spark-side schema/partitioning/batch
+  // plumbing is real, the codec is the stub this container lacks.
+  // -------------------------------------------------------------------
+  def multimodalExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        // STUB decode: deterministic fake dimensions in lieu of a real
+        // image codec (none available in this container).
+        (h60(col("payload").cast("string")) % 512 + 64).as("width"),
+        (shiftright(h60(col("payload").cast("string")), 20) % 512 + 64).as("height"))
+
+  val multimodalExtractSql: String =
+    s"""SELECT doc_id,
+       |  cast(octet_length(encode(text)) AS int) AS n_bytes,
+       |  ${h60Sql("text")} % 512 + 64 AS width,
+       |  (${h60Sql("text")} >> 20) % 512 + 64 AS height
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (textTokenCount _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_extract" -> (multimodalExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" -> textTokenCountSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "multimodal_extract" -> multimodalExtractSql)
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's correctness gate: run each oracle
+SQL in DuckDB against the sf tables and compare with the Spark parquet
+dumps (column-name-sorted, row-sorted, exact values)."""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"{name:24s} ORACLE-ERROR {str(e)[:160]}")
+        fails.append(name)
+        continue
+    try:
+        got = pd.concat([pd.read_parquet(p) for p in
+                         glob.glob(f"{outdir}/{name}/*.parquet")])
+    except Exception as e:
+        print(f"{name:24s} SPARK-MISSING {e}")
+        fails.append(name)
+        continue
+    exp = exp[sorted(exp.columns)]
+    got = got[sorted(got.columns)]
+    if list(exp.columns) != list(got.columns):
+        print(f"{name:24s} SCHEMA exp={list(exp.columns)} got={list(got.columns)}")
+        fails.append(name)
+        continue
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    if len(exp) != len(got):
+        print(f"{name:24s} ROWS exp={len(exp)} got={len(got)}")
+        fails.append(name)
+        continue
+    # normalize dtypes for value compare
+    ok = True
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if e.dtype.kind in "fc" or g.dtype.kind in "fc":
+            import numpy as np
+            ee, gg = e.astype(float).values, g.astype(float).values
+            same = (pd.isna(ee) & pd.isna(gg)) | (ee == gg)
+            if not same.all():
+                idx = int(np.argmax(~same))
+                print(f"{name:24s} VAL col={c} row={idx} exp={ee[idx]!r} got={gg[idx]!r}")
+                ok = False
+                break
+        else:
+            if not (e.astype(str).values == g.astype(str).values).all():
+                bad = (e.astype(str).values != g.astype(str).values)
+                import numpy as np
+                idx = int(np.argmax(bad))
+                print(f"{name:24s} VAL col={c} row={idx} exp={e.iloc[idx]!r} got={g.iloc[idx]!r}")
+                ok = False
+                break
+    if ok:
+        print(f"{name:24s} OK rows={len(exp)}")
+    else:
+        fails.append(name)
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} OK; fails: {fails}")
+sys.exit(1 if fails else 0)
