@@ -19,6 +19,7 @@ object SparkEntry {
     tsa.TimeSeriesOps.queries ++
       spectral.Gls.queries ++
       spectral.PhaseFold.queries ++
+      spectral.Wavelet.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
@@ -28,6 +29,7 @@ object SparkEntry {
     tsa.TimeSeriesOps.oracles ++
       spectral.Gls.oracles ++
       spectral.PhaseFold.oracles ++
+      spectral.Wavelet.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
