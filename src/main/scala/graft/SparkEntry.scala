@@ -17,6 +17,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tsa.TimeSeriesOps.queries ++
+      tsa.SeriesOps.queries ++
       spectral.Gls.queries ++
       spectral.PhaseFold.queries ++
       spectral.Wavelet.queries ++

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators: the same
+  * logical computations expressed over an unbounded stream —
+  * watermarked windowed aggregation and stateful sessionization via
+  * flatMapGroupsWithState. At cluster scale these run keyed-state
+  * sharded across executors; locally they are spec-tested through
+  * MemoryStream (see StreamingSpec).
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+      sum_value: Double)
+
+  // visible to codegen (a `private` class breaks Janino's method lookup)
+  private[streaming] case class SessState(start: Long, lastSeen: Long,
+      n: Long, total: Double)
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def windowedAgg(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+
+  /** Gap-based sessionization (30 min inactivity closes a session) —
+    * the streaming twin of the batch `events_sessionize` query. Emits
+    * one row per closed session; processing-time timeout flushes the
+    * last session of a quiet key. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+      useTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(uid, s.start, s.n, s.total)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapSec =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.n, s.total)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(s"${gapSec} seconds")
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,377 @@
+package graft.tsa
+
+/** Plain-Scala numerical kernels used by the per-series `mapGroups`
+  * operators (EMD sifting, Butterworth filtfilt, GP likelihoods).
+  * These run inside executors on ONE series at a time — the 100 TB
+  * axis is the number of series, so none of this touches the driver.
+  */
+object SeriesMath {
+
+  /** Strict local maxima indices; include_edges mirrors reference
+    * core.py:283 (Signal.find_peaks). */
+  def findPeaks(y: Array[Double], includeEdges: Boolean): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    if (includeEdges && y.length > 0) out += 0
+    var i = 1
+    while (i < y.length - 1) {
+      if (y(i) > y(i - 1) && y(i) > y(i + 1)) out += i
+      i += 1
+    }
+    if (includeEdges && y.length > 1) out += y.length - 1
+    out.result()
+  }
+
+  def findDips(y: Array[Double], includeEdges: Boolean): Array[Int] =
+    findPeaks(y.map(v => -v), includeEdges)
+
+  /** Natural cubic spline through (xs, ys), evaluated at xq.
+    * Replaces scipy.interpolate.splrep/splev in the envelope
+    * interpolation (reference core.py:741 get_envelope). */
+  def splineEval(xs: Array[Double], ys: Array[Double],
+      xq: Array[Double]): Array[Double] = {
+    val n = xs.length
+    if (n == 0) return xq.map(_ => Double.NaN)
+    if (n == 1) return xq.map(_ => ys(0))
+    if (n == 2) {
+      val m = (ys(1) - ys(0)) / (xs(1) - xs(0))
+      return xq.map(x => ys(0) + m * (x - xs(0)))
+    }
+    // second derivatives via Thomas algorithm (natural: M0 = Mn-1 = 0)
+    val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
+    val alpha = new Array[Double](n)
+    var i = 1
+    while (i < n - 1) {
+      alpha(i) = 3.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
+      i += 1
+    }
+    val l = new Array[Double](n); val mu = new Array[Double](n)
+    val z = new Array[Double](n)
+    l(0) = 1.0
+    i = 1
+    while (i < n - 1) {
+      l(i) = 2.0 * (xs(i + 1) - xs(i - 1)) - h(i - 1) * mu(i - 1)
+      mu(i) = h(i) / l(i)
+      z(i) = (alpha(i) - h(i - 1) * z(i - 1)) / l(i)
+      i += 1
+    }
+    val c = new Array[Double](n)
+    i = n - 2
+    while (i >= 1) { c(i) = z(i) - mu(i) * c(i + 1); i -= 1 }
+    val b = new Array[Double](n - 1); val d = new Array[Double](n - 1)
+    i = 0
+    while (i < n - 1) {
+      b(i) = (ys(i + 1) - ys(i)) / h(i) - h(i) * (c(i + 1) + 2.0 * c(i)) / 3.0
+      d(i) = (c(i + 1) - c(i)) / (3.0 * h(i))
+      i += 1
+    }
+    xq.map { x =>
+      // segment lookup (xq need not be sorted); clamp to spline domain
+      var lo = 0; var hi = n - 2
+      if (x <= xs(0)) lo = 0
+      else if (x >= xs(n - 1)) lo = n - 2
+      else {
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (xs(mid) <= x) lo = mid else hi = mid - 1
+        }
+      }
+      val dx = x - xs(lo)
+      ys(lo) + b(lo) * dx + c(lo) * dx * dx + d(lo) * dx * dx * dx
+    }
+  }
+
+  /** Pad extrema by odd reflection about the series ends — mirrors
+    * reference core.py:762 (pad mode="reflect", reflect_type="odd" on
+    * time, plain reflect on value, then drop of the pivot samples). */
+  def padExtrema(tx: Array[Double], ty: Array[Double], padWidth: Int,
+      t0: Double, t1: Double): (Array[Double], Array[Double]) = {
+    if (padWidth == 0 || tx.length < 2) return (tx, ty)
+    val k = math.min(padWidth, tx.length - 1)
+    val leftT = (1 to k).map(i => 2.0 * tx(0) - tx(i)).reverse.toArray
+    val leftY = (1 to k).map(i => ty(i)).reverse.toArray
+    val n = tx.length
+    val rightT = (1 to k).map(i => 2.0 * tx(n - 1) - tx(n - 1 - i)).toArray
+    val rightY = (1 to k).map(i => ty(n - 1 - i)).toArray
+    (leftT ++ tx ++ rightT, leftY ++ ty ++ rightY)
+  }
+
+  /** Upper/lower cubic-spline envelopes through padded peaks/dips —
+    * reference core.py:741 (get_envelope). Returns null when the
+    * signal lacks extrema for interpolation. */
+  /** Pad, then drop the edge pivot samples — the reference pads around
+    * the signal edges and removes the edges themselves
+    * (core.py:762 `.pad(...).drop([pad_width, -pad_width-1])`), so the
+    * envelope is NOT forced through the boundary values. */
+  private def padAndDrop(tx: Array[Double], ty: Array[Double], k: Int)
+      : (Array[Double], Array[Double]) = {
+    val (pt, py) = padExtrema(tx, ty, k, tx(0), tx.last)
+    if (k == 0) return (pt, py)
+    val n = tx.length
+    val keep = pt.indices.filter(i => i != k && i != k + n - 1).toArray
+    (keep.map(pt), keep.map(py))
+  }
+
+  def envelopes(t: Array[Double], y: Array[Double], padWidth: Int)
+      : (Array[Double], Array[Double]) = {
+    val pk = findPeaks(y, includeEdges = true)
+    val dp = findDips(y, includeEdges = true)
+    if (pk.length < 2 + padWidth || dp.length < 2 + padWidth) return null
+    val (put, puy) = padAndDrop(pk.map(t), pk.map(y), padWidth)
+    val (plt, ply) = padAndDrop(dp.map(t), dp.map(y), padWidth)
+    if (put.length < 4 || plt.length < 4) return null
+    (splineEval(put, puy, t), splineEval(plt, ply, t))
+  }
+
+  /** One EMD sift step — reference decomposition.py:45 (EMD.sift):
+    * local mean + evaluation function sigma + extrema/zero counts. */
+  def emdSift(t: Array[Double], y: Array[Double], padWidth: Int)
+      : (Array[Double], Array[Double], Int, Int) = {
+    val nPeaks = findPeaks(y, includeEdges = false).length
+    val nDips = findDips(y, includeEdges = false).length
+    var nZero = 0
+    var i = 0
+    while (i < y.length - 1) {
+      if ((y(i) >= 0) != (y(i + 1) >= 0)) nZero += 1
+      i += 1
+    }
+    val env = envelopes(t, y, padWidth)
+    if (env == null) return null
+    val (upper, lower) = env
+    val mu = Array.tabulate(y.length)(j => (upper(j) + lower(j)) / 2.0)
+    val amp = Array.tabulate(y.length)(j => (upper(j) - lower(j)) / 2.0)
+    val sigma = Array.tabulate(y.length)(j =>
+      math.abs(mu(j) / (if (amp(j) == 0.0) 1e-300 else amp(j))))
+    (mu, sigma, nPeaks + nDips, nZero)
+  }
+
+  /** Full EMD — reference decomposition.py:72-117: sift until the
+    * Rilling criteria hold, peel modes until the residue is monotonic.
+    * Returns the list of IMFs (the residue is signal - sum(imfs)). */
+  def emd(t: Array[Double], y: Array[Double], maxModes: Int = 8,
+      maxIter: Int = 200, padWidth: Int = 2, theta1: Double = 0.05,
+      theta2: Double = 0.5, alpha: Double = 0.05): List[Array[Double]] = {
+    var residue = y.clone()
+    var modes = List.empty[Array[Double]]
+    var monotonic = y.length < 4
+    while (!monotonic && modes.length < maxModes) {
+      var mode = residue.clone()
+      var isImf = false
+      var it = 0
+      var broke = false
+      while (it < maxIter && !isImf && !broke) {
+        emdSift(t, mode, padWidth) match {
+          case null => broke = true
+          case (mu, sigma, nExt, nZero) =>
+            val fracAbove = sigma.count(_ > theta1).toDouble / sigma.length
+            isImf = fracAbove < alpha && sigma.forall(_ < theta2) &&
+              math.abs(nZero - nExt) <= 1
+            if (!isImf) {
+              var j = 0
+              while (j < mode.length) { mode(j) -= mu(j); j += 1 }
+            }
+        }
+        it += 1
+      }
+      if (broke && modes.isEmpty && it <= 1) monotonic = true
+      else if (broke) monotonic = true
+      else {
+        modes = modes :+ mode
+        var j = 0
+        while (j < residue.length) { residue(j) -= mode(j); j += 1 }
+        // next round stops if residue is monotonic (no extrema)
+        monotonic = findPeaks(residue, includeEdges = false).isEmpty ||
+          findDips(residue, includeEdges = false).isEmpty
+      }
+    }
+    modes
+  }
+
+  /** Unwrapped instantaneous phase/freq of a normalized FM mode via
+    * direct quadrature — reference timefrequency.py:109-116 (HHT DQ). */
+  def dqInstantFreq(t: Array[Double], f: Array[Double]): Array[Double] = {
+    val n = f.length
+    val phi = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = math.max(-1.0, math.min(1.0, f(i)))
+      phi(i) = math.atan2(math.sqrt(1.0 - c * c), c)
+      i += 1
+    }
+    // sign correction by local gradient, then unwrap
+    val corr = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val g = if (i == 0) phi(1) - phi(0)
+        else if (i == n - 1) phi(n - 1) - phi(n - 2)
+        else (phi(i + 1) - phi(i - 1)) / 2.0
+      corr(i) = if (g < 0) -phi(i) else phi(i)
+      i += 1
+    }
+    val unwrapped = new Array[Double](n)
+    unwrapped(0) = corr(0)
+    i = 1
+    while (i < n) {
+      var d = corr(i) - corr(i - 1)
+      while (d > math.Pi) d -= 2.0 * math.Pi
+      while (d < -math.Pi) d += 2.0 * math.Pi
+      unwrapped(i) = unwrapped(i - 1) + d
+      i += 1
+    }
+    val freq = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      freq(i) =
+        (if (i == 0) (unwrapped(1) - unwrapped(0)) / (t(1) - t(0))
+         else if (i == n - 1) (unwrapped(n - 1) - unwrapped(n - 2)) / (t(n - 1) - t(n - 2))
+         else (unwrapped(i + 1) - unwrapped(i - 1)) / (t(i + 1) - t(i - 1))) /
+          (2.0 * math.Pi)
+      i += 1
+    }
+    freq
+  }
+
+  // ----- Butterworth band-pass + filtfilt (reference core.py:776) -----
+
+  private case class C(re: Double, im: Double) {
+    def +(o: C) = C(re + o.re, im + o.im)
+    def -(o: C) = C(re - o.re, im - o.im)
+    def *(o: C) = C(re * o.re - im * o.im, re * o.im + im * o.re)
+    def /(o: C) = {
+      val d = o.re * o.re + o.im * o.im
+      C((re * o.re + im * o.im) / d, (im * o.re - re * o.im) / d)
+    }
+    def abs2: Double = re * re + im * im
+  }
+
+  /** Digital Butterworth band-pass as cascaded biquads (poles via the
+    * analog prototype → lp2bp → bilinear transform, conjugate pairs per
+    * section; zeros at z=±1 per section; unit gain at the geometric
+    * center frequency). Order = 2·n poles. */
+  def butterBandpassSos(n: Int, fLo: Double, fHi: Double, fs: Double)
+      : Array[Array[Double]] = {
+    val w1 = 2.0 * fs * math.tan(math.Pi * fLo / fs)
+    val w2 = 2.0 * fs * math.tan(math.Pi * fHi / fs)
+    val wo = math.sqrt(w1 * w2)
+    val bw = w2 - w1
+    // analog prototype poles
+    val proto = (0 until n).map { k =>
+      val th = math.Pi * (2.0 * k + n + 1.0) / (2.0 * n)
+      C(math.cos(th), math.sin(th))
+    }
+    // lp2bp: s -> (s^2 + wo^2)/(bw*s); poles p -> p*bw/2 ± sqrt((p*bw/2)^2 - wo^2)
+    def csqrt(c: C): C = {
+      val r = math.hypot(c.re, c.im)
+      val a = math.sqrt((r + c.re) / 2.0)
+      val b = math.signum(if (c.im == 0.0) 1.0 else c.im) * math.sqrt((r - c.re) / 2.0)
+      C(a, b)
+    }
+    val bpPoles = proto.flatMap { p =>
+      val pb = C(p.re * bw / 2.0, p.im * bw / 2.0)
+      val disc = csqrt(C(pb.re * pb.re - pb.im * pb.im - wo * wo,
+        2.0 * pb.re * pb.im))
+      Seq(pb + disc, pb - disc)
+    }
+    // bilinear: z = (2fs + s) / (2fs - s)
+    val zPoles = bpPoles.map(p => (C(2.0 * fs, 0) + p) / (C(2.0 * fs, 0) - p))
+    // group into conjugate-pair sections (poles come in ± pairs per proto pole)
+    val upper = zPoles.filter(_.im >= 0).sortBy(p => -p.abs2)
+    val sos = upper.map { p =>
+      // denominator (z - p)(z - conj(p)) = z^2 - 2Re(p) z + |p|^2
+      Array(1.0, 0.0, -1.0, 1.0, -2.0 * p.re, p.abs2) // b0 b1 b2, a0 a1 a2
+    }.toArray
+    // normalize overall gain to 1 at center frequency
+    val wc = 2.0 * math.Pi * math.sqrt(fLo * fHi) / fs
+    val ejw = C(math.cos(wc), math.sin(wc))
+    val ej2w = ejw * ejw
+    var gain = C(1.0, 0.0)
+    sos.foreach { s =>
+      val num = C(s(0), 0) * ej2w + C(s(1), 0) * ejw + C(s(2), 0)
+      val den = C(s(3), 0) * ej2w + C(s(4), 0) * ejw + C(s(5), 0)
+      gain = gain * (num / den)
+    }
+    val g = 1.0 / math.sqrt(gain.abs2)
+    val gPer = math.pow(g, 1.0 / sos.length)
+    sos.foreach { s => s(0) *= gPer; s(1) *= gPer; s(2) *= gPer }
+    sos
+  }
+
+  private def sosForward(sos: Array[Array[Double]], x: Array[Double])
+      : Array[Double] = {
+    var cur = x
+    sos.foreach { s =>
+      val out = new Array[Double](cur.length)
+      var w1 = 0.0; var w2 = 0.0
+      var i = 0
+      while (i < cur.length) {
+        // direct form II transposed
+        val yi = s(0) * cur(i) + w1
+        w1 = s(1) * cur(i) - s(4) * yi + w2
+        w2 = s(2) * cur(i) - s(5) * yi
+        out(i) = yi
+        i += 1
+      }
+      cur = out
+    }
+    cur
+  }
+
+  /** Zero-phase filtering: odd-reflect pad both ends, forward pass,
+    * reverse, forward again, reverse, unpad (sosfiltfilt shape). */
+  def sosFiltFilt(sos: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val pad = math.min(3 * 2 * (sos.length + 1), x.length - 1)
+    if (pad <= 0) return sosForward(sos, x)
+    val left = (1 to pad).map(i => 2.0 * x(0) - x(i)).reverse
+    val right = (1 to pad).map(i => 2.0 * x(x.length - 1) - x(x.length - 1 - i))
+    val ext = (left ++ x ++ right).toArray
+    val fwd = sosForward(sos, ext)
+    val bwd = sosForward(sos, fwd.reverse).reverse
+    bwd.slice(pad, pad + x.length)
+  }
+
+  /** Cholesky decomposition (lower), in place on a copy; returns null
+    * if not positive definite. */
+  def cholesky(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val l = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i)(j)
+        var k = 0
+        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) {
+          if (s <= 0.0) return null
+          l(i)(i) = math.sqrt(s)
+        } else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    l
+  }
+
+  /** Solve L Lᵀ x = b given lower-triangular L. */
+  def choleskySolve(l: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = l.length
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i)
+      var k = 0
+      while (k < i) { s -= l(i)(k) * y(k); k += 1 }
+      y(i) = s / l(i)(i)
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = y(i)
+      var k = i + 1
+      while (k < n) { s -= l(k)(i) * x(k); k += 1 }
+      x(i) = s / l(i)(i)
+      i -= 1
+    }
+    x
+  }
+}

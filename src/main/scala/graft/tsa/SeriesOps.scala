@@ -1,0 +1,187 @@
+package graft.tsa
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-series sequential operators — the algorithms that are genuinely
+  * iterative (IIR filtering, EMD sifting, GP likelihoods) and cannot
+  * be expressed as relational aggregations. Shape: ONE shuffle keyed
+  * by series id (`groupByKey` + `mapGroups`), each group = one series
+  * sorted in memory (series length ≪ executor memory; the 100 TB axis
+  * is series count, which parallelizes linearly). No oracle SQL —
+  * these register as rows-only checks per the driver contract.
+  */
+object SeriesOps {
+
+  /** Run `f(id, t[], y[])` over every series; emit its rows. */
+  private def perSeries[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, dir: String)(
+      f: (Long, Array[Double], Array[Double]) => Iterator[T]) = {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
+    Tables.series(spark, dir)
+      .select(col("id").cast("long"), col("t"), col("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        f(id, rows.map(_._2), rows.map(_._3))
+      }
+  }
+
+  /** Linear interpolation of (t, y) onto a uniform grid with step dt
+    * (reference core.py:636 interp): the resample step before IIR
+    * filtering, done per-series in the executor. */
+  private def resampleUniform(t: Array[Double], y: Array[Double], dt: Double)
+      : (Array[Double], Array[Double]) = {
+    if (t.length < 2) return (t, y)
+    val k0 = math.ceil(t(0) / dt).toLong
+    val k1 = math.floor(t(t.length - 1) / dt).toLong
+    val n = (k1 - k0 + 1).toInt
+    if (n <= 0) return (Array.empty, Array.empty)
+    val gt = new Array[Double](n)
+    val gy = new Array[Double](n)
+    var j = 0
+    var i = 0
+    while (j < n) {
+      val tg = (k0 + j) * dt
+      while (i < t.length - 2 && t(i + 1) < tg) i += 1
+      val frac = (tg - t(i)) / (t(i + 1) - t(i))
+      gt(j) = tg
+      gy(j) = y(i) + (y(i + 1) - y(i)) * frac
+      j += 1
+    }
+    (gt, gy)
+  }
+
+  // -------------------------------------------------------------------
+  // ts_butterworth — reference core.py:776 (TSeries.butterworth +
+  // sosfiltfilt): order-5 Butterworth band-pass (periods 1–5 days)
+  // applied zero-phase on the 6 h-resampled series.
+  // -------------------------------------------------------------------
+  def tsButterworth(spark: SparkSession, dir: String): DataFrame = {
+    val dt = 21600.0
+    val sos = SeriesMath.butterBandpassSos(5, 1.0 / 432000.0, 1.0 / 86400.0,
+      1.0 / dt)
+    perSeries(spark, dir) { (id, t, y) =>
+      val (gt, gy) = resampleUniform(t, y, dt)
+      if (gt.length < 20) Iterator.empty
+      else {
+        val mean = gy.sum / gy.length
+        val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
+        gt.indices.iterator.map(i =>
+          (id, gt(i), math.rint(filt(i) * 1e6) / 1e6))
+      }
+    }.toDF("id", "t", "y_filt")
+  }
+
+  // -------------------------------------------------------------------
+  // emd_imfs — reference decomposition.py:12 (EMD): intrinsic mode
+  // functions via envelope sifting; rows (id, mode, t, y).
+  // -------------------------------------------------------------------
+  def emdImfs(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t, y) =>
+      val modes = SeriesMath.emd(t, y)
+      modes.iterator.zipWithIndex.flatMap { case (m, k) =>
+        t.indices.iterator.map(i =>
+          (id, k, t(i), math.rint(m(i) * 1e6) / 1e6))
+      }
+    }.toDF("id", "mode", "t", "y")
+
+  // -------------------------------------------------------------------
+  // hht_inst — reference timefrequency.py:14 (HHT, DQ method):
+  // per-mode instantaneous amplitude (iterative spline-envelope
+  // normalization, timefrequency.py:71) and frequency (direct
+  // quadrature); rows (id, mode, t, freq, amp).
+  // -------------------------------------------------------------------
+  def hhtInst(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t, y) =>
+      val modes = SeriesMath.emd(t, y)
+      modes.iterator.zipWithIndex.flatMap { case (m, k) =>
+        var f = m.clone()
+        val amp = Array.fill(m.length)(1.0)
+        var it = 0
+        var done = false
+        while (it < 10 && !done) {
+          val env = SeriesMath.envelopes(t, f.map(math.abs), 2)
+          if (env == null) done = true
+          else {
+            val upper = env._1
+            var i = 0
+            while (i < f.length) {
+              val e = if (math.abs(upper(i)) < 1e-12) 1e-12 else math.abs(upper(i))
+              f(i) /= e
+              amp(i) *= e
+              i += 1
+            }
+            if (f.forall(v => math.abs(v) <= 1.0 + 1e-6)) done = true
+          }
+          it += 1
+        }
+        if (f.length < 3) Iterator.empty
+        else {
+          val freq = SeriesMath.dqInstantFreq(t, f)
+          t.indices.iterator.map(i =>
+            (id, k, t(i), math.rint(freq(i) * 1e12) / 1e12,
+              math.rint(amp(i) * 1e6) / 1e6))
+        }
+      }
+    }.toDF("id", "mode", "t", "freq", "amp")
+
+  // -------------------------------------------------------------------
+  // gp_period_map — reference gp.py (QuasiPeriodicGP): MAP period by
+  // grid search over the quasi-periodic kernel's marginal likelihood
+  // (exact Cholesky per series; MCMC is out of scope — the grid MAP is
+  // the Spark-native equivalent). Series subsampled to ≤200 points.
+  // -------------------------------------------------------------------
+  def gpPeriodMap(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val stride = math.max(1, t0.length / 200)
+      val idx = t0.indices.by(stride).toArray
+      val t = idx.map(t0)
+      val yRaw = idx.map(y0)
+      val n = t.length
+      if (n < 10) Iterator.empty
+      else {
+        val mean = yRaw.sum / n
+        val y = yRaw.map(_ - mean)
+        val varY = math.max(y.map(v => v * v).sum / n, 1e-12)
+        val noise = 0.2 * varY
+        val results = (1 to 20).map { j =>
+          val p = j * 43200.0 // 12 h .. 10 d
+          val ell = 3.0 * p
+          val k = Array.tabulate(n, n) { (a, b) =>
+            val d = t(a) - t(b)
+            val s = math.sin(math.Pi * d / p)
+            varY * math.exp(-5.0 * s * s - d * d / (2.0 * ell * ell)) +
+              (if (a == b) noise + 1e-9 * varY else 0.0)
+          }
+          val l = SeriesMath.cholesky(k)
+          if (l == null) (p, Double.NegativeInfinity)
+          else {
+            val alpha = SeriesMath.choleskySolve(l, y)
+            var ll = -0.5 * n * math.log(2.0 * math.Pi)
+            var i = 0
+            while (i < n) {
+              ll -= math.log(l(i)(i))
+              ll -= 0.5 * y(i) * alpha(i)
+              i += 1
+            }
+            (p, ll)
+          }
+        }
+        val best = results.maxBy(_._2)._1
+        results.iterator.map { case (p, ll) =>
+          (id, p, math.rint(ll * 1e3) / 1e3, if (p == best) 1 else 0)
+        }
+      }
+    }.toDF("id", "period", "loglik", "is_best")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_butterworth" -> (tsButterworth _),
+    "emd_imfs" -> (emdImfs _),
+    "hht_inst" -> (hhtInst _),
+    "gp_period_map" -> (gpPeriodMap _))
+}

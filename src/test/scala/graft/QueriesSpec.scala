@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs on sf0.001 and produces a sane frame;
+  * semantic spot checks on a few operators. The full value-level gate
+  * is the driver's DuckDB oracle (tools/check_oracle.py). */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val q = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(q)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("gls_best_period periods are inside the trial grid") {
+    import org.apache.spark.sql.functions._
+    val df = spectral.Gls.glsBestPeriod(spark, dir)
+    val bad = df.filter(col("best_period") > 2592000.0 ||
+      col("best_period") < 2592000.0 / 200).count()
+    assert(bad == 0)
+  }
+
+  test("ts_downsample preserves total sample count") {
+    import org.apache.spark.sql.functions._
+    val total = tsa.TimeSeriesOps.tsDownsample(spark, dir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.series(spark, dir).count())
+  }
+
+  test("dedup_exact finds no duplicates in the synthetic corpus") {
+    import org.apache.spark.sql.functions._
+    val dups = dedup.Dedup.dedupExact(spark, dir)
+      .filter(col("n_copies") > 1).count()
+    assert(dups == 0)
+  }
+
+  test("ann_cosine_topk returns exactly k neighbors per query") {
+    val df = sim.Similarity.annCosineTopk(spark, dir)
+    val counts = df.groupBy("qid").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+  }
+
+  test("emd modes reconstruct bounded residue") {
+    import org.apache.spark.sql.functions._
+    // modes exist for most series and values are finite
+    val df = tsa.SeriesOps.emdImfs(spark, dir)
+    assert(df.filter(col("y").isNull || isnan(col("y"))).count() == 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming twins driven synchronously via MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed aggregation counts events per 5-minute window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 2.0),
+      Event(2, ts(1), 1, "click", 3.0),
+      Event(3, ts(7), 2, "view", 1.0))
+    val q = StreamingOps.windowedAgg(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT event_type, n, sum_value FROM win_out ORDER BY event_type")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "click" && rows(0).getLong(1) == 2 &&
+      rows(0).getDouble(2) == 5.0)
+    assert(rows(1).getString(0) == "view" && rows(1).getLong(1) == 1)
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // session 1: minutes 0,1,2; gap > 10 min; session 2: minutes 20,21
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(1), 7, "click", 1.0),
+      Event(3, ts(2), 7, "click", 1.0),
+      Event(4, ts(20), 7, "click", 2.0),
+      Event(5, ts(21), 7, "click", 2.0))
+    val q = StreamingOps.sessionize(input.toDS(), gapSec = 600,
+        useTimeout = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // only the FIRST session is closed (second still open in state)
+    val rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_events") == 3)
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+  }
+}
