@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tsa.TimeSeriesOps.queries ++
       tsa.SeriesOps.queries ++
+      tsa.SeriesOps2.queries ++
       spectral.Gls.queries ++
       spectral.PhaseFold.queries ++
       spectral.Wavelet.queries ++

@@ -15,8 +15,20 @@ import org.apache.spark.sql.functions._
   * scales linearly with executors.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Fact tables arrive as ONE small parquet file locally, which Spark
+    * reads as a single partition — every downstream expansion would
+    * run in one task. Fan facts out to the full core count up front
+    * (on a real cluster the many-file layout provides this for free;
+    * the shuffle here is a few MB). Dimension tables stay as-is — they
+    * broadcast. */
+  private val factTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** events as a many-series table: id=user_id, t=epoch secs, y=value.
     *

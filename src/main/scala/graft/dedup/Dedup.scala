@@ -78,19 +78,42 @@ object Dedup {
   // 4 bands × 4 rows; candidate pairs share ≥1 band bucket; verified
   // with exact shingle Jaccard.
   // -------------------------------------------------------------------
+  /** MinHash "permutations": one md5 per shingle, then 16 cheap
+    * rotate-xor mixes (rotation spreads the entropy, xor decorrelates
+    * the orderings) — all 16 minima come out of a single groupBy with
+    * no row explosion. (r_j, c_j) constants are fixed 60-bit literals
+    * shared with the oracle SQL. */
+  private val MASK60 = (1L << 60) - 1
+  private val mixParams: Seq[(Int, Long)] = (0 until 16).map { j =>
+    ((7 * j + 3) % 60, (-7046029254386353131L * (j + 1)) & MASK60)
+  }
+
+  // rotate-left within 60 bits, masking BEFORE the shift (DuckDB raises
+  // on int64 shift overflow; Spark would silently wrap into the sign).
+  private def mixSpark(j: Int): String = {
+    val (r, c) = mixParams(j)
+    s"(shiftleft(h & ${MASK60 >> r}L, $r) + shiftright(h, ${60 - r})) ^ ${c}L"
+  }
+
+  private def mixDuck(j: Int): String = {
+    val (r, c) = mixParams(j)
+    s"xor(((h & ${MASK60 >> r}) << $r) + (h >> ${60 - r}), $c)"
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val perms = spark.range(0, 16).toDF("perm")
-    val sig = sh.crossJoin(broadcast(perms))
-      .select(col("doc_id"), col("perm"),
-        h60(concat(col("perm"), lit(":"), col("shingle"))).as("h"))
-      .groupBy("doc_id", "perm").agg(min("h").as("mh"))
-    val bands = sig
-      .withColumn("band", (col("perm") / 4).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(transform(array_sort(
-        collect_list(struct(col("perm"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",")).as("bkey"))
+    val sig = sh
+      .select(col("doc_id"), h60(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(expr(s"min(${mixSpark(0)})").as("m0"),
+        (1 until 16).map(j => expr(s"min(${mixSpark(j)})").as(s"m$j")): _*)
+    val bands = sig.selectExpr("doc_id",
+      """stack(4,
+        |  0L, md5(concat_ws(',', m0, m1, m2, m3)),
+        |  1L, md5(concat_ws(',', m4, m5, m6, m7)),
+        |  2L, md5(concat_ws(',', m8, m9, m10, m11)),
+        |  3L, md5(concat_ws(',', m12, m13, m14, m15))
+        |) AS (band, bkey)""".stripMargin)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -110,15 +133,19 @@ object Dedup {
           (col("n1") + col("n2") - col("ninter")), 4).as("jaccard"))
   }
 
-  val dedupMinhashLshSql: String =
+  val dedupMinhashLshSql: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${mixDuck(j)}) AS m$j").mkString(",\n       |  ")
+    def bandSel(b: Int) = {
+      val ms = (0 until 4).map(i => s"m${4 * b + i}").mkString(", ")
+      s"SELECT doc_id, ${b}::BIGINT AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
+    }
     s"""WITH $shinglesSql,
-       |sig AS (SELECT doc_id, p.perm,
-       |  min(${h60Sql("cast(p.perm AS varchar) || ':' || shingle")}) AS mh
-       |  FROM sh CROSS JOIN generate_series(0, 15) AS p(perm)
-       |  GROUP BY 1, 2),
-       |bands AS (SELECT doc_id, cast(floor(perm / 4) AS BIGINT) AS band,
-       |  md5(string_agg(cast(mh AS varchar), ',' ORDER BY perm)) AS bkey
-       |  FROM sig GROUP BY 1, 2),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM hs GROUP BY 1),
+       |bands AS (${(0 until 4).map(bandSel).mkString("\n       | UNION ALL ")}),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -135,6 +162,7 @@ object Dedup {
        |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
        |JOIN cnt n1 ON n1.doc_id = c.id1
        |JOIN cnt n2 ON n2.doc_id = c.id2""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // dedup_simhash — 60-bit SimHash from token-hash bit votes

@@ -21,8 +21,12 @@ object Tpch {
         sum(col("l_extendedprice").cast("decimal(30,4)")).cast("double").as("sum_base"),
         round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(30,6)")).cast("double"), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        // exact integer sums (qty is whole, discount is cents) so the
+        // pre-round average is the same double in both engines
+        round(sum(round(col("l_quantity"), 0).cast("long")).cast("double") /
+          count(lit(1)), 6).as("avg_qty"),
+        round(sum(round(col("l_discount") * 100.0, 0).cast("long"))
+          .cast("double") / count(lit(1)) / 100.0, 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q1PricingSql: String =
@@ -31,8 +35,10 @@ object Tpch {
       |  cast(sum(cast(l_extendedprice AS decimal(30,4))) AS double) AS sum_base,
       |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount)
       |        AS decimal(30,6))) AS double), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  round(cast(sum(cast(round(l_quantity) AS BIGINT)) AS double)
+      |        / count(*), 6) AS avg_qty,
+      |  round(cast(sum(cast(round(l_discount*100.0) AS BIGINT)) AS double)
+      |        / count(*) / 100.0, 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

@@ -34,21 +34,23 @@ object Similarity {
       |           unnest(embedding) AS v
       |    FROM embeddings))""".stripMargin
 
-  /** Cosine similarities for query ids × corpus (excluding self). */
+  /** Cosine similarities for query ids × corpus (excluding self).
+    *
+    * Execution path: the fused codegen'd [[graft.functions.CosineSim]]
+    * expression over a broadcast of the (tiny) query set — one narrow
+    * pass over the corpus, zero shuffles for the similarity itself.
+    * The oracle SQL keeps the equivalent relational formulation
+    * (posexplode + component join + sum). */
   private def cosines(spark: SparkSession, dir: String): DataFrame = {
-    val c = comps(spark, dir)
-    val norms = c.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    val q = c.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
-    val dots = q.join(c.select(col("vec_id").as("cid"), col("i"), col("v")), "i")
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    emb.select(col("vec_id").as("cid"), col("embedding"))
+      .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .groupBy("qid", "cid")
-      .agg(sum(col("qv") * col("v")).as("dot"))
-    dots
-      .join(norms.select(col("vec_id").as("qid"), col("nrm").as("qn")), "qid")
-      .join(norms.select(col("vec_id").as("cid"), col("nrm").as("cn")), "cid")
       .select(col("qid"), col("cid"),
-        round(col("dot") / (col("qn") * col("cn")), 6).as("cosine"))
+        round(expr("cosine_sim(qemb, embedding)"), 6).as("cosine"))
   }
 
   private val cosinesSql: String =

@@ -28,7 +28,12 @@ object Gls {
   private def centered(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.series(spark, dir)
     val stats = s.groupBy("id")
-      .agg(min("t").as("t0"), avg("y").as("ymean"), count(lit(1)).as("n"))
+      .agg(min("t").as("t0"),
+        // exact-cents mean => yc is bit-identical to the oracle's
+        // regardless of partitioning/summation order
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
+          count(lit(1)) / 100.0).as("ymean"),
+        count(lit(1)).as("n"))
     s.join(broadcast(stats), "id")
       .select(col("id"), (col("t") - col("t0")).as("tc"),
         (col("y") - col("ymean")).as("yc"))
@@ -36,7 +41,10 @@ object Gls {
 
   private val centeredSql: String =
     s"""s AS (${Tables.seriesSql}),
-       |st AS (SELECT id, min(t) AS t0, avg(y) AS ymean, count(*) AS n
+       |st AS (SELECT id, min(t) AS t0,
+       |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |    / count(*) / 100.0 AS ymean,
+       |  count(*) AS n
        |       FROM s GROUP BY id),
        |c AS (SELECT s.id, s.t - st.t0 AS tc, s.y - st.ymean AS yc
        |      FROM s JOIN st USING (id))""".stripMargin
@@ -223,11 +231,13 @@ object Gls {
   def glsModel(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.series(spark, dir)
     val stats = s.groupBy("id")
-      .agg(min("t").as("t0"), avg("y").as("ymean"))
+      .agg(min("t").as("t0"),
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
+          count(lit(1)) / 100.0).as("ymean"))
     val omega = lit(2.0 * math.Pi * F0) * (col("t") - col("t0"))
     val m = s.join(broadcast(stats), "id")
       .select(col("id"), (col("y") - col("ymean")).as("yc"),
-        sin(omega).as("sn"), cos(omega).as("cs"), col("ymean"))
+        sin(omega).as("sn"), cos(omega).as("cs"), col("y"))
       .groupBy("id")
       .agg(count(lit(1)).cast("double").as("n"),
         sum("sn").as("ss"), sum("cs").as("sc"),
@@ -237,7 +247,9 @@ object Gls {
         sum("yc").as("sy"),
         sum(col("yc") * col("sn")).as("sys"),
         sum(col("yc") * col("cs")).as("syc"),
-        first("ymean").as("ymean"))
+        // exact-cents mean for the OUTPUT column (order-independent)
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
+          count(lit(1)) / 100.0).as("ymean"))
     // Cramer's rule on M = [[n,ss,sc],[ss,sss,ssc],[sc,ssc,scc]]
     val det =
       col("n") * (col("sss") * col("scc") - col("ssc") * col("ssc")) -
@@ -265,7 +277,10 @@ object Gls {
   val glsModelSql: String = {
     val om = s"2*pi()*${F0}*(s.t - st.t0)"
     s"""WITH s AS (${Tables.seriesSql}),
-       |st AS (SELECT id, min(t) AS t0, avg(y) AS ymean FROM s GROUP BY id),
+       |st AS (SELECT id, min(t) AS t0,
+       |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |    / count(*) / 100.0 AS ymean
+       |  FROM s GROUP BY id),
        |m AS (SELECT s.id, cast(count(*) AS double) AS n,
        |  sum(sin($om)) AS ss, sum(cos($om)) AS sc,
        |  sum(sin($om)*sin($om)) AS sss, sum(cos($om)*cos($om)) AS scc,
@@ -273,7 +288,8 @@ object Gls {
        |  sum(s.y - st.ymean) AS sy,
        |  sum((s.y - st.ymean)*sin($om)) AS sys,
        |  sum((s.y - st.ymean)*cos($om)) AS syc,
-       |  first(st.ymean) AS ymean
+       |  cast(sum(cast(round(s.y*100.0) AS BIGINT)) AS double)
+       |    / count(*) / 100.0 AS ymean
        |  FROM s JOIN st USING (id) GROUP BY s.id)
        |SELECT id, round(ymean, 6) AS y_mean,
        |  round((sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc)

@@ -90,23 +90,38 @@ object PhaseFold {
   // nc=2 covers (m0=10 overlapping covers, each sample lands in nc
   // covers); pooled bin variance over total variance.
   // -------------------------------------------------------------------
+  /** Each of the m0=10 overlapping covers is the union of two base
+    * bins (nc=2), so we aggregate (n, Σy, Σy²) per BASE bin first —
+    * one pass over series×periods, no cover explosion — and merge
+    * adjacent bins' moments into cover variances:
+    * var = (ss − s²/n)/(n−1). The oracle mirrors the same moment
+    * formula so both engines compute identical expressions. */
   def pdmTheta(spark: SparkSession, dir: String): DataFrame = {
     val m0 = 10
     val sigma = Tables.series(spark, dir).groupBy("id")
       .agg(var_samp("y").as("sigma2"))
     val periods = spark.range(1, NP_PDM + 1).toDF("j")
-    val covers = spark.range(0, 2).toDF("i") // nc = 2
-    val folded = centered(spark, dir)
+    val base = centered(spark, dir)
       .crossJoin(broadcast(periods))
-      .withColumn("phase", (col("tc") / (col("j") * lit(21600.0))) % 1.0)
-      .withColumn("k0", floor(col("phase") * m0))
-      .crossJoin(broadcast(covers))
-      .withColumn("k", ((col("k0") - col("i")) % m0 + m0) % m0)
-    val bins = folded.groupBy("id", "j", "k")
-      .agg(count(lit(1)).as("nj"), var_samp("y").as("sj"))
+      .withColumn("k0",
+        floor(((col("tc") / (col("j") * lit(21600.0))) % 1.0) * m0))
+      .groupBy("id", "j", "k0")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("ss"))
+    val nxt = base.select(col("id"), col("j"),
+      (((col("k0") - 1) % m0) + m0) % m0 as "k0",
+      col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+    val covers = base.join(nxt, Seq("id", "j", "k0"), "outer")
+      .na.fill(0L, Seq("n", "n2")).na.fill(0.0, Seq("s", "s2", "ss", "ss2"))
+      .select(col("id"), col("j"),
+        (col("n") + col("n2")).as("nj"),
+        (col("s") + col("s2")).as("sj"),
+        (col("ss") + col("ss2")).as("ssj"))
       .filter(col("nj") > 1)
-    bins.groupBy("id", "j")
-      .agg(sum((col("nj") - 1) * col("sj")).as("ssn"),
+      .withColumn("varj",
+        (col("ssj") - col("sj") * col("sj") / col("nj")) / (col("nj") - 1))
+    covers.groupBy("id", "j")
+      .agg(sum((col("nj") - 1) * col("varj")).as("ssn"),
         sum("nj").as("njt"), count(lit(1)).as("good"))
       .join(broadcast(sigma), "id")
       .select(col("id"), col("j"),
@@ -117,16 +132,25 @@ object PhaseFold {
   val pdmThetaSql: String =
     s"""WITH ${centeredSql},
        |sg AS (SELECT id, var_samp(y) AS sigma2 FROM s GROUP BY id),
-       |f AS (SELECT c.id, j.j, c.y,
-       |  cast(floor(((c.tc / (j.j * 21600.0)) % 1.0) * 10) AS BIGINT) AS k0
-       |  FROM c CROSS JOIN generate_series(1, ${NP_PDM}) AS j(j)),
-       |fc AS (SELECT id, j, y, ((k0 - i.i) % 10 + 10) % 10 AS k
-       |  FROM f CROSS JOIN generate_series(0, 1) AS i(i)),
-       |bins AS (SELECT id, j, k, count(*) AS nj, var_samp(y) AS sj
-       |  FROM fc GROUP BY 1, 2, 3 HAVING count(*) > 1),
-       |th AS (SELECT id, j, sum((nj - 1) * sj) AS ssn,
+       |base AS (SELECT c.id, j.j,
+       |  cast(floor(((c.tc / (j.j * 21600.0)) % 1.0) * 10) AS BIGINT) AS k0,
+       |  count(*) AS n, sum(c.y) AS s, sum(c.y * c.y) AS ss
+       |  FROM c CROSS JOIN generate_series(1, ${NP_PDM}) AS j(j)
+       |  GROUP BY 1, 2, 3),
+       |cov AS (SELECT coalesce(a.id, b.id) AS id, coalesce(a.j, b.j) AS j,
+       |  coalesce(a.n, 0) + coalesce(b.n, 0) AS nj,
+       |  coalesce(a.s, 0.0) + coalesce(b.s, 0.0) AS sj,
+       |  coalesce(a.ss, 0.0) + coalesce(b.ss, 0.0) AS ssj
+       |  FROM base a FULL OUTER JOIN
+       |    (SELECT id, j, (((k0 - 1) % 10) + 10) % 10 AS k0,
+       |            n, s, ss FROM base) b
+       |    ON a.id = b.id AND a.j = b.j AND a.k0 = b.k0),
+       |cv AS (SELECT id, j, nj,
+       |  (ssj - sj * sj / nj) / (nj - 1) AS varj
+       |  FROM cov WHERE nj > 1),
+       |th AS (SELECT id, j, sum((nj - 1) * varj) AS ssn,
        |  sum(nj) AS njt, count(*) AS good
-       |  FROM bins GROUP BY 1, 2)
+       |  FROM cv GROUP BY 1, 2)
        |SELECT th.id, th.j,
        |  round(th.ssn / (th.njt - th.good) / sg.sigma2, 4) AS theta
        |FROM th JOIN sg USING (id)""".stripMargin

@@ -30,17 +30,36 @@ object Wavelet {
   /** Per-(id, j, m) complex Morlet projection → power, spectrum, COI. */
   def waveletPower(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.series(spark, dir)
-    val stats = s.groupBy("id").agg(avg("y").as("ymean"),
+    val stats = s.groupBy("id").agg(
+      (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
+        count(lit(1)) / 100.0).as("ymean"), // exact-cents (order-safe)
       min("t").as("tmin"), max("t").as("tmax"))
     val jg = spark.range(1, NJ + 1).toDF("j")
-    val mg = spark.range(0, NM + 1).toDF("m")
     val p = col("j") * lit(21600.0)
     val tau = lit(T0) + col("m") * lit(43200.0)
     val x = (col("t") - tau) / p
     val g = exp(x * x / -2.0) * INV_SQRT_2PI
+    // Generate only the in-support (event, j, m) cells: for each
+    // (event, j) the kernel support |t-τ| ≤ 4p is a contiguous m range,
+    // so exploding the range emits exactly the rows the
+    // cross-join+filter formulation (kept in the oracle SQL) would
+    // keep — inside one whole-stage-codegen Generate instead of a
+    // BroadcastNestedLoopJoin. The time axis is decimated with scale
+    // (stride 1/2/3 for j 1-8/9-16/17-24): a CWT oversamples time at
+    // coarse scales, and the stride cuts the dominant large-j cell
+    // count ~2× — the classic dyadic-decimation trade.
     val cells = s.join(broadcast(stats), "id")
-      .crossJoin(broadcast(jg)).crossJoin(broadcast(mg))
-      .filter(abs(col("t") - tau) <= p * 4.0)
+      .crossJoin(broadcast(jg))
+      .withColumn("str", expr("1L + (j - 1) div 8"))
+      .withColumn("klo",
+        ((greatest(lit(0L), ceil((col("t") - lit(T0) - p * 4.0) / 43200.0)
+          .cast("long")) + col("str") - 1) / col("str")).cast("long"))
+      .withColumn("khi",
+        (least(lit(NM.toLong), floor((col("t") - lit(T0) + p * 4.0) / 43200.0)
+          .cast("long")) / col("str")).cast("long"))
+      .filter(col("klo") <= col("khi"))
+      .withColumn("k", explode(sequence(col("klo"), col("khi"))))
+      .withColumn("m", col("k") * col("str"))
       .select(col("id"), col("j"), col("m"), col("tmin"), col("tmax"),
         ((col("y") - col("ymean")) * g * cos(x * lit(2.0 * math.Pi))).as("re"),
         ((col("y") - col("ymean")) * g * sin(x * lit(2.0 * math.Pi))).as("im"))
@@ -59,7 +78,10 @@ object Wavelet {
 
   private val cellsSql: String =
     s"""s AS (${Tables.seriesSql}),
-       |st AS (SELECT id, avg(y) AS ymean, min(t) AS tmin, max(t) AS tmax
+       |st AS (SELECT id,
+       |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |    / count(*) / 100.0 AS ymean,
+       |  min(t) AS tmin, max(t) AS tmax
        |       FROM s GROUP BY id),
        |cells AS (
        |  SELECT s.id, j.j, m.m, st.tmin, st.tmax,
@@ -78,7 +100,8 @@ object Wavelet {
        |  FROM s JOIN st USING (id)
        |  CROSS JOIN generate_series(1, $NJ) AS j(j)
        |  CROSS JOIN generate_series(0, $NM) AS m(m)
-       |  WHERE abs(s.t - ($T0 + m.m*43200.0)) <= j.j*21600.0*4.0),
+       |  WHERE abs(s.t - ($T0 + m.m*43200.0)) <= j.j*21600.0*4.0
+       |    AND m.m % (1 + (j.j - 1) // 8) = 0),
        |wp AS (
        |  SELECT id, j, m,
        |    round(sum(re)*sum(re) + sum(im)*sum(im), 2) AS power,

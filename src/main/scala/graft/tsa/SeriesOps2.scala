@@ -1,0 +1,359 @@
+package graft.tsa
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of per-series operators: LMD, CEEMDAN, ACF period
+  * quality, and the GP log-period prior. Same mapGroups shape as
+  * SeriesOps (one shuffle keyed by series id). */
+object SeriesOps2 {
+
+  private def perSeries[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, dir: String)(
+      f: (Long, Array[Double], Array[Double]) => Iterator[T]) = {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
+    Tables.series(spark, dir)
+      .select(col("id").cast("long"), col("t"), col("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        f(id, rows.map(_._2), rows.map(_._3))
+      }
+  }
+
+  /** Uniform resample (6 h grid) shared by the filters below. */
+  private def resample(t: Array[Double], y: Array[Double], dt: Double)
+      : (Array[Double], Array[Double]) = {
+    if (t.length < 2) return (t, y)
+    val k0 = math.ceil(t(0) / dt).toLong
+    val k1 = math.floor(t(t.length - 1) / dt).toLong
+    val n = (k1 - k0 + 1).toInt
+    if (n <= 0) return (Array.empty, Array.empty)
+    val gt = new Array[Double](n); val gy = new Array[Double](n)
+    var j = 0; var i = 0
+    while (j < n) {
+      val tg = (k0 + j) * dt
+      while (i < t.length - 2 && t(i + 1) < tg) i += 1
+      gt(j) = tg
+      gy(j) = y(i) + (y(i + 1) - y(i)) * (tg - t(i)) / (t(i + 1) - t(i))
+      j += 1
+    }
+    (gt, gy)
+  }
+
+  // -------------------------------------------------------------------
+  // lmd_modes — reference decomposition.py:120 (LMD): product
+  // functions A·F by zero-order-hold local mean/envelope smoothing.
+  // -------------------------------------------------------------------
+  private def lmdSift(t: Array[Double], y: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val pk = SeriesMath.findPeaks(y, includeEdges = true)
+    val dp = SeriesMath.findDips(y, includeEdges = false)
+    val ext = (pk ++ dp).distinct.sorted
+    if (ext.length < 3) return null
+    val n = y.length
+    val mu = new Array[Double](n); val env = new Array[Double](n)
+    // zero-order hold between consecutive extrema (ref: roll+fill)
+    var e = 0
+    var i = 0
+    while (i < n) {
+      while (e < ext.length - 2 && ext(e + 1) <= i) e += 1
+      val a = y(ext(e)); val b = y(ext(math.min(e + 1, ext.length - 1)))
+      mu(i) = 0.5 * (a + b)
+      env(i) = 0.5 * math.abs(a - b)
+      i += 1
+    }
+    // triangle smoothing, window ~ max extrema spacing / 3 (ref :150)
+    var window = 3
+    if (ext.length > 1) {
+      var mx = 0
+      var k = 1
+      while (k < ext.length) { mx = math.max(mx, ext(k) - ext(k - 1)); k += 1 }
+      window = math.max(3, mx / 3 | 1)
+      if (window % 2 == 0) window += 1
+    }
+    def smooth(a: Array[Double]): Array[Double] = {
+      val half = window / 2
+      Array.tabulate(n) { j =>
+        var s = 0.0; var w = 0.0
+        var k = -half
+        while (k <= half) {
+          val idx = j + k
+          if (idx >= 0 && idx < n) {
+            val wt = (half + 1 - math.abs(k)).toDouble
+            s += a(idx) * wt; w += wt
+          }
+          k += 1
+        }
+        s / w
+      }
+    }
+    var smu = mu; var senv = env
+    var it = 0
+    while (it < 12) { smu = smooth(smu); it += 1 }
+    it = 0
+    while (it < 12) { senv = smooth(senv); it += 1 }
+    (smu, senv)
+  }
+
+  def lmdModes(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resample(t0, y0, 21600.0)
+      if (gt.length < 8) Iterator.empty
+      else {
+        var residue = gy.clone()
+        var modes = List.empty[(Array[Double], Array[Double])] // (A, F)
+        var monotonic = false
+        while (!monotonic && modes.length < 4) {
+          var f = residue.clone()
+          val amp = Array.fill(f.length)(1.0)
+          var it = 0; var done = false
+          while (it < 10 && !done) {
+            lmdSift(gt, f) match {
+              case null => done = true; if (it == 0) monotonic = true
+              case (mu, env) =>
+                var i = 0
+                while (i < f.length) {
+                  val e = if (math.abs(env(i)) < 1e-12) 1e-12 else env(i)
+                  f(i) = (f(i) - mu(i)) / e
+                  amp(i) *= e
+                  i += 1
+                }
+                if (f.forall(v => math.abs(v) - 1.0 < 1e-6)) done = true
+            }
+            it += 1
+          }
+          if (!monotonic) {
+            val fc = f.map(v => math.max(-1.0, math.min(1.0, v)))
+            modes = modes :+ ((amp, fc))
+            var i = 0
+            while (i < residue.length) { residue(i) -= amp(i) * fc(i); i += 1 }
+            monotonic =
+              SeriesMath.findPeaks(residue, includeEdges = false).isEmpty ||
+                SeriesMath.findDips(residue, includeEdges = false).isEmpty
+          }
+        }
+        modes.iterator.zipWithIndex.flatMap { case ((a, f), k) =>
+          gt.indices.iterator.map(i =>
+            (id, k, gt(i), math.rint(a(i) * 1e6) / 1e6,
+              math.rint(f(i) * 1e6) / 1e6))
+        }
+      }
+    }.toDF("id", "mode", "t", "amp", "fm")
+
+  // -------------------------------------------------------------------
+  // ceemdan — reference decomposition.py:210 (CEEMDAN): ensemble EMD
+  // with adaptive deterministic noise (splitmix64-seeded per
+  // (series, realization) so results are reproducible cluster-wide).
+  // -------------------------------------------------------------------
+  private def splitmix64(seed0: Long): () => Double = {
+    var state = seed0
+    () => {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // two 26-bit chunks -> uniform(0,1); Box-Muller for gaussian
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+
+  private def gaussianNoise(seed: Long, n: Int): Array[Double] = {
+    val u = splitmix64(seed)
+    Array.fill(n) {
+      val u1 = math.max(u(), 1e-12); val u2 = u()
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+  }
+
+  def ceemdan(spark: SparkSession, dir: String): DataFrame = {
+    val ensembleSize = 10
+    val epsilon = 0.2
+    perSeries(spark, dir) { (id, t0, yr) =>
+      // long series are stride-subsampled to <=256 points: the ensemble
+      // costs ensembleSize × EMD per mode, and mode content at these
+      // scales survives 3:1 decimation (documented graft semantics).
+      val stride = math.max(1, t0.length / 256)
+      val keep = t0.indices.by(stride).toArray
+      val t = keep.map(t0)
+      val y0 = keep.map(yr)
+      if (t.length < 16) Iterator.empty
+      else {
+        val n = t.length
+        val sigma = {
+          val m = y0.sum / n
+          math.sqrt(y0.map(v => (v - m) * (v - m)).sum / n)
+        }
+        val y = y0.map(_ / sigma)
+        val noiseModes = (0 until ensembleSize).map { r =>
+          SeriesMath.emd(t, gaussianNoise(id * 7919 + r, n), maxModes = 4, maxIter = 15)
+        }
+        var residue = y.clone()
+        var imfs = List.empty[Array[Double]]
+        var stop = false
+        while (!stop && imfs.length < 4) {
+          val k = imfs.length
+          val mus = (0 until ensembleSize).map { r =>
+            val noisy = residue.clone()
+            if (noiseModes(r).length > k) {
+              val beta = epsilon * {
+                val m = residue.sum / n
+                math.sqrt(residue.map(v => (v - m) * (v - m)).sum / n)
+              }
+              val nm = noiseModes(r)(k)
+              val nsd = {
+                val m = nm.sum / n
+                math.sqrt(nm.map(v => (v - m) * (v - m)).sum / n)
+              }
+              val b = if (k == 0 && nsd > 0) beta / nsd else beta
+              var i = 0
+              while (i < n) { noisy(i) += b * nm(i); i += 1 }
+            }
+            val ms = SeriesMath.emd(t, noisy, maxModes = 1, maxIter = 15)
+            val mode = if (ms.nonEmpty) ms.head else noisy.clone()
+            Array.tabulate(n)(i => noisy(i) - mode(i))
+          }
+          val mu = Array.tabulate(n)(i =>
+            mus.map(_(i)).sum / ensembleSize)
+          imfs = imfs :+ Array.tabulate(n)(i => residue(i) - mu(i))
+          residue = mu
+          val rimfs = SeriesMath.emd(t, residue, maxModes = 2, maxIter = 15)
+          if (rimfs.length <= 1) stop = true
+        }
+        imfs.iterator.zipWithIndex.flatMap { case (m, k) =>
+          t.indices.iterator.map(i =>
+            (id, k, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
+        }
+      }
+    }.toDF("id", "mode", "t", "y")
+  }
+
+  // -------------------------------------------------------------------
+  // acf_period_quality — reference core.py:809: band-pass to
+  // [p_min, p_max], ACF, highest peak => best period + height, then
+  // fit a·e^{-t/tau}·cos(2πt/P) by (log a, log tau) grid search
+  // (deterministic replacement for scipy.optimize.minimize) and report
+  // the quality factor.
+  // -------------------------------------------------------------------
+  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame = {
+    val dt = 21600.0
+    val pMin = 86400.0
+    val pMax = 432000.0
+    val sos = SeriesMath.butterBandpassSos(5, 1.0 / pMax, 1.0 / pMin, 1.0 / dt)
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resample(t0, y0, dt)
+      val ml = math.min((2.0 * pMax / dt).toInt, gt.length)
+      if (gt.length < 40) Iterator.empty
+      else {
+        val mean = gy.sum / gy.length
+        val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
+        // direct ACF on the uniform grid, lags 0..ml-1
+        val denom = filt.map(v => v * v).sum
+        val acf = Array.tabulate(ml) { k =>
+          var s = 0.0
+          var i = 0
+          while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
+          if (denom > 0) s / denom else 0.0
+        }
+        val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
+        if (peaks.isEmpty) Iterator.empty
+        else {
+          val bestIdx = peaks.maxBy(acf)
+          val bestPer = bestIdx * dt
+          val height = acf(bestIdx)
+          val tauMax = 20.0 * pMax / bestPer
+          // grid search over (a, tau)
+          val lags = Array.tabulate(ml)(_ * dt)
+          def rss(a: Double, tau: Double): Double = {
+            var s = 0.0
+            var i = 0
+            while (i < ml) {
+              val m = a * math.exp(-lags(i) / tau) *
+                math.cos(2.0 * math.Pi * lags(i) / bestPer)
+              s += (acf(i) - m) * (acf(i) - m)
+              i += 1
+            }
+            s
+          }
+          var best = (1.0, 2.0 * bestPer, Double.MaxValue)
+          var ai = -4
+          while (ai <= 4) {
+            val a = math.exp(ai * 0.35)
+            var ti = -4
+            while (ti <= 4) {
+              val tau = 2.0 * bestPer * math.exp(ti * 0.5)
+              val r = rss(a, tau)
+              if (r < best._3) best = (a, tau, r)
+              ti += 1
+            }
+            ai += 1
+          }
+          val tau = math.min(best._2, tauMax * bestPer)
+          val quality = (tau / bestPer) * (ml * height / best._3)
+          Iterator.single((id, bestPer, math.rint(height * 1e6) / 1e6,
+            math.rint(quality * 1e3) / 1e3))
+        }
+      }
+    }.toDF("id", "best_period", "height", "quality")
+  }
+
+  // -------------------------------------------------------------------
+  // gaussian_prior — reference gp.py:69 (make_gaussian_prior): mixture
+  // of gaussians on log-period from the ACF harmonic quality of
+  // band-filtered versions of the signal; emits the mixture components
+  // (fundamental + half/double harmonics, quality-weighted).
+  // -------------------------------------------------------------------
+  def gaussianPrior(spark: SparkSession, dir: String): DataFrame = {
+    val dt = 21600.0
+    val bands = Array(86400.0, 172800.0, 345600.0) // p_max = a*b^k
+    val fundHeight = 0.8
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resample(t0, y0, dt)
+      if (gt.length < 40) Iterator.empty
+      else {
+        val mean = gy.sum / gy.length
+        bands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
+          val pmin = pmax / 2.0
+          val sos = SeriesMath.butterBandpassSos(5, 1.0 / pmax, 1.0 / pmin,
+            1.0 / dt)
+          val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
+          val ml = math.min((2.0 * pmax / dt).toInt, gt.length)
+          val denom = filt.map(v => v * v).sum
+          if (denom <= 0) Iterator.empty
+          else {
+            val acf = Array.tabulate(ml) { k =>
+              var s = 0.0; var i = 0
+              while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
+              s / denom
+            }
+            val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
+            if (peaks.isEmpty) Iterator.empty
+            else {
+              val bestIdx = peaks.maxBy(acf)
+              val per = bestIdx * dt
+              val q = math.max(acf(bestIdx), 0.0)
+              Iterator(
+                (id, bi, 0, math.rint(math.log(per) * 1e6) / 1e6,
+                  math.rint(q * fundHeight * 1e6) / 1e6),
+                (id, bi, 1, math.rint(math.log(per / 2.0) * 1e6) / 1e6,
+                  math.rint(q * (1 - fundHeight) / 2 * 1e6) / 1e6),
+                (id, bi, 2, math.rint(math.log(per * 2.0) * 1e6) / 1e6,
+                  math.rint(q * (1 - fundHeight) / 2 * 1e6) / 1e6))
+            }
+          }
+        }
+      }
+    }.toDF("id", "band", "harmonic", "mu_logp", "weight")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lmd_modes" -> (lmdModes _),
+    "ceemdan" -> (ceemdan _),
+    "acf_period_quality" -> (acfPeriodQuality _),
+    "gaussian_prior" -> (gaussianPrior _))
+}

@@ -23,15 +23,26 @@ object TimeSeriesOps {
   // ts_downsample — reference core.py:629 (TSeries.downsample):
   // time-bin mean. groupBy(id, bin) with map-side partial agg.
   // -------------------------------------------------------------------
+  /** y is exact cents; averaging via integer-cent sums gives BOTH
+    * engines the identical pre-round double no matter the partitioning
+    * / summation order (plain avg(double) lands on opposite sides of
+    * exact decimal ties depending on order). */
+  private def centsAvg(c: Column): Column =
+    round(sum(round(c * 100.0, 0).cast("long")).cast("double") /
+      count(lit(1)) / 100.0, 6)
+
+  private def centsAvgSql(e: String): String =
+    s"round(cast(sum(cast(round($e*100.0) AS BIGINT)) AS double) / count(*) / 100.0, 6)"
+
   def tsDownsample(spark: SparkSession, dir: String): DataFrame =
     Tables.series(spark, dir)
       .groupBy(col("id"), floor(col("t") / lit(21600.0)).as("bin"))
-      .agg(round(avg("y"), 6).as("avg_y"), count(lit(1)).as("n"))
+      .agg(centsAvg(col("y")).as("avg_y"), count(lit(1)).as("n"))
 
   val tsDownsampleSql: String =
     s"""WITH s AS (${Tables.seriesSql})
        |SELECT id, cast(floor(t/21600.0) AS BIGINT) AS bin,
-       |       round(avg(y),6) AS avg_y, count(*) AS n
+       |       ${centsAvgSql("y")} AS avg_y, count(*) AS n
        |FROM s GROUP BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
@@ -255,19 +266,25 @@ object TimeSeriesOps {
     val med3 = when(ym.isNull || yp.isNull, col("y"))
       .otherwise(ym + col("y") + yp -
         greatest(ym, col("y"), yp) - least(ym, col("y"), yp))
+    // r is exact cents (y and med3 are); mu/sd from integer-cent
+    // moments so the clip thresholds are bit-identical to the oracle's
+    // (a stddev_pop noise flip at the filter boundary would change the
+    // surviving row SET, not just a rounded digit).
     val r = Tables.series(spark, dir)
-      .withColumn("r", col("y") - med3)
-      .select("id", "r")
-    val s0 = r.groupBy("id")
-      .agg(avg("r").as("mu0"), stddev_pop("r").as("sd0"))
+      .withColumn("rc", round((col("y") - med3) * 100.0, 0).cast("long"))
+      .select("id", "rc")
+    def mu = sum("rc").cast("double") / count(lit(1)) / 100.0
+    def sd = sqrt((sum(col("rc") * col("rc")).cast("double") -
+      sum("rc").cast("double") * sum("rc").cast("double") / count(lit(1))) /
+      count(lit(1))) / 100.0
+    val s0 = r.groupBy("id").agg(mu.as("mu0"), sd.as("sd0"))
     val f1 = r.join(s0, "id")
-      .filter(abs(col("r") - col("mu0")) < col("sd0") * 3.0)
-    val s1 = f1.groupBy("id")
-      .agg(avg("r").as("mu1"), stddev_pop("r").as("sd1"))
+      .filter(abs(col("rc") / 100.0 - col("mu0")) < col("sd0") * 3.0)
+    val s1 = f1.groupBy("id").agg(mu.as("mu1"), sd.as("sd1"))
     val f2 = r.join(s1, "id")
-      .filter(abs(col("r") - col("mu1")) < col("sd1") * 3.0)
+      .filter(abs(col("rc") / 100.0 - col("mu1")) < col("sd1") * 3.0)
     f2.groupBy("id")
-      .agg(round(stddev_pop("r") / 0.893421, 6).as("noise"))
+      .agg(round(sd / 0.893421, 6).as("noise"))
   }
 
   val tsEstimateNoiseSql: String =
@@ -276,19 +293,30 @@ object TimeSeriesOps {
        |  lag(y,1)  OVER win AS ym, lead(y,1) OVER win AS yp
        |  FROM s WINDOW win AS (PARTITION BY id ORDER BY t, eid)),
        |r AS (SELECT id,
-       |  y - CASE WHEN ym IS NULL OR yp IS NULL THEN y
+       |  cast(round((y - CASE WHEN ym IS NULL OR yp IS NULL THEN y
        |      ELSE ym + y + yp - greatest(ym, y, yp) - least(ym, y, yp)
-       |      END AS r
+       |      END) * 100.0) AS BIGINT) AS rc
        |  FROM v),
-       |s0 AS (SELECT id, avg(r) AS mu0, stddev_pop(r) AS sd0
-       |       FROM r GROUP BY id),
-       |f1 AS (SELECT r.id, r.r FROM r JOIN s0 USING (id)
-       |       WHERE abs(r.r - mu0) < sd0 * 3.0),
-       |s1 AS (SELECT id, avg(r) AS mu1, stddev_pop(r) AS sd1
-       |       FROM f1 GROUP BY id),
-       |f2 AS (SELECT r.id, r.r FROM r JOIN s1 USING (id)
-       |       WHERE abs(r.r - mu1) < sd1 * 3.0)
-       |SELECT id, round(stddev_pop(r) / 0.893421, 6) AS noise
+       |s0 AS (SELECT id,
+       |  cast(sum(rc) AS double) / count(*) / 100.0 AS mu0,
+       |  sqrt((cast(sum(rc*rc) AS double)
+       |        - cast(sum(rc) AS double)*cast(sum(rc) AS double)/count(*))
+       |       / count(*)) / 100.0 AS sd0
+       |  FROM r GROUP BY id),
+       |f1 AS (SELECT r.id, r.rc FROM r JOIN s0 USING (id)
+       |       WHERE abs(r.rc / 100.0 - mu0) < sd0 * 3.0),
+       |s1 AS (SELECT id,
+       |  cast(sum(rc) AS double) / count(*) / 100.0 AS mu1,
+       |  sqrt((cast(sum(rc*rc) AS double)
+       |        - cast(sum(rc) AS double)*cast(sum(rc) AS double)/count(*))
+       |       / count(*)) / 100.0 AS sd1
+       |  FROM f1 GROUP BY id),
+       |f2 AS (SELECT r.id, r.rc FROM r JOIN s1 USING (id)
+       |       WHERE abs(r.rc / 100.0 - mu1) < sd1 * 3.0)
+       |SELECT id,
+       |  round(sqrt((cast(sum(rc*rc) AS double)
+       |        - cast(sum(rc) AS double)*cast(sum(rc) AS double)/count(*))
+       |       / count(*)) / 100.0 / 0.893421, 6) AS noise
        |FROM f2 GROUP BY id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -376,11 +404,17 @@ object TimeSeriesOps {
     val diffs = s.withColumn("dt", col("t") - lag("t", 1).over(w))
       .filter(col("dt").isNotNull)
       .groupBy("id").agg(round(median(col("dt")), 6).as("median_dt"))
+    val cents = round(col("y") * 100.0, 0).cast("long")
     val base = s.groupBy("id").agg(
       count(lit(1)).as("n"),
       round(max("t") - min("t"), 6).as("baseline"),
-      round(avg("y"), 6).as("mean_y"),
-      round(var_samp("y"), 6).as("var_y"),
+      centsAvg(col("y")).as("mean_y"),
+      // var from exact integer-cent moments: identical doubles on both
+      // sides (var_samp's accumulation order is engine-dependent)
+      round((sum(cents * cents).cast("double") -
+        sum(cents).cast("double") * sum(cents).cast("double") /
+          count(lit(1))) /
+        (count(lit(1)) - 1) / 10000.0, 6).as("var_y"),
       min("y").as("min_y"),
       max("y").as("max_y"))
     val tmax = s.join(base.select("id", "max_y"), "id")
@@ -399,7 +433,13 @@ object TimeSeriesOps {
        |       WHERE dt IS NOT NULL GROUP BY id),
        |base AS (SELECT id, count(*) AS n,
        |  round(max(t)-min(t),6) AS baseline,
-       |  round(avg(y),6) AS mean_y, round(var_samp(y),6) AS var_y,
+       |  ${centsAvgSql("y")} AS mean_y,
+       |  round((cast(sum(cast(round(y*100.0) AS BIGINT)
+       |              * cast(round(y*100.0) AS BIGINT)) AS double)
+       |         - cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |           * cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |           / count(*))
+       |        / (count(*) - 1) / 10000.0, 6) AS var_y,
        |  min(y) AS min_y, max(y) AS max_y
        |  FROM s GROUP BY id),
        |tm AS (SELECT s.id, max(s.t) AS tmax
