@@ -22,6 +22,8 @@ object SparkEntry {
       spectral.Gls.queries ++
       spectral.PhaseFold.queries ++
       spectral.Wavelet.queries ++
+      spectral.GlsBootstrap.queries ++
+      relational.EventsOps.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
@@ -32,6 +34,7 @@ object SparkEntry {
       spectral.Gls.oracles ++
       spectral.PhaseFold.oracles ++
       spectral.Wavelet.oracles ++
+      relational.EventsOps.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++

@@ -330,11 +330,67 @@ object Gls {
        |FROM c CROSS JOIN generate_series(1, ${NF}) AS k(k)
        |GROUP BY 1, 2""".stripMargin
 
+  /** periods_at_half_max — reference core.py:963: the period interval
+    * where the periodogram first falls below half the best peak on
+    * either side (FWHM-style line width of the detection). */
+  def glsHalfWidth(spark: SparkSession, dir: String): DataFrame = {
+    val pg = glsPeriodogram(spark, dir)
+    val wk = Window.partitionBy("id").orderBy("k")
+    val peaks = pg
+      .withColumn("pm", lag("power", 1).over(wk))
+      .withColumn("pp", lead("power", 1).over(wk))
+      .filter(col("pm").isNotNull && col("pp").isNotNull &&
+        col("power") > col("pm") && col("power") > col("pp"))
+    val best = peaks.groupBy("id").agg(max("power").as("best_power"))
+    val kstar = peaks.join(best, "id")
+      .filter(col("power") === col("best_power"))
+      .groupBy("id", "best_power").agg(min("k").as("kstar"))
+    val below = pg.join(kstar, "id")
+      .filter(col("power") < col("best_power") / 2.0)
+    val lo = below.filter(col("k") < col("kstar"))
+      .groupBy("id").agg(max("k").as("kl"))
+    val hi = below.filter(col("k") > col("kstar"))
+      .groupBy("id").agg(min("k").as("ku"))
+    kstar.join(lo, Seq("id"), "left").join(hi, Seq("id"), "left")
+      .select(col("id"), col("kstar"), col("best_power"),
+        round(lit(1.0 / DF) / col("ku"), 4).as("period_lo"),
+        round(lit(1.0 / DF) / col("kl"), 4).as("period_hi"))
+  }
+
+  val glsHalfWidthSql: String =
+    s"""$momentsSql,
+       |$powerSqlBody,
+       |pg AS (SELECT id, k, round((YC*YC/CC + YS*YS/SS)/YY, 6) AS power
+       |       FROM t4),
+       |pk AS (SELECT id, k, power,
+       |  lag(power,1)  OVER win AS pm, lead(power,1) OVER win AS pp
+       |  FROM pg WINDOW win AS (PARTITION BY id ORDER BY k)),
+       |peaks AS (SELECT id, k, power FROM pk
+       |  WHERE pm IS NOT NULL AND pp IS NOT NULL
+       |    AND power > pm AND power > pp),
+       |best AS (SELECT id, max(power) AS best_power FROM peaks GROUP BY id),
+       |kstar AS (SELECT peaks.id, best.best_power, min(peaks.k) AS kstar
+       |  FROM peaks JOIN best ON peaks.id = best.id
+       |    AND peaks.power = best.best_power
+       |  GROUP BY peaks.id, best.best_power),
+       |below AS (SELECT pg.id, pg.k, kstar.kstar, kstar.best_power
+       |  FROM pg JOIN kstar USING (id)
+       |  WHERE pg.power < kstar.best_power / 2.0),
+       |lo AS (SELECT id, max(k) AS kl FROM below WHERE k < kstar GROUP BY id),
+       |hi AS (SELECT id, min(k) AS ku FROM below WHERE k > kstar GROUP BY id)
+       |SELECT kstar.id, kstar.kstar, kstar.best_power,
+       |  round(${1.0 / DF} / hi.ku, 4) AS period_lo,
+       |  round(${1.0 / DF} / lo.kl, 4) AS period_hi
+       |FROM kstar
+       |LEFT JOIN lo USING (id)
+       |LEFT JOIN hi USING (id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gls_periodogram" -> (glsPeriodogram _),
     "gls_best_period" -> (glsBestPeriod _),
     "gls_window" -> (glsWindow _),
     "gls_model" -> (glsModel _),
+    "gls_half_width" -> (glsHalfWidth _),
     "psd_dft" -> (psdDft _))
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +398,6 @@ object Gls {
     "gls_best_period" -> glsBestPeriodSql,
     "gls_window" -> glsWindowSql,
     "gls_model" -> glsModelSql,
+    "gls_half_width" -> glsHalfWidthSql,
     "psd_dft" -> psdDftSql)
 }

@@ -174,13 +174,52 @@ object PhaseFold {
        |  AND th0.theta = best.best_theta
        |GROUP BY th0.id, best.best_theta""".stripMargin
 
+  /** Subharmonic averaging — reference phase.py:188: where theta dips
+    * below the significance threshold theta_crit = 1 - 11/n^0.8 and the
+    * double period is on the grid, average theta with its subharmonic
+    * (real variations show both; noise doesn't). */
+  def pdmSubharmonic(spark: SparkSession, dir: String): DataFrame = {
+    val th = pdmTheta(spark, dir)
+    val crit = Tables.series(spark, dir).groupBy("id")
+      .agg((lit(1.0) - lit(11.0) / pow(count(lit(1)).cast("double"), 0.8))
+        .as("theta_crit"))
+    val sub = th.select(col("id"), (col("j") / 2).cast("long").as("j"),
+      col("theta").as("theta2"), (col("j") % 2).as("odd"))
+      .filter(col("odd") === 0).drop("odd")
+    th.join(broadcast(crit), "id")
+      .join(sub, Seq("id", "j"), "left")
+      .select(col("id"), col("j"),
+        round(when(col("theta") < col("theta_crit") &&
+          col("theta2").isNotNull,
+          (col("theta") + col("theta2")) / 2.0)
+          .otherwise(col("theta")), 5).as("theta_sub"))
+  }
+
+  val pdmSubharmonicSql: String =
+    s"""WITH th0 AS (${pdmThetaSql}),
+       |crit AS (SELECT id,
+       |  1.0 - 11.0 / pow(cast(count(*) AS double), 0.8) AS theta_crit
+       |  FROM (${Tables.seriesSql}) s GROUP BY id),
+       |sub AS (SELECT id, j // 2 AS j, theta AS theta2
+       |  FROM th0 WHERE j % 2 = 0)
+       |SELECT th0.id, th0.j,
+       |  round(CASE WHEN th0.theta < crit.theta_crit
+       |              AND sub.theta2 IS NOT NULL
+       |         THEN (th0.theta + sub.theta2) / 2.0
+       |         ELSE th0.theta END, 5) AS theta_sub
+       |FROM th0
+       |JOIN crit USING (id)
+       |LEFT JOIN sub ON sub.id = th0.id AND sub.j = th0.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_length" -> (stringLength _),
     "pdm_theta" -> (pdmTheta _),
-    "pdm_best_period" -> (pdmBestPeriod _))
+    "pdm_best_period" -> (pdmBestPeriod _),
+    "pdm_subharmonic" -> (pdmSubharmonic _))
 
   val oracles: Map[String, String] = Map(
     "string_length" -> stringLengthSql,
     "pdm_theta" -> pdmThetaSql,
-    "pdm_best_period" -> pdmBestPeriodSql)
+    "pdm_best_period" -> pdmBestPeriodSql,
+    "pdm_subharmonic" -> pdmSubharmonicSql)
 }
