@@ -142,11 +142,66 @@ object Similarity {
        |SELECT qid, cid, cosine, cast(rank AS BIGINT) AS rank
        |FROM rk WHERE rank <= $TOPK""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs — dedup family member: LSH
+    * buckets (8 deterministic hyperplanes) generate candidates, the
+    * fused CosineSim expression re-scores, pairs above the near-dup threshold survive.
+    * Candidate count ∝ bucket occupancy — the n² never materializes. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val c = comps(spark, dir)
+    val planes = spark.range(0, 8).toDF("p")
+    val buckets = c.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("p"),
+        (col("v") * cos(col("p") * 131.0 + col("i") * 7.0)).as("pv"))
+      .groupBy("vec_id", "p")
+      .agg(sum("pv").as("proj"))
+      .select(col("vec_id"),
+        when(col("proj") > 0,
+          expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+          .otherwise(0L).as("bitval"))
+      .groupBy("vec_id").agg(sum("bitval").cast("long").as("bucket"))
+    val emb = Tables.table(spark, dir, "embeddings")
+      .join(buckets, "vec_id")
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH $compsSql,
+       |pj AS (SELECT vec_id, p.p, sum(v * cos(p.p*131.0 + i*7.0)) AS proj
+       |  FROM cp CROSS JOIN generate_series(0, 7) AS p(p)
+       |  GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |  cast(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+       |       AS BIGINT) AS bucket
+       |  FROM pj GROUP BY 1),
+       |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bk a JOIN bk b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
+       |dots AS (SELECT p.id1, p.id2, sum(c1.v * c2.v) AS dot
+       |  FROM pairs p
+       |  JOIN cp c1 ON c1.vec_id = p.id1
+       |  JOIN cp c2 ON c2.vec_id = p.id2 AND c2.i = c1.i
+       |  GROUP BY 1, 2)
+       |SELECT d.id1, d.id2,
+       |  round(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+       |FROM dots d
+       |JOIN nr n1 ON n1.vec_id = d.id1
+       |JOIN nr n2 ON n2.vec_id = d.id2
+       |WHERE round(d.dot / (n1.nrm * n2.nrm), 6) >= 0.4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
-    "ann_lsh_topk" -> (annLshTopk _))
+    "ann_lsh_topk" -> (annLshTopk _),
+    "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopkSql,
-    "ann_lsh_topk" -> annLshTopkSql)
+    "ann_lsh_topk" -> annLshTopkSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -23,6 +23,16 @@ object StreamingOps {
   private[streaming] case class SessState(start: Long, lastSeen: Long,
       n: Long, total: Double)
 
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming exact dedup: content-hash dropDuplicates with keyed
+    * state — the streaming twin of the batch `dedup_exact` query.
+    * (With a watermark + event time the state self-expires; the spec
+    * drives the unbounded-state variant.) */
+  def dedupeStream(docs: Dataset[Doc]): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def windowedAgg(events: Dataset[Event]): DataFrame =
     events

@@ -33,18 +33,34 @@ object TextOps {
   // -------------------------------------------------------------------
   // text_token_count — whitespace tokens, distinct tokens, chars.
   // -------------------------------------------------------------------
-  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
-    tok(spark, dir).groupBy("doc_id")
+  /** BPE-ish pre-tokenization: letter runs | digit runs | single
+    * punctuation — the shape a byte-pair encoder's pre-splitter uses. */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tok(spark, dir).groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct("tok").as("n_distinct"),
         sum(length(col("tok"))).as("n_token_chars"))
+    val bpe = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+    ws.join(bpe, "doc_id")
+  }
 
   val textTokenCountSql: String =
-    s"""WITH $tokSql
-       |SELECT doc_id, count(*) AS n_tokens,
+    s"""WITH $tokSql,
+       |ws AS (SELECT doc_id, count(*) AS n_tokens,
        |  count(DISTINCT tok) AS n_distinct,
        |  cast(sum(length(tok)) AS BIGINT) AS n_token_chars
-       |FROM tk GROUP BY 1""".stripMargin
+       |  FROM tk GROUP BY 1),
+       |bpe AS (SELECT doc_id,
+       |  cast(len(regexp_extract_all(lower(text), '$bpePattern'))
+       |       AS BIGINT) AS n_bpe_tokens
+       |  FROM documents)
+       |SELECT ws.doc_id, n_tokens, n_distinct, n_token_chars, n_bpe_tokens
+       |FROM ws JOIN bpe ON bpe.doc_id = ws.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // text_langid — n-gram/stopword-ratio heuristic: per-language

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getString(0) == "view" && rows(1).getLong(1) == 1)
   }
 
+  test("streaming exact dedup keeps one row per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Doc]
+    input.addData(
+      StreamingOps.Doc(1, "alpha beta"),
+      StreamingOps.Doc(2, "gamma"),
+      StreamingOps.Doc(3, "alpha beta"), // exact dup of 1
+      StreamingOps.Doc(4, "alpha beta"), // exact dup of 1
+      StreamingOps.Doc(5, "delta"))
+    val q = StreamingOps.dedupeStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT text FROM dedup_out").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSet == Set("alpha beta", "gamma", "delta"))
+  }
+
   test("stateful sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
