@@ -330,6 +330,77 @@ object Gls {
        |FROM c CROSS JOIN generate_series(1, ${NF}) AS k(k)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Heteroscedastic GLS — reference spectral.py:99-132 with per-point
+    * uncertainties: w_i ∝ err_i^{-2}. The events table carries no err
+    * column, so a Poisson-like model err_i = 0.1·√y_i stands in
+    * (w_i ∝ 1/y_i) — the operator exercises the full weighted path:
+    * every moment is a ratio of weighted sums, still one aggregation
+    * pass per (series, frequency). */
+  def glsWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.series(spark, dir).withColumn("wt", lit(1.0) / col("y"))
+    val stats = s.groupBy("id").agg(min("t").as("t0"),
+      (sum(col("wt") * col("y")) / sum("wt")).as("ymean"))
+    val freqs = spark.range(1, NF + 1).toDF("k")
+    val omega = lit(2.0 * math.Pi * DF) * col("k") * (col("t") - col("t0"))
+    val m = s.join(broadcast(stats), "id")
+      .crossJoin(broadcast(freqs))
+      .select(col("id"), col("k"), col("wt"),
+        cos(omega).as("cw"), sin(omega).as("sw"),
+        cos(omega * 2.0).as("c2w"), sin(omega * 2.0).as("s2w"),
+        (col("y") - col("ymean")).as("yc"))
+      .groupBy("id", "k")
+      .agg((sum(col("wt") * col("cw")) / sum("wt")).as("C"),
+        (sum(col("wt") * col("sw")) / sum("wt")).as("S"),
+        (sum(col("wt") * col("yc") * col("cw")) / sum("wt")).as("Ch"),
+        (sum(col("wt") * col("yc") * col("sw")) / sum("wt")).as("Sh"),
+        (sum(col("wt") * col("c2w")) / sum("wt")).as("C2"),
+        (sum(col("wt") * col("s2w")) / sum("wt")).as("S2"),
+        (sum(col("wt") * col("yc") * col("yc")) / sum("wt")).as("YY"))
+    val tan2 = (col("S2") - lit(2.0) * col("S") * col("C")) /
+      (col("C2") - (col("C") * col("C") - col("S") * col("S")))
+    val t3 = m.withColumn("tan2", tan2)
+      .withColumn("C2w", lit(1.0) / sqrt(lit(1.0) + col("tan2") * col("tan2")))
+      .withColumn("S2w", col("tan2") * col("C2w"))
+      .withColumn("Cw", sqrt(lit(0.5)) * sqrt(lit(1.0) + col("C2w")))
+      .withColumn("Sw", sqrt(lit(0.5)) * signum(col("S2w")) *
+        sqrt(lit(1.0) - col("C2w")))
+      .withColumn("YC", col("Ch") * col("Cw") + col("Sh") * col("Sw"))
+      .withColumn("YS", col("Sh") * col("Cw") - col("Ch") * col("Sw"))
+      .withColumn("CC",
+        lit(0.5) * (lit(1.0) + col("C2") * col("C2w") + col("S2") * col("S2w")) -
+          (col("C") * col("Cw") + col("S") * col("Sw")) *
+          (col("C") * col("Cw") + col("S") * col("Sw")))
+      .withColumn("SS",
+        lit(0.5) * (lit(1.0) - col("C2") * col("C2w") - col("S2") * col("S2w")) -
+          (col("S") * col("Cw") - col("C") * col("Sw")) *
+          (col("S") * col("Cw") - col("C") * col("Sw")))
+    t3.select(col("id"), col("k"),
+      round((col("YC") * col("YC") / col("CC") +
+        col("YS") * col("YS") / col("SS")) / col("YY"), 6).as("power"))
+  }
+
+  val glsWeightedSql: String = {
+    val om = s"2*pi()*${DF}*k.k*(s.t - st.t0)"
+    s"""WITH s0 AS (${Tables.seriesSql}),
+       |s AS (SELECT *, 1.0 / y AS wt FROM s0),
+       |st AS (SELECT id, min(t) AS t0,
+       |  sum(wt * y) / sum(wt) AS ymean FROM s GROUP BY id),
+       |mo AS (SELECT s.id, k.k,
+       |  sum(s.wt * cos($om)) / sum(s.wt) AS C,
+       |  sum(s.wt * sin($om)) / sum(s.wt) AS S,
+       |  sum(s.wt * (s.y - st.ymean) * cos($om)) / sum(s.wt) AS Ch,
+       |  sum(s.wt * (s.y - st.ymean) * sin($om)) / sum(s.wt) AS Sh,
+       |  sum(s.wt * cos(2*($om))) / sum(s.wt) AS C2,
+       |  sum(s.wt * sin(2*($om))) / sum(s.wt) AS S2,
+       |  sum(s.wt * (s.y - st.ymean) * (s.y - st.ymean)) / sum(s.wt) AS YY
+       |  FROM s JOIN st USING (id)
+       |  CROSS JOIN generate_series(1, ${NF}) AS k(k)
+       |  GROUP BY 1, 2),
+       |$powerSqlBody
+       |SELECT id, k, round((YC*YC/CC + YS*YS/SS)/YY, 6) AS power
+       |FROM t4""".stripMargin
+  }
+
   /** periods_at_half_max — reference core.py:963: the period interval
     * where the periodogram first falls below half the best peak on
     * either side (FWHM-style line width of the detection). */
@@ -391,6 +462,7 @@ object Gls {
     "gls_window" -> (glsWindow _),
     "gls_model" -> (glsModel _),
     "gls_half_width" -> (glsHalfWidth _),
+    "gls_weighted" -> (glsWeighted _),
     "psd_dft" -> (psdDft _))
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +471,6 @@ object Gls {
     "gls_window" -> glsWindowSql,
     "gls_model" -> glsModelSql,
     "gls_half_width" -> glsHalfWidthSql,
+    "gls_weighted" -> glsWeightedSql,
     "psd_dft" -> psdDftSql)
 }
