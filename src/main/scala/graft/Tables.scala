@@ -25,6 +25,8 @@ object Tables {
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") // ts is parquet timestamp[ns] — see series()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
     else df

@@ -38,6 +38,11 @@ object Dedup {
       |    FROM documents d)
       |  WHERE tok <> '')""".stripMargin
 
+  /** Persist the shared shingle table so the dedup family's later
+    * canonically-equal subplans cache-hit (called from Bench). */
+  def warm(spark: SparkSession, dir: String): Unit =
+    shingles(spark, dir).persist().count()
+
   /** Word 3-shingles via window leads: (doc_id, shingle). */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("idx")
