@@ -104,13 +104,38 @@ object Tpch {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1, 2""".stripMargin
 
+  // q6_selective — TPC-H Q6 shape: pure scan+filter+agg; every
+  // predicate and the 4-column projection push to the parquet scan.
+  def q6Selective(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(30,6)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6SelectiveSql: String =
+    """SELECT
+      |  round(cast(sum(cast(l_extendedprice * l_discount
+      |        AS decimal(30,6))) AS double), 4) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
-    "q5_region_rev" -> (q5RegionRev _))
+    "q5_region_rev" -> (q5RegionRev _),
+    "q6_selective" -> (q6Selective _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
-    "q5_region_rev" -> q5RegionRevSql)
+    "q5_region_rev" -> q5RegionRevSql,
+    "q6_selective" -> q6SelectiveSql)
 }

@@ -145,13 +145,62 @@ object TimeSeriesOps2 {
        |FROM teo JOIN tdot ON tdot.id = teo.id AND tdot.eid = teo.eid""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ts_transform — reference core.py:537/541 (timeshift, timescale)
+  // and core.py:543 (fold): the affine time-axis transforms as pure
+  // projections; t_shift = days since series start, t_scale doubles
+  // the time axis, phase folds at 1 day.
+  // -------------------------------------------------------------------
+  def tsTransform(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.series(spark, dir)
+    val t0 = s.groupBy("id").agg(min("t").as("t0"))
+    s.join(broadcast(t0), "id")
+      .select(col("id"), col("eid"),
+        ((col("t") - col("t0")) / 86400.0).as("t_shift_days"),
+        (col("t") * 2.0).as("t_scaled"),
+        (((col("t") - col("t0")) / 86400.0) % 1.0).as("phase"))
+  }
+
+  val tsTransformSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |t0 AS (SELECT id, min(t) AS t0 FROM s GROUP BY id)
+       |SELECT s.id, s.eid,
+       |  (s.t - t0.t0) / 86400.0 AS t_shift_days,
+       |  s.t * 2.0 AS t_scaled,
+       |  ((s.t - t0.t0) / 86400.0) % 1.0 AS phase
+       |FROM s JOIN t0 USING (id)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ts_stats_by_type — the series data model generalizes to compound
+  // keys: (user, event_type) as the series identity. Same one-pass
+  // profile as ts_stats, keyed twice.
+  // -------------------------------------------------------------------
+  def tsStatsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100.0, 0).cast("long")).cast("double") /
+          count(lit(1)) / 100.0).as("mean_raw"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        round(col("mean_raw"), 6).as("mean_y"))
+
+  val tsStatsByTypeSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  round(cast(sum(cast(round(value*100.0) AS BIGINT)) AS double)
+      |        / count(*) / 100.0, 6) AS mean_y
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_interpolate_na" -> (tsInterpolateNa _),
     "psd_downsample" -> (psdDownsample _),
-    "ts_teo_instfreq" -> (tsTeoInstfreq _))
+    "ts_teo_instfreq" -> (tsTeoInstfreq _),
+    "ts_transform" -> (tsTransform _),
+    "ts_stats_by_type" -> (tsStatsByType _))
 
   val oracles: Map[String, String] = Map(
     "ts_interpolate_na" -> tsInterpolateNaSql,
     "psd_downsample" -> psdDownsampleSql,
-    "ts_teo_instfreq" -> tsTeoInstfreqSql)
+    "ts_teo_instfreq" -> tsTeoInstfreqSql,
+    "ts_transform" -> tsTransformSql,
+    "ts_stats_by_type" -> tsStatsByTypeSql)
 }
