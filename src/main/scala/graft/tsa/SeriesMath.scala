@@ -328,6 +328,69 @@ object SeriesMath {
     bwd.slice(pad, pad + x.length)
   }
 
+  /** Iterative radix-2 FFT (in-place, re/im pairs). n must be a power
+    * of two. Standard Cooley–Tukey; used for the Hilbert transform. */
+  def fft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    if (n < 2) return
+    // bit reversal
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    if (inverse) {
+      i = 0
+      while (i < n) { re(i) /= n; im(i) /= n; i += 1 }
+    }
+  }
+
+  /** Analytic signal via FFT (scipy.signal.hilbert semantics): zero
+    * the negative frequencies, double the positive ones. Input length
+    * is truncated to a power of two by the caller. Returns (re, im) =
+    * (x, Hilbert(x)). */
+  def analytic(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val re = x.clone(); val im = new Array[Double](n)
+    fft(re, im, inverse = false)
+    var i = 1
+    while (i < n / 2) { re(i) *= 2.0; im(i) *= 2.0; i += 1 }
+    i = n / 2 + 1
+    while (i < n) { re(i) = 0.0; im(i) = 0.0; i += 1 }
+    fft(re, im, inverse = true)
+    (re, im)
+  }
+
   /** Cholesky decomposition (lower), in place on a copy; returns null
     * if not positive definite. */
   def cholesky(a: Array[Array[Double]]): Array[Array[Double]] = {

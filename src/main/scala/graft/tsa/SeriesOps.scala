@@ -179,9 +179,50 @@ object SeriesOps {
       }
     }.toDF("id", "period", "loglik", "is_best")
 
+  // -------------------------------------------------------------------
+  // hht_ht — reference timefrequency.py:129 (HHT method=HT): the plain
+  // Hilbert-transform instantaneous frequency/amplitude of the signal
+  // (no EMD normalization): analytic signal via FFT on the uniform 6 h
+  // resample, amp = |analytic|, freq = unwrapped-phase gradient / 2π.
+  // -------------------------------------------------------------------
+  def hhtHt(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resampleUniform(t0, y0, 21600.0)
+      val n = Integer.highestOneBit(math.max(gy.length, 1))
+      if (n < 8) Iterator.empty
+      else {
+        val mean = gy.take(n).sum / n
+        val (re, im) = SeriesMath.analytic(gy.take(n).map(_ - mean))
+        val amp = Array.tabulate(n)(i => math.hypot(re(i), im(i)))
+        val phi = new Array[Double](n)
+        var i = 0
+        while (i < n) { phi(i) = math.atan2(im(i), re(i)); i += 1 }
+        val unwrapped = new Array[Double](n)
+        unwrapped(0) = phi(0)
+        i = 1
+        while (i < n) {
+          var d = phi(i) - phi(i - 1)
+          while (d > math.Pi) d -= 2.0 * math.Pi
+          while (d < -math.Pi) d += 2.0 * math.Pi
+          unwrapped(i) = unwrapped(i - 1) + d
+          i += 1
+        }
+        (0 until n).iterator.map { i =>
+          val f =
+            (if (i == 0) (unwrapped(1) - unwrapped(0)) / 21600.0
+             else if (i == n - 1) (unwrapped(n - 1) - unwrapped(n - 2)) / 21600.0
+             else (unwrapped(i + 1) - unwrapped(i - 1)) / 43200.0) /
+              (2.0 * math.Pi)
+          (id, gt(i), math.rint(f * 1e12) / 1e12,
+            math.rint(amp(i) * 1e6) / 1e6)
+        }
+      }
+    }.toDF("id", "t", "inst_freq", "inst_amp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_butterworth" -> (tsButterworth _),
     "emd_imfs" -> (emdImfs _),
     "hht_inst" -> (hhtInst _),
+    "hht_ht" -> (hhtHt _),
     "gp_period_map" -> (gpPeriodMap _))
 }
