@@ -219,10 +219,78 @@ object SeriesOps {
       }
     }.toDF("id", "t", "inst_freq", "inst_amp")
 
+  // -------------------------------------------------------------------
+  // hht_nht — reference timefrequency.py:117 (HHT method=NHT):
+  // EMD modes on the uniform resample, iterative spline-envelope
+  // amplitude normalization, then the FM mode's phase from the FFT
+  // analytic signal (normalized Hilbert transform) instead of direct
+  // quadrature. Completes the DQ / TEO / HT / NHT method family.
+  // -------------------------------------------------------------------
+  def hhtNht(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gtAll, gyAll) = resampleUniform(t0, y0, 21600.0)
+      val n = Integer.highestOneBit(math.max(gtAll.length, 1))
+      if (n < 16) Iterator.empty
+      else {
+        val gt = gtAll.take(n)
+        val gy = gyAll.take(n)
+        val modes = SeriesMath.emd(gt, gy)
+        modes.iterator.zipWithIndex.flatMap { case (m, k) =>
+          val f = m.clone()
+          val amp = Array.fill(n)(1.0)
+          var it = 0
+          var done = false
+          while (it < 10 && !done) {
+            val env = SeriesMath.envelopes(gt, f.map(math.abs), 2)
+            if (env == null) done = true
+            else {
+              val upper = env._1
+              var i = 0
+              while (i < n) {
+                val e = if (math.abs(upper(i)) < 1e-12) 1e-12
+                  else math.abs(upper(i))
+                f(i) /= e
+                amp(i) *= e
+                i += 1
+              }
+              if (f.forall(v => math.abs(v) <= 1.0 + 1e-6)) done = true
+            }
+            it += 1
+          }
+          val fc = f.map(v => math.max(-1.0, math.min(1.0, v)))
+          val (re, im) = SeriesMath.analytic(fc)
+          val phi = new Array[Double](n)
+          var i = 0
+          while (i < n) { phi(i) = math.atan2(im(i), re(i)); i += 1 }
+          val unwrapped = new Array[Double](n)
+          unwrapped(0) = phi(0)
+          i = 1
+          while (i < n) {
+            var d = phi(i) - phi(i - 1)
+            while (d > math.Pi) d -= 2.0 * math.Pi
+            while (d < -math.Pi) d += 2.0 * math.Pi
+            unwrapped(i) = unwrapped(i - 1) + d
+            i += 1
+          }
+          (0 until n).iterator.map { i =>
+            val fr =
+              (if (i == 0) (unwrapped(1) - unwrapped(0)) / 21600.0
+               else if (i == n - 1)
+                 (unwrapped(n - 1) - unwrapped(n - 2)) / 21600.0
+               else (unwrapped(i + 1) - unwrapped(i - 1)) / 43200.0) /
+                (2.0 * math.Pi)
+            (id, k, gt(i), math.rint(fr * 1e12) / 1e12,
+              math.rint(amp(i) * 1e6) / 1e6)
+          }
+        }
+      }
+    }.toDF("id", "mode", "t", "inst_freq", "inst_amp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_butterworth" -> (tsButterworth _),
     "emd_imfs" -> (emdImfs _),
     "hht_inst" -> (hhtInst _),
     "hht_ht" -> (hhtHt _),
+    "hht_nht" -> (hhtNht _),
     "gp_period_map" -> (gpPeriodMap _))
 }
