@@ -170,8 +170,12 @@ object Wavelet {
     * the same period (our period grid p_j = j·21600 aligns exactly
     * with the ACF's 6 h lag bins, so no interpolation error). */
   def compositeSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    // sum(long)/count, NOT avg(long): avg casts to double and its
+    // accumulation order differs between engines; an exact integer sum
+    // divided once forms the identical pre-round double everywhere.
     val gwps = waveletPower(spark, dir)
-      .groupBy("id", "j").agg(avg(spec4).as("gwps"))
+      .groupBy("id", "j")
+      .agg((sum(spec4).cast("double") / count(lit(1))).as("gwps"))
     val gmax = gwps.groupBy("id").agg(max("gwps").as("gmax"))
     val acf = graft.tsa.TimeSeriesOps.tsAcf(spark, dir)
       .withColumnRenamed("k", "j")
@@ -183,7 +187,8 @@ object Wavelet {
   val compositeSpectrumSql: String =
     s"""WITH $cellsSql,
        |gw AS (SELECT id, j,
-       |  avg(cast(round(spectrum*100.0) AS BIGINT)) AS gwps
+       |  cast(sum(cast(round(spectrum*100.0) AS BIGINT)) AS double)
+       |    / count(*) AS gwps
        |  FROM wp GROUP BY 1, 2),
        |gm AS (SELECT id, max(gwps) AS gmax FROM gw GROUP BY id),
        |acf0 AS (${graft.tsa.TimeSeriesOps.tsAcfSql})
