@@ -89,16 +89,14 @@ object Similarity {
        |SELECT qid, cid, cosine, cast(rank AS BIGINT) AS rank
        |FROM rk WHERE rank <= $TOPK""".stripMargin
 
-  // -------------------------------------------------------------------
-  // ann_lsh_topk — 8 deterministic hyperplanes r_p[i] = cos(p*131 + i*7)
-  // (an analytic pseudo-random direction both engines can evaluate);
-  // bucket = sign bits; candidates share the query's bucket; cosine
-  // re-rank within bucket.
-  // -------------------------------------------------------------------
-  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Sign-bit bucket per vector from 8 deterministic hyperplanes
+    * r_p[i] = cos(p*131 + i*7) — an analytic pseudo-random direction
+    * both engines can evaluate. Shared by ann_lsh_topk and
+    * dedup_embedding. */
+  private def hyperplaneBuckets(spark: SparkSession, dir: String): DataFrame = {
     val c = comps(spark, dir)
     val planes = spark.range(0, 8).toDF("p")
-    val proj = c.crossJoin(broadcast(planes))
+    c.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("p"),
         (col("v") * cos(col("p") * 131.0 + col("i") * 7.0)).as("pv"))
       .groupBy("vec_id", "p")
@@ -108,14 +106,28 @@ object Similarity {
           expr("shiftleft(cast(1 as bigint), cast(p as int))"))
           .otherwise(0L).as("bitval"))
       .groupBy("vec_id").agg(sum("bitval").cast("long").as("bucket"))
-    val cs = cosines(spark, dir)
-    val qb = proj.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("qid"), col("bucket"))
-    val cb = proj.select(col("vec_id").as("cid"), col("bucket").as("cbucket"))
+  }
+
+  // -------------------------------------------------------------------
+  // ann_lsh_topk — the scale path: bucket FIRST, score only candidates.
+  // The tiny bucketed query set broadcasts; the bucket equi-join prunes
+  // the corpus before any cosine is evaluated, so similarity work is
+  // ∝ bucket occupancy, never |queries| × |corpus|.
+  // -------------------------------------------------------------------
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+      .join(hyperplaneBuckets(spark, dir), "vec_id")
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("bucket"))
     val wq = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid").asc)
-    cs.join(qb, "qid").join(cb, "cid")
-      .filter(col("bucket") === col("cbucket"))
+    emb.select(col("vec_id").as("cid"), col("embedding"), col("bucket"))
+      .join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("cosine_sim(qemb, embedding)"), 6).as("cosine"))
       .withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= TOPK)
       .select("qid", "cid", "cosine", "rank")
@@ -148,20 +160,8 @@ object Similarity {
     * Candidate count ∝ bucket occupancy — the n² never materializes. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSim.register(spark)
-    val c = comps(spark, dir)
-    val planes = spark.range(0, 8).toDF("p")
-    val buckets = c.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("p"),
-        (col("v") * cos(col("p") * 131.0 + col("i") * 7.0)).as("pv"))
-      .groupBy("vec_id", "p")
-      .agg(sum("pv").as("proj"))
-      .select(col("vec_id"),
-        when(col("proj") > 0,
-          expr("shiftleft(cast(1 as bigint), cast(p as int))"))
-          .otherwise(0L).as("bitval"))
-      .groupBy("vec_id").agg(sum("bitval").cast("long").as("bucket"))
     val emb = Tables.table(spark, dir, "embeddings")
-      .join(buckets, "vec_id")
+      .join(hyperplaneBuckets(spark, dir), "vec_id")
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
