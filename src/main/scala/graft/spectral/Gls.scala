@@ -267,11 +267,13 @@ object Gls {
       col("n") * (col("sss") * col("syc") - col("ssc") * col("sys")) -
         col("ss") * (col("ss") * col("syc") - col("sys") * col("sc")) +
         col("sy") * (col("ss") * col("ssc") - col("sss") * col("sc"))
+    // + 0.0: signed-zero normalization after the round (DuckDB keeps
+    // -0.0 on tiny negative coefficients, Spark's round cannot).
     m.select(col("id"),
       round(col("ymean"), 6).as("y_mean"),
-      round(d0 / det, 6).as("a_const"),
-      round(d1 / det, 6).as("a_sin"),
-      round(d2 / det, 6).as("a_cos"))
+      (round(d0 / det, 6) + lit(0.0)).as("a_const"),
+      (round(d1 / det, 6) + lit(0.0)).as("a_sin"),
+      (round(d2 / det, 6) + lit(0.0)).as("a_cos"))
   }
 
   val glsModelSql: String = {
@@ -295,15 +297,15 @@ object Gls {
        |  round((sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc)
        |         + sc*(sys*ssc - sss*syc))
        |        / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc)
-       |         + sc*(ss*ssc - sss*sc)), 6) AS a_const,
+       |         + sc*(ss*ssc - sss*sc)), 6) + 0.0 AS a_const,
        |  round((n*(sys*scc - syc*ssc) - sy*(ss*scc - ssc*sc)
        |         + sc*(ss*syc - sys*sc))
        |        / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc)
-       |         + sc*(ss*ssc - sss*sc)), 6) AS a_sin,
+       |         + sc*(ss*ssc - sss*sc)), 6) + 0.0 AS a_sin,
        |  round((n*(sss*syc - ssc*sys) - ss*(ss*syc - sys*sc)
        |         + sy*(ss*ssc - sss*sc))
        |        / (n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc)
-       |         + sc*(ss*ssc - sss*sc)), 6) AS a_cos
+       |         + sc*(ss*ssc - sss*sc)), 6) + 0.0 AS a_cos
        |FROM m""".stripMargin
   }
 

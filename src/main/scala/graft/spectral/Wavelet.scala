@@ -181,7 +181,11 @@ object Wavelet {
       .withColumnRenamed("k", "j")
     gwps.join(gmax, "id").join(acf, Seq("id", "j"))
       .select(col("id"), col("j"),
-        round(col("gwps") / col("gmax") * col("acf"), 4).as("cs"))
+        // + 0.0 normalizes IEEE signed zero: DuckDB's round keeps -0.0
+        // on tiny negative products, Spark's cannot represent it, and
+        // the driver hashes the serialized value. -0.0 + 0.0 = +0.0 in
+        // both engines; a no-op for every other value.
+        (round(col("gwps") / col("gmax") * col("acf"), 4) + lit(0.0)).as("cs"))
   }
 
   val compositeSpectrumSql: String =
@@ -192,7 +196,7 @@ object Wavelet {
        |  FROM wp GROUP BY 1, 2),
        |gm AS (SELECT id, max(gwps) AS gmax FROM gw GROUP BY id),
        |acf0 AS (${graft.tsa.TimeSeriesOps.tsAcfSql})
-       |SELECT gw.id, gw.j, round(gw.gwps / gm.gmax * acf0.acf, 4) AS cs
+       |SELECT gw.id, gw.j, round(gw.gwps / gm.gmax * acf0.acf, 4) + 0.0 AS cs
        |FROM gw JOIN gm USING (id)
        |JOIN acf0 ON acf0.id = gw.id AND acf0.k = gw.j""".stripMargin
 

@@ -354,7 +354,10 @@ object TimeSeriesOps {
       .agg(sum(col("v") * col("v2")).as("num"))
     val den = d.groupBy("id").agg(sum(col("v") * col("v")).as("den"))
     num.join(den, "id")
-      .select(col("id"), col("k"), round(col("num") / col("den"), 4).as("acf"))
+      // + 0.0 normalizes IEEE signed zero after the round (DuckDB keeps
+      // -0.0 on tiny negatives, Spark's BigDecimal round cannot).
+      .select(col("id"), col("k"),
+        (round(col("num") / col("den"), 4) + lit(0.0)).as("acf"))
   }
 
   val tsAcfSql: String =
@@ -369,7 +372,7 @@ object TimeSeriesOps {
        |  JOIN d AS d2 ON d2.id = d.id AND d2.bin = d.bin + k.k
        |  GROUP BY 1, 2),
        |den AS (SELECT id, sum(v*v) AS den FROM d GROUP BY id)
-       |SELECT num.id, num.k, round(num.num/den.den, 4) AS acf
+       |SELECT num.id, num.k, round(num.num/den.den, 4) + 0.0 AS acf
        |FROM num JOIN den USING (id)""".stripMargin
 
   // -------------------------------------------------------------------
@@ -476,10 +479,13 @@ object TimeSeriesOps {
         sum(col("tc") * col("tc")).as("stt"),
         sum(col("tc") * col("y")).as("sty"))
       .select(col("id"),
-        round((col("n") * col("sty") - col("st") * col("sy")) /
-          (col("n") * col("stt") - col("st") * col("st")), 10).as("slope"),
-        round((col("sy") * col("stt") - col("st") * col("sty")) /
-          (col("n") * col("stt") - col("st") * col("st")), 6).as("intercept"))
+        // + 0.0: signed-zero normalization (see tsAcf)
+        (round((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st")), 10) + lit(0.0))
+          .as("slope"),
+        (round((col("sy") * col("stt") - col("st") * col("sty")) /
+          (col("n") * col("stt") - col("st") * col("st")), 6) + lit(0.0))
+          .as("intercept"))
   }
 
   val tsPolyfitSql: String =
@@ -491,8 +497,8 @@ object TimeSeriesOps {
        |  sum((s.t - t0.t0)*s.y) AS sty
        |  FROM s JOIN t0 USING (id) GROUP BY s.id)
        |SELECT id,
-       |  round((n*sty - st*sy) / (n*stt - st*st), 10) AS slope,
-       |  round((sy*stt - st*sty) / (n*stt - st*st), 6) AS intercept
+       |  round((n*sty - st*sy) / (n*stt - st*st), 10) + 0.0 AS slope,
+       |  round((sy*stt - st*sty) / (n*stt - st*st), 6) + 0.0 AS intercept
        |FROM m""".stripMargin
 
   // -------------------------------------------------------------------
@@ -504,13 +510,13 @@ object TimeSeriesOps {
       .withColumn("y1", lag("y", 1).over(w))
       .filter(col("y1").isNotNull)
       .groupBy("id")
-      .agg(round(corr("y", "y1"), 6).as("lag1_corr"))
+      .agg((round(corr("y", "y1"), 6) + lit(0.0)).as("lag1_corr"))
 
   val tsCorrSql: String =
     s"""WITH s AS (${Tables.seriesSql}),
        |v AS (SELECT id, y,
        |  lag(y,1) OVER (PARTITION BY id ORDER BY t, eid) AS y1 FROM s)
-       |SELECT id, round(corr(y, y1), 6) AS lag1_corr
+       |SELECT id, round(corr(y, y1), 6) + 0.0 AS lag1_corr
        |FROM v WHERE y1 IS NOT NULL GROUP BY id""".stripMargin
 
   // -------------------------------------------------------------------

@@ -49,7 +49,10 @@ for name, sql in sorted(oracle.items()):
         if e.dtype.kind in "fc" or g.dtype.kind in "fc":
             import numpy as np
             ee, gg = e.astype(float).values, g.astype(float).values
-            same = (pd.isna(ee) & pd.isna(gg)) | (ee == gg)
+            # The driver hashes the SERIALIZED value, so -0.0 vs 0.0 is
+            # a mismatch even though == says equal — compare sign bits too.
+            same = (pd.isna(ee) & pd.isna(gg)) | (
+                (ee == gg) & (np.signbit(ee) == np.signbit(gg)))
             if not same.all():
                 idx = int(np.argmax(~same))
                 print(f"{name:24s} VAL col={c} row={idx} exp={ee[idx]!r} got={gg[idx]!r}")
