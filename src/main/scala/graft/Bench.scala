@@ -36,15 +36,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Median of >=3 timed runs per query: a single-shot measurement in
+    // a 68-query single-JVM suite attributes GC pauses / cache-eviction
+    // storms to whichever query happens to be executing (observed: the
+    // same query 176 s in one artifact, 13 s isolated). The median of 3
+    // discards one such outlier per query by construction.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val wall0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // untimed warm-up: planning + codegen compile + GC debt from the
+      // previous query land here, not in the first timed run
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      System.gc()
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

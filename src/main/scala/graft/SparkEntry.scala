@@ -18,9 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tsa.TimeSeriesOps.queries ++
       tsa.TimeSeriesOps2.queries ++
+      tsa.TimeSeriesOps3.queries ++
       tsa.SeriesOps.queries ++
       tsa.SeriesOps2.queries ++
+      tsa.GpOps.queries ++
       spectral.Gls.queries ++
+      spectral.FSeriesOps.queries ++
       spectral.PhaseFold.queries ++
       spectral.Wavelet.queries ++
       spectral.GlsBootstrap.queries ++
@@ -34,7 +37,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     tsa.TimeSeriesOps.oracles ++
       tsa.TimeSeriesOps2.oracles ++
+      tsa.TimeSeriesOps3.oracles ++
       spectral.Gls.oracles ++
+      spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++
       spectral.Wavelet.oracles ++
       relational.EventsOps.oracles ++

@@ -105,9 +105,21 @@ object Dedup {
     s"xor(((h & ${MASK60 >> r}) << $r) + (h >> ${60 - r}), $c)"
   }
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sig = sh
+  /** Bucket-occupancy cap for every band-bucket self-join below. A hot
+    * bucket of k near-identical crawl docs would otherwise emit k² pairs
+    * inside ONE task; capping at the first `MaxBucket` members (ranked
+    * by doc_id — deterministic, mirrored in the oracle SQL) bounds any
+    * bucket's pair contribution at MaxBucket²/2 regardless of skew.
+    * Representatives of an over-full bucket still pair with each other,
+    * so the duplicate CLUSTER is still detected; only the redundant
+    * quadratic tail is dropped — the standard crawl-scale trade. */
+  val MaxBucket = 256
+
+  /** Minhash band buckets with the occupancy cap applied: (doc_id,
+    * band, bkey), at most MaxBucket rows per (band, bkey). */
+  private def minhashBands(spark: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val sig = shingles(spark, dir)
       .select(col("doc_id"), h60(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(expr(s"min(${mixSpark(0)})").as("m0"),
@@ -119,11 +131,31 @@ object Dedup {
         |  2L, md5(concat_ws(',', m8, m9, m10, m11)),
         |  3L, md5(concat_ws(',', m12, m13, m14, m15))
         |) AS (band, bkey)""".stripMargin)
-    val cand = bands.as("a").join(bands.as("b"),
+    bands
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rnk") <= maxBucket)
+      .select("doc_id", "band", "bkey")
+  }
+
+  /** Candidate pairs from capped band buckets: (id1 < id2), distinct. */
+  private def minhashCand(spark: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val bands = minhashBands(spark, dir, maxBucket)
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(spark, dir, MaxBucket)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val sh = shingles(spark, dir)
+    val cand = minhashCand(spark, dir, maxBucket)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
@@ -138,22 +170,32 @@ object Dedup {
           (col("n1") + col("n2") - col("ninter")), 4).as("jaccard"))
   }
 
-  val dedupMinhashLshSql: String = {
+  /** Shared oracle CTE chain ending in `cand` (capped band buckets →
+    * distinct candidate pairs) — mirrors minhashCand exactly. */
+  private val minhashCandSql: String = {
     val mins = (0 until 16)
       .map(j => s"min(${mixDuck(j)}) AS m$j").mkString(",\n       |  ")
     def bandSel(b: Int) = {
       val ms = (0 until 4).map(i => s"m${4 * b + i}").mkString(", ")
       s"SELECT doc_id, ${b}::BIGINT AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
     }
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
        |hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id,
        |  $mins
        |  FROM hs GROUP BY 1),
-       |bands AS (${(0 until 4).map(bandSel).mkString("\n       | UNION ALL ")}),
+       |bands0 AS (${(0 until 4).map(bandSel).mkString("\n       | UNION ALL ")}),
+       |bands AS (SELECT doc_id, band, bkey FROM (
+       |  SELECT doc_id, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rnk
+       |  FROM bands0) WHERE rnk <= $MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashCandSql,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT c.id1, c.id2, count(*) AS ninter
        |  FROM cand c
@@ -167,7 +209,6 @@ object Dedup {
        |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
        |JOIN cnt n1 ON n1.doc_id = c.id1
        |JOIN cnt n2 ON n2.doc_id = c.id2""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // dedup_simhash — 60-bit SimHash from token-hash bit votes
@@ -213,21 +254,75 @@ object Dedup {
        |FROM sim""".stripMargin
 
   // -------------------------------------------------------------------
-  // dedup_ngram_jaccard — exact word-3-gram Jaccard for blocked pairs
-  // (same lang + close length: the correctness-scale blocking; at
-  // 100 TB the MinHash bands above are the blocking).
+  // dedup_simhash_pairs — banded-Hamming candidate generation + verify:
+  // 6 bands × 10 bits over the 60-bit simhash (any two hashes within
+  // Hamming distance 5 share at least one band by pigeonhole), capped
+  // bucket self-join, then exact Hamming distance = popcount(xor) as
+  // the verify column. Completes the SimHash pipeline: signature
+  // (dedup_simhash) → candidates → verified distance.
+  // -------------------------------------------------------------------
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashPairs(spark, dir, MaxBucket)
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val sig = dedupSimhash(spark, dir).select("doc_id", "simhash")
+    val bands = sig.selectExpr("doc_id", "simhash",
+      """stack(6,
+        |  0L, shiftright(simhash,  0) % 1024,
+        |  1L, shiftright(simhash, 10) % 1024,
+        |  2L, shiftright(simhash, 20) % 1024,
+        |  3L, shiftright(simhash, 30) % 1024,
+        |  4L, shiftright(simhash, 40) % 1024,
+        |  5L, shiftright(simhash, 50) % 1024
+        |) AS (band, bkey)""".stripMargin)
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rnk") <= maxBucket)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+  }
+
+  val dedupSimhashPairsSql: String = {
+    val bandSel = (0 until 6).map(b =>
+      s"SELECT doc_id, simhash, ${b}::BIGINT AS band, (simhash >> ${10 * b}) % 1024 AS bkey FROM sim")
+      .mkString("\n       | UNION ALL ")
+    s"""WITH $tokensSql,
+       |th AS (SELECT doc_id, ${h60Sql("tok")} AS h FROM tk),
+       |votes AS (SELECT doc_id, b.bit,
+       |  sum((h >> b.bit) % 2 * 2 - 1) AS votes
+       |  FROM th CROSS JOIN generate_series(0, 59) AS b(bit)
+       |  GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |  cast(sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit)
+       |           ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |bands0 AS ($bandSel),
+       |bands AS (SELECT doc_id, simhash, band, bkey FROM (
+       |  SELECT doc_id, simhash, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rnk
+       |  FROM bands0) WHERE rnk <= $MaxBucket)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // dedup_ngram_jaccard — exact word-3-gram Jaccard as the VERIFY step
+  // over candidates routed through the capped minhash band buckets
+  // (the same blocking that scales to 100 TB: candidate count is
+  // ∝ bucket occupancy, never n² within a language/length block).
   // -------------------------------------------------------------------
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    val pairs = docs.as("a").join(docs.as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 25)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
     val sh = shingles(spark, dir)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
+    val inter = minhashCand(spark, dir, MaxBucket)
       .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("ninter"))
@@ -241,14 +336,10 @@ object Dedup {
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH $shinglesSql,
-       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM documents a JOIN documents b
-       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |   AND abs(a.n_chars - b.n_chars) <= 25),
+    s"""WITH $minhashCandSql,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT p.id1, p.id2, count(*) AS ninter
-       |  FROM pairs p
+       |  FROM cand p
        |  JOIN sh s1 ON s1.doc_id = p.id1
        |  JOIN sh s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
        |  GROUP BY 1, 2)
@@ -261,13 +352,15 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
-    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => dedupSimhashPairs(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -20,13 +20,7 @@ object Similarity {
   private val NQ = 10 // query vectors: vec_id < NQ
   private val TOPK = 5
 
-  /** (vec_id, i, v) exploded components, cast to double. */
-  private def comps(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("i"),
-        col("col").cast("double").as("v"))
-
+  /** (vec_id, i, v) exploded components — oracle-side formulation. */
   private val compsSql: String =
     """cp AS (
       |  SELECT vec_id, idx - 1 AS i, cast(v AS double) AS v FROM (
@@ -92,10 +86,15 @@ object Similarity {
   /** Sign-bit bucket per vector from 8 deterministic hyperplanes
     * r_p[i] = cos(p*131 + i*7) — an analytic pseudo-random direction
     * both engines can evaluate. Shared by ann_lsh_topk and
-    * dedup_embedding. */
-  private def hyperplaneBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val c = comps(spark, dir)
-    val planes = spark.range(0, 8).toDF("p")
+    * dedup_embedding. Takes the embeddings slice to bucket, so a
+    * pre-filtered query set buckets only its own vectors instead of
+    * re-running the corpus-wide aggregation. */
+  private def bucketsOf(emb: DataFrame): DataFrame = {
+    val c = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        col("col").cast("double").as("v"))
+    val planes = c.sparkSession.range(0, 8).toDF("p")
     c.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("p"),
         (col("v") * cos(col("p") * 131.0 + col("i") * 7.0)).as("pv"))
@@ -116,11 +115,15 @@ object Similarity {
   // -------------------------------------------------------------------
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSim.register(spark)
-    val emb = Tables.table(spark, dir, "embeddings")
-      .join(hyperplaneBuckets(spark, dir), "vec_id")
-    val q = emb.filter(col("vec_id") < NQ)
+    val embAll = Tables.table(spark, dir, "embeddings")
+    // query side buckets ONLY the NQ query vectors (filter applied
+    // before the bucket aggregation); the corpus-wide bucket pass runs
+    // once, on the candidate side
+    val qEmb = embAll.filter(col("vec_id") < NQ)
+    val q = qEmb.join(bucketsOf(qEmb), "vec_id")
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("bucket"))
+    val emb = embAll.join(bucketsOf(embAll), "vec_id")
     val wq = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid").asc)
     emb.select(col("vec_id").as("cid"), col("embedding"), col("bucket"))
@@ -160,8 +163,8 @@ object Similarity {
     * Candidate count ∝ bucket occupancy — the n² never materializes. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSim.register(spark)
-    val emb = Tables.table(spark, dir, "embeddings")
-      .join(hyperplaneBuckets(spark, dir), "vec_id")
+    val embAll = Tables.table(spark, dir, "embeddings")
+    val emb = embAll.join(bucketsOf(embAll), "vec_id")
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -25,7 +25,7 @@ object Gls {
   val NF: Int = 200
 
   /** Per-series t0/mean, centered time tc and demeaned yc. */
-  private def centered(spark: SparkSession, dir: String): DataFrame = {
+  private[spectral] def centered(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.series(spark, dir)
     val stats = s.groupBy("id")
       .agg(min("t").as("t0"),
@@ -39,7 +39,7 @@ object Gls {
         (col("y") - col("ymean")).as("yc"))
   }
 
-  private val centeredSql: String =
+  private[spectral] val centeredSql: String =
     s"""s AS (${Tables.seriesSql}),
        |st AS (SELECT id, min(t) AS t0,
        |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
@@ -67,7 +67,7 @@ object Gls {
         avg(col("yc") * col("yc")).as("YY"))
   }
 
-  private val momentsSql: String =
+  private[spectral] val momentsSql: String =
     s"""WITH ${centeredSql},
        |mo AS (
        |  SELECT c.id, k.k,
@@ -110,7 +110,7 @@ object Gls {
         col("YS") * col("YS") / col("SS")) / col("YY"), 6).as("power"))
   }
 
-  private val powerSqlBody: String =
+  private[spectral] val powerSqlBody: String =
     """t1 AS (SELECT id, k, C, S, Ch, Sh, C2, S2, YY,
       |  (S2 - 2*S*C) / (C2 - (C*C - S*S)) AS tan2 FROM mo),
       |t2 AS (SELECT *, 1.0/sqrt(1.0 + tan2*tan2) AS C2w,

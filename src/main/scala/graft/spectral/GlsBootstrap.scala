@@ -71,11 +71,13 @@ object GlsBootstrap {
   def glsFap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.series(spark, dir)
-      .select(col("id").cast("long"), col("t"), col("y"))
-      .as[(Long, Double, Double)]
+      .select(col("id").cast("long"), col("t"), col("y"),
+        col("eid").cast("long"))
+      .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
-      .mapGroups { (id: Long, it: Iterator[(Long, Double, Double)]) =>
-        val rows = it.toArray.sortBy(_._2)
+      .mapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
+        // (t, eid) sort: deterministic under repartitioning
+        val rows = it.toArray.sortBy(r => (r._2, r._4))
         val t0 = rows.head._2
         val t = rows.map(_._2 - t0)
         val y = rows.map(_._3)

@@ -200,15 +200,37 @@ object Wavelet {
        |FROM gw JOIN gm USING (id)
        |JOIN acf0 ON acf0.id = gw.id AND acf0.k = gw.j""".stripMargin
 
+  /** TFSeries.downsample — reference core.py:1129ff: rebin the
+    * time×scale power grid onto 2×4-coarser blocks (j pairs, 4 time
+    * steps). Exact integer hundredths (see spec4) keep the rebin
+    * order-independent; means are sum/n client-side. */
+  def waveletDownsample(spark: SparkSession, dir: String): DataFrame =
+    waveletPower(spark, dir)
+      .groupBy(col("id"),
+        ((col("j") - 1).cast("long") / lit(2L)).cast("long").as("j2"),
+        (col("m").cast("long") / lit(4L)).cast("long").as("m2"))
+      .agg(round(sum(spec4) / 100.0, 2).as("power_sum"),
+        count(lit(1)).as("n_cells"))
+
+  val waveletDownsampleSql: String =
+    s"""WITH $cellsSql
+       |SELECT id, (j - 1) // 2 AS j2, m // 4 AS m2,
+       |  round(cast(sum(cast(round(spectrum*100.0) AS BIGINT)) AS double)
+       |        / 100.0, 2) AS power_sum,
+       |  count(*) AS n_cells
+       |FROM wp GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wavelet_power" -> (waveletPower _),
     "wavelet_gwps" -> (waveletGwps _),
     "wavelet_sav" -> (waveletSav _),
+    "wavelet_downsample" -> (waveletDownsample _),
     "composite_spectrum" -> (compositeSpectrum _))
 
   val oracles: Map[String, String] = Map(
     "wavelet_power" -> waveletPowerSql,
     "wavelet_gwps" -> waveletGwpsSql,
     "wavelet_sav" -> waveletSavSql,
+    "wavelet_downsample" -> waveletDownsampleSql,
     "composite_spectrum" -> compositeSpectrumSql)
 }

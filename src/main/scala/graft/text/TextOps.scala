@@ -164,14 +164,14 @@ object TextOps {
       .agg(min("h").as("fp_min"), max("h").as("fp_max"),
         countDistinct("h").as("n_shingles"))
 
-  // Constant series (docs are well under 4096 chars) because DuckDB's
-  // generate_series cannot take lateral column bounds; the i filter
-  // reproduces Spark's per-row sequence(1, len-7).
+  // Constant series (OracleConstantsSpec guards docs stay under 16384
+  // chars) because DuckDB's generate_series cannot take lateral column
+  // bounds; the i filter reproduces Spark's per-row sequence(1, len-7).
   val textFingerprintSql: String =
     s"""WITH sh AS (
        |  SELECT d.doc_id,
        |    ${h60Sql("substr(d.text, g.i, 8)")} AS h
-       |  FROM documents d, generate_series(1, 4096) AS g(i)
+       |  FROM documents d, generate_series(1, 16384) AS g(i)
        |  WHERE g.i <= length(d.text) - 7 AND length(d.text) >= 8)
        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
        |  count(DISTINCT h) AS n_shingles

@@ -1,0 +1,154 @@
+package graft.tsa
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Brownian- and Harmonic-kernel GP period maps plus the HHT
+  * spectrogram rebin — the remaining gp.py / timefrequency.py surface.
+  *
+  * The reference (gp.py:487-539) fits these kernels with celerite2 +
+  * emcee MCMC over ONE series; the Spark-native equivalent (same
+  * convention as gp_period_map) is a grid-MAP: exact Cholesky marginal
+  * likelihood per trial period inside one `mapGroups` per series —
+  * millions of series parallelize linearly, no MCMC chain state.
+  *
+  * Both kernels are sums of stochastically-driven harmonic-oscillator
+  * (SHO) covariances (Foreman-Mackey et al. 2017, AJ 154:220 — the
+  * celerite kernel family):
+  *   underdamped (Q > 1/2):  k(τ) = S0·ω0·Q · e^{-ω0τ/2Q} ·
+  *       [cos(η ω0 τ) + sin(η ω0 τ)/(2ηQ)],  η = √(1 − 1/4Q²)
+  *   overdamped  (Q < 1/2):  the cosh/sinh twin with η = √(1/4Q² − 1).
+  */
+object GpOps {
+
+  /** SHO covariance at lag tau for (S0, w0, Q). */
+  private def sho(s0: Double, w0: Double, q: Double)(tau: Double): Double = {
+    val x = math.abs(tau)
+    val damp = math.exp(-w0 * x / (2.0 * q))
+    if (q >= 0.5) {
+      val eta = math.sqrt(math.max(1.0 - 1.0 / (4.0 * q * q), 1e-14))
+      s0 * w0 * q * damp *
+        (math.cos(eta * w0 * x) + math.sin(eta * w0 * x) / (2.0 * eta * q))
+    } else {
+      val eta = math.sqrt(1.0 / (4.0 * q * q) - 1.0)
+      s0 * w0 * q * damp *
+        (math.cosh(eta * w0 * x) + math.sinh(eta * w0 * x) / (2.0 * eta * q))
+    }
+  }
+
+  /** BrownianTerm (reference gp.py:487-499): an SHO at the rotation
+    * period (damping tau = 10·period, the reference's prior center)
+    * mixed with a strongly-overdamped background (Q = 0.01). */
+  private def brownianKernel(varY: Double, period: Double)
+      (tau: Double): Double = {
+    val mix = 0.3
+    val q1 = math.Pi * (10.0 * period) / period // Q = π·tau/ρ, underdamped
+    val w1 = 2.0 * math.Pi / period
+    val s1 = mix * varY / (w1 * q1)
+    val q2 = 0.01
+    val f = math.sqrt(1.0 - 4.0 * q2 * q2)
+    val w2 = 2.0 * q2 / ((10.0 * period) * (1.0 - f))
+    val s2 = (1.0 - mix) * varY / (0.5 * w2 * q2 * (1.0 + 1.0 / f))
+    sho(s1, w1, q1)(tau) + sho(s2, w2, q2)(tau)
+  }
+
+  /** RotationTerm (celerite2 docs; reference HarmonicGP gp.py:521-539):
+    * two underdamped SHOs at the period and its first harmonic with
+    * amplitude ratio f. Fixed shape hyperparameters Q0 = e, dQ = e²,
+    * f = 0.5 (the reference's prior medians). */
+  private def harmonicKernel(varY: Double, period: Double)
+      (tau: Double): Double = {
+    val q0 = math.exp(1.0)
+    val dq = math.exp(2.0)
+    val fr = 0.5
+    val amp = varY / (1.0 + fr)
+    val q1 = 0.5 + q0 + dq
+    val w1 = 4.0 * math.Pi * q1 / (period * math.sqrt(4.0 * q1 * q1 - 1.0))
+    val s1 = amp / (w1 * q1)
+    val q2 = 0.5 + q0
+    val w2 = 8.0 * math.Pi * q2 / (period * math.sqrt(4.0 * q2 * q2 - 1.0))
+    val s2 = fr * amp / (w2 * q2)
+    sho(s1, w1, q1)(tau) + sho(s2, w2, q2)(tau)
+  }
+
+  /** Shared grid-MAP harness: subsample to ≤200 points, demean, scan
+    * the 12 h..10 d period grid, Cholesky log-marginal per period. */
+  private def gridMap(spark: SparkSession, dir: String)(
+      kernel: (Double, Double) => Double => Double): DataFrame =
+    SeriesOps.perSeries(spark, dir) { (id, t0, y0) =>
+      val stride = math.max(1, t0.length / 200)
+      val idx = t0.indices.by(stride).toArray
+      val t = idx.map(t0)
+      val yRaw = idx.map(y0)
+      val n = t.length
+      if (n < 10) Iterator.empty
+      else {
+        val mean = yRaw.sum / n
+        val y = yRaw.map(_ - mean)
+        val varY = math.max(y.map(v => v * v).sum / n, 1e-12)
+        val noise = 0.2 * varY
+        val results = (1 to 20).map { j =>
+          val p = j * 43200.0 // 12 h .. 10 d
+          val kf = kernel(varY, p)
+          val k = Array.tabulate(n, n) { (a, b) =>
+            kf(t(a) - t(b)) +
+              (if (a == b) noise + 1e-9 * varY else 0.0)
+          }
+          val l = SeriesMath.cholesky(k)
+          if (l == null) (p, Double.NegativeInfinity)
+          else {
+            val alpha = SeriesMath.choleskySolve(l, y)
+            var ll = -0.5 * n * math.log(2.0 * math.Pi)
+            var i = 0
+            while (i < n) {
+              ll -= math.log(l(i)(i))
+              ll -= 0.5 * y(i) * alpha(i)
+              i += 1
+            }
+            (p, ll)
+          }
+        }
+        val best = results.maxBy(_._2)._1
+        results.iterator.map { case (p, ll) =>
+          (id, p, math.rint(ll * 1e3) / 1e3, if (p == best) 1 else 0)
+        }
+      }
+    }.toDF("id", "period", "loglik", "is_best")
+
+  def gpBrownianMap(spark: SparkSession, dir: String): DataFrame =
+    gridMap(spark, dir)(brownianKernel)
+
+  def gpHarmonicMap(spark: SparkSession, dir: String): DataFrame =
+    gridMap(spark, dir)(harmonicKernel)
+
+  // -------------------------------------------------------------------
+  // hht_spectrogram — reference timefrequency.py:91-99 (_spectrogram):
+  // bin the per-sample (freq, amp) pairs emitted by hht_inst onto a
+  // (freq_grid × time) power grid. Frequency axis: 32 linear bins up
+  // to the 6 h-sampling Nyquist; time axis: the 12 h wavelet grid.
+  // Edge freq rows are zeroed by the reference (power[[0,-1]] = 0) —
+  // here they are dropped. Declarative groupBy over the mapGroups
+  // output: one extra shuffle keyed (id, fbin, m), map-side combined.
+  // -------------------------------------------------------------------
+  val FBins = 32
+  val Nyquist: Double = 1.0 / (2.0 * 21600.0)
+
+  def hhtSpectrogram(spark: SparkSession, dir: String): DataFrame = {
+    val dfb = Nyquist / FBins
+    SeriesOps.hhtInst(spark, dir)
+      .withColumn("fbin",
+        least(greatest(floor(col("freq") / dfb), lit(0.0)),
+          lit((FBins - 1).toDouble)).cast("long"))
+      .filter(col("fbin") > 0 && col("fbin") < FBins - 1)
+      .groupBy(col("id"),
+        col("fbin"),
+        floor((col("t") - lit(graft.spectral.Wavelet.T0)) / 43200.0)
+          .cast("long").as("m"))
+      .agg(round(sum("amp"), 4).as("power"), count(lit(1)).as("n_samples"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gp_brownian_map" -> (gpBrownianMap _),
+    "gp_harmonic_map" -> (gpHarmonicMap _),
+    "hht_spectrogram" -> (hhtSpectrogram _))
+}

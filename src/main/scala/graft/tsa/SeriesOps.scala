@@ -14,19 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object SeriesOps {
 
-  /** Run `f(id, t[], y[])` over every series; emit its rows. */
-  private def perSeries[T <: Product: scala.reflect.runtime.universe.TypeTag](
+  /** Run `f(id, t[], y[])` over every series; emit its rows. Input is
+    * sorted by (t, eid) — the eid tie-break makes every mapGroups op
+    * deterministic under repartitioning even when timestamps collide
+    * (same rule as the window ops). */
+  private[tsa] def perSeries[T <: Product: scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, dir: String)(
       f: (Long, Array[Double], Array[Double]) => Iterator[T]) = {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[T] =
       org.apache.spark.sql.Encoders.product[T]
     Tables.series(spark, dir)
-      .select(col("id").cast("long"), col("t"), col("y"))
-      .as[(Long, Double, Double)]
+      .select(col("id").cast("long"), col("t"), col("y"),
+        col("eid").cast("long"))
+      .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double)]) =>
-        val rows = it.toArray.sortBy(_._2)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._4))
         f(id, rows.map(_._2), rows.map(_._3))
       }
   }

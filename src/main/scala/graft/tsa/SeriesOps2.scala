@@ -16,11 +16,14 @@ object SeriesOps2 {
     implicit val enc: org.apache.spark.sql.Encoder[T] =
       org.apache.spark.sql.Encoders.product[T]
     Tables.series(spark, dir)
-      .select(col("id").cast("long"), col("t"), col("y"))
-      .as[(Long, Double, Double)]
+      .select(col("id").cast("long"), col("t"), col("y"),
+        col("eid").cast("long"))
+      .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double)]) =>
-        val rows = it.toArray.sortBy(_._2)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
+        // (t, eid) sort: deterministic under repartitioning when
+        // timestamps collide (same tie-break as the window ops)
+        val rows = it.toArray.sortBy(r => (r._2, r._4))
         f(id, rows.map(_._2), rows.map(_._3))
       }
   }

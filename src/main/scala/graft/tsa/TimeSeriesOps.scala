@@ -563,7 +563,11 @@ object TimeSeriesOps {
        |  cast(floor(max(t)/21600.0) AS bigint) AS k1 FROM s GROUP BY id),
        |grid AS (SELECT id, k * 21600.0 AS t, cast(NULL AS double) AS y,
        |  cast(NULL AS bigint) AS eid, 1 AS is_grid
-       |  FROM bounds, generate_series(78880, 79030) AS g(k)
+       |  -- constant range (DuckDB generate_series takes no lateral
+       |  -- bounds): 6 h bins covering epochs 2017..2031; the BETWEEN
+       |  -- filter reproduces Spark's per-series sequence(k0, k1).
+       |  -- OracleConstantsSpec guards that testdata stays inside.
+       |  FROM bounds, generate_series(70000, 90000) AS g(k)
        |  WHERE g.k BETWEEN bounds.k0 AND bounds.k1),
        |merged AS (
        |  SELECT id, t, y, eid, 0 AS is_grid FROM s
