@@ -30,6 +30,9 @@ object Bench {
     graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir).persist().count()
     graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count()
     graft.dedup.Dedup.warm(spark, sfDir)
+    // ceemdan feeds ceemdan_orthogonality via a self-join (the plan
+    // appears twice) — persist so CacheManager substitutes both sides
+    graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count()
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

@@ -24,15 +24,21 @@ object GpOps {
   /** SHO covariance at lag tau for (S0, w0, Q). */
   private def sho(s0: Double, w0: Double, q: Double)(tau: Double): Double = {
     val x = math.abs(tau)
-    val damp = math.exp(-w0 * x / (2.0 * q))
     if (q >= 0.5) {
+      val damp = math.exp(-w0 * x / (2.0 * q))
       val eta = math.sqrt(math.max(1.0 - 1.0 / (4.0 * q * q), 1e-14))
       s0 * w0 * q * damp *
         (math.cos(eta * w0 * x) + math.sin(eta * w0 * x) / (2.0 * eta * q))
     } else {
+      // exact two-exponential form: cosh/sinh would overflow long
+      // before the e^{-damp} factor cancels (η w0 x ≫ 700 at strongly
+      // overdamped Q), and both exponents a±b here are always ≤ 0
       val eta = math.sqrt(1.0 / (4.0 * q * q) - 1.0)
-      s0 * w0 * q * damp *
-        (math.cosh(eta * w0 * x) + math.sinh(eta * w0 * x) / (2.0 * eta * q))
+      val b = w0 * x / (2.0 * q)
+      val a = eta * w0 * x
+      s0 * w0 * q *
+        (math.exp(a - b) * (0.5 + 1.0 / (4.0 * eta * q)) +
+          math.exp(-a - b) * (0.5 - 1.0 / (4.0 * eta * q)))
     }
   }
 
@@ -41,13 +47,17 @@ object GpOps {
     * mixed with a strongly-overdamped background (Q = 0.01). */
   private def brownianKernel(varY: Double, period: Double)
       (tau: Double): Double = {
-    val mix = 0.3
-    val q1 = math.Pi * (10.0 * period) / period // Q = π·tau/ρ, underdamped
+    // graft grid-MAP conventions: 60% of the variance in the periodic
+    // SHO (damping 3 periods), 40% in the overdamped background — the
+    // period must explain the oscillation, the background only the
+    // slow drift, or the MAP degenerates to the background timescale.
+    val mix = 0.6
+    val q1 = math.Pi * (3.0 * period) / period // Q = π·tau/ρ, underdamped
     val w1 = 2.0 * math.Pi / period
     val s1 = mix * varY / (w1 * q1)
     val q2 = 0.01
     val f = math.sqrt(1.0 - 4.0 * q2 * q2)
-    val w2 = 2.0 * q2 / ((10.0 * period) * (1.0 - f))
+    val w2 = 2.0 * q2 / ((3.0 * period) * (1.0 - f))
     val s2 = (1.0 - mix) * varY / (0.5 * w2 * q2 * (1.0 + 1.0 / f))
     sho(s1, w1, q1)(tau) + sho(s2, w2, q2)(tau)
   }
@@ -60,7 +70,7 @@ object GpOps {
       (tau: Double): Double = {
     val q0 = math.exp(1.0)
     val dq = math.exp(2.0)
-    val fr = 0.5
+    val fr = 0.1 // weak first harmonic: keeps P vs 2P non-degenerate
     val amp = varY / (1.0 + fr)
     val q1 = 0.5 + q0 + dq
     val w1 = 4.0 * math.Pi * q1 / (period * math.sqrt(4.0 * q1 * q1 - 1.0))

@@ -174,66 +174,128 @@ object SeriesOps2 {
     }
   }
 
-  def ceemdan(spark: SparkSession, dir: String): DataFrame = {
+  /** CEEMDAN core shared by `ceemdan` and `ceemdan_post`: returns the
+    * subsampled time grid, the NORMALIZED modes, and sigma. */
+  private def ceemdanCore(id: Long, t0: Array[Double], yr: Array[Double])
+      : Option[(Array[Double], List[Array[Double]], Double)] = {
     val ensembleSize = 10
     val epsilon = 0.2
-    perSeries(spark, dir) { (id, t0, yr) =>
-      // long series are stride-subsampled to <=256 points: the ensemble
-      // costs ensembleSize × EMD per mode, and mode content at these
-      // scales survives 3:1 decimation (documented graft semantics).
-      val stride = math.max(1, t0.length / 256)
-      val keep = t0.indices.by(stride).toArray
-      val t = keep.map(t0)
-      val y0 = keep.map(yr)
-      if (t.length < 16) Iterator.empty
-      else {
-        val n = t.length
-        val sigma = {
-          val m = y0.sum / n
-          math.sqrt(y0.map(v => (v - m) * (v - m)).sum / n)
-        }
-        val y = y0.map(_ / sigma)
-        val noiseModes = (0 until ensembleSize).map { r =>
-          SeriesMath.emd(t, gaussianNoise(id * 7919 + r, n), maxModes = 4, maxIter = 15)
-        }
-        var residue = y.clone()
-        var imfs = List.empty[Array[Double]]
-        var stop = false
-        while (!stop && imfs.length < 4) {
-          val k = imfs.length
-          val mus = (0 until ensembleSize).map { r =>
-            val noisy = residue.clone()
-            if (noiseModes(r).length > k) {
-              val beta = epsilon * {
-                val m = residue.sum / n
-                math.sqrt(residue.map(v => (v - m) * (v - m)).sum / n)
-              }
-              val nm = noiseModes(r)(k)
-              val nsd = {
-                val m = nm.sum / n
-                math.sqrt(nm.map(v => (v - m) * (v - m)).sum / n)
-              }
-              val b = if (k == 0 && nsd > 0) beta / nsd else beta
-              var i = 0
-              while (i < n) { noisy(i) += b * nm(i); i += 1 }
+    // long series are stride-subsampled to <=256 points: the ensemble
+    // costs ensembleSize × EMD per mode, and mode content at these
+    // scales survives 3:1 decimation (documented graft semantics).
+    val stride = math.max(1, t0.length / 256)
+    val keep = t0.indices.by(stride).toArray
+    val t = keep.map(t0)
+    val y0 = keep.map(yr)
+    if (t.length < 16) None
+    else {
+      val n = t.length
+      val sigma = {
+        val m = y0.sum / n
+        math.sqrt(y0.map(v => (v - m) * (v - m)).sum / n)
+      }
+      val y = y0.map(_ / sigma)
+      val noiseModes = (0 until ensembleSize).map { r =>
+        SeriesMath.emd(t, gaussianNoise(id * 7919 + r, n), maxModes = 4, maxIter = 15)
+      }
+      var residue = y.clone()
+      var imfs = List.empty[Array[Double]]
+      var stop = false
+      while (!stop && imfs.length < 4) {
+        val k = imfs.length
+        val mus = (0 until ensembleSize).map { r =>
+          val noisy = residue.clone()
+          if (noiseModes(r).length > k) {
+            val beta = epsilon * {
+              val m = residue.sum / n
+              math.sqrt(residue.map(v => (v - m) * (v - m)).sum / n)
             }
-            val ms = SeriesMath.emd(t, noisy, maxModes = 1, maxIter = 15)
-            val mode = if (ms.nonEmpty) ms.head else noisy.clone()
-            Array.tabulate(n)(i => noisy(i) - mode(i))
+            val nm = noiseModes(r)(k)
+            val nsd = {
+              val m = nm.sum / n
+              math.sqrt(nm.map(v => (v - m) * (v - m)).sum / n)
+            }
+            val b = if (k == 0 && nsd > 0) beta / nsd else beta
+            var i = 0
+            while (i < n) { noisy(i) += b * nm(i); i += 1 }
           }
-          val mu = Array.tabulate(n)(i =>
-            mus.map(_(i)).sum / ensembleSize)
-          imfs = imfs :+ Array.tabulate(n)(i => residue(i) - mu(i))
-          residue = mu
-          val rimfs = SeriesMath.emd(t, residue, maxModes = 2, maxIter = 15)
-          if (rimfs.length <= 1) stop = true
+          val ms = SeriesMath.emd(t, noisy, maxModes = 1, maxIter = 15)
+          val mode = if (ms.nonEmpty) ms.head else noisy.clone()
+          Array.tabulate(n)(i => noisy(i) - mode(i))
         }
-        imfs.iterator.zipWithIndex.flatMap { case (m, k) =>
-          t.indices.iterator.map(i =>
-            (id, k, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
-        }
+        val mu = Array.tabulate(n)(i =>
+          mus.map(_(i)).sum / ensembleSize)
+        imfs = imfs :+ Array.tabulate(n)(i => residue(i) - mu(i))
+        residue = mu
+        val rimfs = SeriesMath.emd(t, residue, maxModes = 2, maxIter = 15)
+        if (rimfs.length <= 1) stop = true
+      }
+      Some((t, imfs, sigma))
+    }
+  }
+
+  def ceemdan(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, yr) =>
+      ceemdanCore(id, t0, yr) match {
+        case None => Iterator.empty
+        case Some((t, imfs, sigma)) =>
+          imfs.iterator.zipWithIndex.flatMap { case (m, k) =>
+            t.indices.iterator.map(i =>
+              (id, k, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
+          }
       }
     }.toDF("id", "mode", "t", "y")
+
+  /** ceemdan_post — reference decomposition.py:344-360 (CEEMDAN
+    * .postprocessing): re-sift the noisy ensemble modes so each
+    * refined mode is a true IMF — c_1 = EMD(mode_1, 1 mode), then
+    * propagate the leftover q_k into the next mode and re-sift. */
+  def ceemdanPost(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, yr) =>
+      ceemdanCore(id, t0, yr) match {
+        case None => Iterator.empty
+        case Some((t, imfs, sigma)) if imfs.isEmpty => Iterator.empty
+        case Some((t, imfs, sigma)) =>
+          val n = t.length
+          val modes = imfs.toArray
+          val first = SeriesMath.emd(t, modes(0), maxModes = 1, maxIter = 15)
+          var ck = if (first.nonEmpty) first.head else modes(0)
+          var qk = Array.tabulate(n)(i => modes(0)(i) - ck(i))
+          val cImfs = scala.collection.mutable.ArrayBuffer(ck)
+          var k = 1
+          var broke = false
+          while (k < modes.length && !broke) {
+            val dk = Array.tabulate(n)(i => qk(i) + modes(k)(i))
+            val ms = SeriesMath.emd(t, dk, maxModes = 1, maxIter = 15)
+            if (ms.isEmpty) {
+              cImfs += modes(k)
+              broke = true
+            } else {
+              ck = ms.head
+              qk = Array.tabulate(n)(i => dk(i) - ck(i))
+              cImfs += ck
+            }
+            k += 1
+          }
+          cImfs.iterator.zipWithIndex.flatMap { case (m, j) =>
+            t.indices.iterator.map(i =>
+              (id, j, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
+          }
+      }
+    }.toDF("id", "mode", "t", "y")
+
+  /** ceemdan_orthogonality — reference decomposition.py:361-374
+    * (orthogonality_matrix): pairwise Pearson correlation between
+    * modes. DECLARATIVE over the ceemdan output: a (id, t) self-join
+    * across mode pairs + corr aggregate — no extra mapGroups pass. */
+  def ceemdanOrthogonality(spark: SparkSession, dir: String): DataFrame = {
+    val m = ceemdan(spark, dir)
+    m.as("a").join(m.as("b"),
+        col("a.id") === col("b.id") && col("a.t") === col("b.t") &&
+          col("a.mode") <= col("b.mode"))
+      .groupBy(col("a.id").as("id"), col("a.mode").as("mi"),
+        col("b.mode").as("mj"))
+      .agg((round(corr(col("a.y"), col("b.y")), 4) + lit(0.0)).as("orth"))
   }
 
   // -------------------------------------------------------------------
@@ -420,6 +482,8 @@ object SeriesOps2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lmd_modes" -> (lmdModes _),
     "ceemdan" -> (ceemdan _),
+    "ceemdan_post" -> (ceemdanPost _),
+    "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
     "acf_period_quality" -> (acfPeriodQuality _),
     "gaussian_prior" -> (gaussianPrior _),
     "ts_denoise" -> (tsDenoise _))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic recovery tests on synthetic series with KNOWN structure:
+  * the GP grid-MAP kernels must recover an injected rotation period,
+  * and the HHT spectrogram must concentrate power at the two injected
+  * tones. (The DuckDB oracle cannot check these mapGroups ops, so
+  * these specs are their correctness gate.)
+  */
+class SyntheticSeriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1.704067200e9 // 2024-01-01, matches the wavelet grid
+  private val P1 = 172800.0      // 2 d sinusoid (GP target, grid j=4)
+  private val PA = 86400.0       // 1 d tone (spectrogram)
+  private val PB = 345600.0      // 4 d tone (spectrogram)
+
+  /** events.parquet with two users: 1 = single 2 d sinusoid,
+    * 2 = two-tone (1 d + 4 d); 30 days sampled every 2 h. */
+  private lazy val synDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_syn").toString
+    val rows = for {
+      (uid, gen) <- Seq(
+        (1L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P1)),
+        (2L, (t: Double) => 10.0 + 2.0 * math.sin(2 * math.Pi * t / PA) +
+          2.0 * math.sin(2 * math.Pi * t / PB)))
+      k <- 0 until 360
+      t = T0 + k * 7200.0
+    } yield (uid * 1000 + k, (t * 1e9).toLong, uid, "tick", gen(t), "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    val f = new java.io.File(s"$dir/ev")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  private def bestPeriod(df: org.apache.spark.sql.DataFrame, id: Long): Double = {
+    import org.apache.spark.sql.functions._
+    df.filter(col("id") === id && col("is_best") === 1)
+      .select("period").collect()(0).getDouble(0)
+  }
+
+  test("gp_brownian_map recovers the injected 2 d period within one grid step") {
+    val p = bestPeriod(tsa.GpOps.gpBrownianMap(spark, synDir), 1L)
+    assert(math.abs(p - P1) <= 43200.0, s"brownian MAP period $p, expected ~$P1")
+  }
+
+  test("gp_harmonic_map recovers the injected 2 d period within one grid step") {
+    val p = bestPeriod(tsa.GpOps.gpHarmonicMap(spark, synDir), 1L)
+    assert(math.abs(p - P1) <= 43200.0, s"harmonic MAP period $p, expected ~$P1")
+  }
+
+  test("hht_spectrogram concentrates power at the two injected tones") {
+    import org.apache.spark.sql.functions._
+    val dfb = GpOpsBins.dfb
+    val binA = (1.0 / PA / dfb).toInt // 1 d tone
+    val binB = (1.0 / PB / dfb).toInt // 4 d tone
+    val byBin = tsa.GpOps.hhtSpectrogram(spark, synDir)
+      .filter(col("id") === 2L)
+      .groupBy("fbin").agg(sum("power").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byBin.nonEmpty, "spectrogram returned no rows for the two-tone series")
+    val total = byBin.values.sum
+    def band(b: Int) = (b - 2 to b + 2).map(k => byBin.getOrElse(k.toLong, 0.0)).sum
+    assert(band(binA) + band(binB) > 0.6 * total,
+      s"tones at bins ~$binA/~$binB hold ${band(binA) + band(binB)} of $total")
+    assert(band(binA) > 0.0 && band(binB) > 0.0,
+      s"both tone bands must be populated (binA=${band(binA)}, binB=${band(binB)})")
+  }
+}
+
+/** Shared bin width so the spec stays in sync with GpOps. */
+private object GpOpsBins {
+  val dfb: Double = graft.tsa.GpOps.Nyquist / graft.tsa.GpOps.FBins
+}
