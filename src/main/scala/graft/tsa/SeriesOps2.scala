@@ -286,16 +286,29 @@ object SeriesOps2 {
 
   /** ceemdan_orthogonality — reference decomposition.py:361-374
     * (orthogonality_matrix): pairwise Pearson correlation between
-    * modes. DECLARATIVE over the ceemdan output: a (id, t) self-join
-    * across mode pairs + corr aggregate — no extra mapGroups pass. */
+    * modes. A (id, t) self-join would evaluate the expensive ceemdan
+    * mapGroups plan twice (closure identity defeats cache
+    * substitution), so instead pivot the ≤4 modes to columns and emit
+    * every pair correlation from ONE aggregation pass. */
   def ceemdanOrthogonality(spark: SparkSession, dir: String): DataFrame = {
-    val m = ceemdan(spark, dir)
-    m.as("a").join(m.as("b"),
-        col("a.id") === col("b.id") && col("a.t") === col("b.t") &&
-          col("a.mode") <= col("b.mode"))
-      .groupBy(col("a.id").as("id"), col("a.mode").as("mi"),
-        col("b.mode").as("mj"))
-      .agg((round(corr(col("a.y"), col("b.y")), 4) + lit(0.0)).as("orth"))
+    val maxModes = 4
+    val piv = ceemdan(spark, dir)
+      .groupBy("id", "t")
+      .pivot("mode", 0 until maxModes)
+      .agg(first("y"))
+    val pairs = for {
+      i <- 0 until maxModes
+      j <- i until maxModes
+    } yield (round(corr(col(s"$i"), col(s"$j")), 4) + lit(0.0))
+      .as(s"c_${i}_$j")
+    val stacked = pairs.map(_ => "?").zip(
+      for { i <- 0 until maxModes; j <- i until maxModes }
+        yield s"${i}L, ${j}L, c_${i}_$j").map(_._2)
+    piv.groupBy("id")
+      .agg(pairs.head, pairs.tail: _*)
+      .selectExpr("id",
+        s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS (mi, mj, orth)")
+      .filter(col("orth").isNotNull)
   }
 
   // -------------------------------------------------------------------

@@ -64,6 +64,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) == 5))
   }
 
+  test("ceemdan orthogonality diagonal is exactly 1") {
+    import org.apache.spark.sql.functions._
+    val bad = tsa.SeriesOps2.ceemdanOrthogonality(spark, dir)
+      .filter(col("mi") === col("mj") && col("orth") =!= 1.0).count()
+    assert(bad == 0, s"$bad diagonal entries with corr != 1")
+  }
+
   test("emd modes reconstruct bounded residue") {
     import org.apache.spark.sql.functions._
     // modes exist for most series and values are finite
