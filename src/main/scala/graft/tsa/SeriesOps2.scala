@@ -430,41 +430,55 @@ object SeriesOps2 {
   }
 
   // -------------------------------------------------------------------
-  // ts_denoise — reference timefrequency.py:151 (denoise): wavelet
-  // soft-threshold denoising. Haar DWT (this container has no pywt;
-  // db4 would change the filter taps, not the shape of the operator),
-  // noise sigma from the finest detail band via MAD/0.6745, threshold
-  // sigma*sqrt(2 ln n), optional detrend drops the coarsest level.
+  // ts_denoise — reference timefrequency.py:151 (denoise, family
+  // "db4", mode "per"): periodized Daubechies-4 DWT, soft threshold on
+  // every detail band, noise sigma from the finest detail band via
+  // MAD/0.6745, threshold sigma*sqrt(2 ln n). The db4 taps are the
+  // public Daubechies constants; g_m = (-1)^m h_{3-m} is the standard
+  // orthogonal quadrature-mirror relation, so the synthesis scatter
+  // x(i) += h((i-2k) mod N) a_k + g((i-2k) mod N) d_k reconstructs
+  // exactly.
   // -------------------------------------------------------------------
+  private val Db4H: Array[Double] = {
+    val s3 = math.sqrt(3.0); val z = 4.0 * math.sqrt(2.0)
+    Array((1 + s3) / z, (3 + s3) / z, (3 - s3) / z, (1 - s3) / z)
+  }
+  private val Db4G: Array[Double] =
+    Array.tabulate(4)(m => (if (m % 2 == 0) 1.0 else -1.0) * Db4H(3 - m))
+
   def tsDenoise(spark: SparkSession, dir: String): DataFrame =
     perSeries(spark, dir) { (id, t0, y0) =>
       val (gt, gy) = resample(t0, y0, 21600.0)
       val n0 = gy.length
       if (n0 < 8) Iterator.empty
       else {
-        // truncate to power of two for a clean Haar pyramid
+        // truncate to power of two for a clean periodized pyramid
         val n = Integer.highestOneBit(n0)
-        val x = gy.take(n).clone()
-        val levels = java.lang.Integer.numberOfTrailingZeros(n)
-        val details = new Array[Array[Double]](levels)
-        var approx = x
-        var l = 0
-        while (l < levels) {
-          val half = approx.length / 2
+        var approx = gy.take(n).clone()
+        var details = List.empty[Array[Double]]
+        while (approx.length >= 8) {
+          val len = approx.length
+          val half = len / 2
           val a = new Array[Double](half)
           val d = new Array[Double](half)
-          var i = 0
-          while (i < half) {
-            a(i) = (approx(2 * i) + approx(2 * i + 1)) / math.sqrt(2.0)
-            d(i) = (approx(2 * i) - approx(2 * i + 1)) / math.sqrt(2.0)
-            i += 1
+          var k = 0
+          while (k < half) {
+            var sa = 0.0; var sd = 0.0; var m = 0
+            while (m < 4) {
+              val x = approx((2 * k + m) % len)
+              sa += Db4H(m) * x
+              sd += Db4G(m) * x
+              m += 1
+            }
+            a(k) = sa; d(k) = sd
+            k += 1
           }
-          details(l) = d
+          details = d :: details // head = coarsest after loop reversal
           approx = a
-          l += 1
         }
-        // sigma from the finest details (MAD / 0.6745)
-        val fin = details(0).map(math.abs).sorted
+        // sigma from the FINEST details (first band computed = last in
+        // the reversed list)
+        val fin = details.last.map(math.abs).sorted
         val mad = if (fin.isEmpty) 0.0
           else if (fin.length % 2 == 1) fin(fin.length / 2)
           else (fin(fin.length / 2 - 1) + fin(fin.length / 2)) / 2.0
@@ -472,20 +486,22 @@ object SeriesOps2 {
         val thr = sigma * math.sqrt(2.0 * math.log(n.toDouble))
         def soft(v: Double): Double =
           math.signum(v) * math.max(math.abs(v) - thr, 0.0)
-        // inverse transform with thresholded details
+        // inverse transform, coarsest level first
         var rec = approx
-        l = levels - 1
-        while (l >= 0) {
-          val d = details(l).map(soft)
-          val out = new Array[Double](rec.length * 2)
-          var i = 0
-          while (i < rec.length) {
-            out(2 * i) = (rec(i) + d(i)) / math.sqrt(2.0)
-            out(2 * i + 1) = (rec(i) - d(i)) / math.sqrt(2.0)
-            i += 1
+        for (dRaw <- details) {
+          val d = dRaw.map(soft)
+          val len = rec.length * 2
+          val out = new Array[Double](len)
+          var k = 0
+          while (k < rec.length) {
+            var m = 0
+            while (m < 4) {
+              out((2 * k + m) % len) += Db4H(m) * rec(k) + Db4G(m) * d(k)
+              m += 1
+            }
+            k += 1
           }
           rec = out
-          l -= 1
         }
         (0 until n).iterator.map(i =>
           (id, gt(i), math.rint(rec(i) * 1e6) / 1e6))

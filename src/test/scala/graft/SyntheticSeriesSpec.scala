@@ -23,19 +23,33 @@ class SyntheticSeriesSpec extends AnyFunSuite {
   private val PA = 86400.0       // 1 d tone (spectrogram)
   private val PB = 345600.0      // 4 d tone (spectrogram)
 
-  /** events.parquet with two users: 1 = single 2 d sinusoid,
-    * 2 = two-tone (1 d + 4 d); 30 days sampled every 2 h. */
+  private val P4 = 691200.0 // 8 d — smooth on the 6 h grid (denoise)
+  private def clean4(t: Double): Double =
+    10.0 + 3.0 * math.sin(2 * math.Pi * t / P4)
+  private lazy val noise4: Array[Double] = {
+    val r = new scala.util.Random(42)
+    Array.fill(360)(r.nextGaussian())
+  }
+
+  /** events.parquet with three users: 1 = single 2 d sinusoid,
+    * 2 = two-tone (1 d + 4 d), both 30 days every 2 h; 4 = noisy 8 d
+    * sinusoid sampled exactly on the 6 h denoise grid. */
   private lazy val synDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_syn").toString
-    val rows = for {
+    val rows = (for {
       (uid, gen) <- Seq(
         (1L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P1)),
         (2L, (t: Double) => 10.0 + 2.0 * math.sin(2 * math.Pi * t / PA) +
           2.0 * math.sin(2 * math.Pi * t / PB)))
       k <- 0 until 360
       t = T0 + k * 7200.0
-    } yield (uid * 1000 + k, (t * 1e9).toLong, uid, "tick", gen(t), "{}")
+    } yield (uid * 1000 + k, (t * 1e9).toLong, uid, "tick", gen(t), "{}")) ++
+      (for (k <- 0 until 360) yield {
+        val t = T0 + k * 21600.0
+        (4000L + k, (t * 1e9).toLong, 4L, "tick",
+          clean4(t) + noise4(k), "{}")
+      })
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
     val f = new java.io.File(s"$dir/ev")
@@ -60,6 +74,38 @@ class SyntheticSeriesSpec extends AnyFunSuite {
   test("gp_harmonic_map recovers the injected 2 d period within one grid step") {
     val p = bestPeriod(tsa.GpOps.gpHarmonicMap(spark, synDir), 1L)
     assert(math.abs(p - P1) <= 43200.0, s"harmonic MAP period $p, expected ~$P1")
+  }
+
+  test("ts_denoise (db4) smooths a noisy signal without losing it") {
+    import org.apache.spark.sql.functions._
+    // The denoiser's contract: strip the white-noise roughness while
+    // keeping the smooth component. (Truth-RECOVERY is not the
+    // contract — the universal soft threshold biases amplitudes, in
+    // the reference's pywt implementation too.)
+    val rows = tsa.SeriesOps2.tsDenoise(spark, synDir)
+      .filter(col("id") === 4L)
+      .select("t", "y_denoised").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.length >= 128, s"expected a full grid, got ${rows.length}")
+    val den = rows.map(_._2)
+    val noisy = rows.map { case (t, _) =>
+      clean4(t) + noise4(((t - T0) / 21600.0).round.toInt)
+    }
+    val clean = rows.map { case (t, _) => clean4(t) }
+    def rough(v: Array[Double]): Double = math.sqrt(
+      v.sliding(3).map(w => math.pow(w(2) - 2 * w(1) + w(0), 2)).sum /
+        (v.length - 2))
+    assert(rough(den) < 0.5 * rough(noisy),
+      s"roughness ${rough(den)} not < half of ${rough(noisy)}")
+    val corr = {
+      val n = den.length
+      val (ma, mb) = (den.sum / n, clean.sum / n)
+      val cov = den.zip(clean).map { case (a, b) => (a - ma) * (b - mb) }.sum
+      val va = den.map(a => (a - ma) * (a - ma)).sum
+      val vb = clean.map(b => (b - mb) * (b - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    assert(corr > 0.85, s"correlation with the clean signal fell to $corr")
   }
 
   test("hht_spectrogram concentrates power at the two injected tones") {
