@@ -120,9 +120,17 @@ object Similarity {
     // before the bucket aggregation); the corpus-wide bucket pass runs
     // once, on the candidate side
     val qEmb = embAll.filter(col("vec_id") < NQ)
+    // multiprobe: each query probes its own bucket plus the 8
+    // Hamming-1 neighbors (one sign bit flipped) — near-neighbors that
+    // straddle a single hyperplane stop being missed, candidates stay
+    // ∝ 9 × bucket occupancy
+    val flips = spark.range(0, 9).toDF("p")
     val q = qEmb.join(bucketsOf(qEmb), "vec_id")
+      .crossJoin(broadcast(flips))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("bucket"))
+        when(col("p") === 8, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(cast(1 as bigint), cast(p as int))"))
+          .as("bucket"))
     val emb = embAll.join(bucketsOf(embAll), "vec_id")
     val wq = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid").asc)
@@ -145,11 +153,16 @@ object Similarity {
        |  cast(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
        |       AS BIGINT) AS bucket
        |  FROM pj GROUP BY 1),
+       |probes AS (SELECT qb.vec_id AS qid,
+       |    CASE WHEN p.p = 8 THEN qb.bucket
+       |         ELSE xor(qb.bucket, (1::BIGINT << p.p)) END AS bucket
+       |  FROM bk qb CROSS JOIN generate_series(0, 8) AS p(p)
+       |  WHERE qb.vec_id < $NQ),
        |flt AS (SELECT cs.qid, cs.cid, cs.cosine
        |  FROM cs
-       |  JOIN bk qb ON qb.vec_id = cs.qid
+       |  JOIN probes pr ON pr.qid = cs.qid
        |  JOIN bk cb ON cb.vec_id = cs.cid
-       |  WHERE qb.bucket = cb.bucket),
+       |  WHERE pr.bucket = cb.bucket),
        |rk AS (SELECT qid, cid, cosine,
        |  row_number() OVER (PARTITION BY qid
        |                     ORDER BY cosine DESC, cid ASC) AS rank
@@ -198,13 +211,100 @@ object Similarity {
        |JOIN nr n2 ON n2.vec_id = d.id2
        |WHERE round(d.dot / (n1.nrm * n2.nrm), 6) >= 0.4""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ann_ivf_topk — the IVF-flat scale path: a coarse quantizer
+  // partitions the corpus into NC cells; queries probe only their
+  // NPROBE nearest cells and brute-force within. Scoring work is
+  // ∝ corpus · NPROBE / NC instead of |queries| × |corpus|, and the
+  // cell assignment is a join key — at 100 TB the corpus can be
+  // WRITTEN bucketed by cell so probes prune at the source.
+  // Centroids are the NC lowest-vec_id vectors (deterministic seeded
+  // quantizer — the Lloyd refinement would be a tiny broadcast-model
+  // iteration and does not change the plan shape, so the oracle-exact
+  // seeded form is kept).
+  // -------------------------------------------------------------------
+  private val NC = 16
+  private val NPROBE = 4
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < NC)
+      .select(col("vec_id").as("cell"), col("embedding").as("semb"))
+    // similarity of every vector to every centroid (NC is tiny —
+    // broadcast); rank with rounded-sim + cell tiebreak (deterministic)
+    val sims = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"),
+        round(expr("cosine_sim(embedding, semb)"), 6).as("csim"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val ranked = sims.withColumn("crank", row_number().over(wv))
+    val cells = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < NQ && col("crank") <= NPROBE)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .join(probes, "qid")
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid").asc)
+    emb.join(cells, "vec_id")
+      .select(col("vec_id").as("cid"), col("embedding"), col("cell"))
+      .join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("cosine_sim(qemb, embedding)"), 6).as("cosine"))
+      .distinct() // a candidate may share several probed cells
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
+  val annIvfTopkSql: String =
+    s"""WITH $compsSql,
+       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
+       |cdots AS (SELECT c.vec_id, s.vec_id AS cell, sum(c.v * s.v) AS dot
+       |  FROM cp c JOIN cp s ON s.i = c.i AND s.vec_id < $NC
+       |  GROUP BY 1, 2),
+       |csim AS (SELECT d.vec_id, d.cell,
+       |    round(d.dot / (nv.nrm * ns.nrm), 6) AS csim
+       |  FROM cdots d
+       |  JOIN nr nv ON nv.vec_id = d.vec_id
+       |  JOIN nr ns ON ns.vec_id = d.cell),
+       |rkc AS (SELECT vec_id, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS crank
+       |  FROM csim),
+       |cells AS (SELECT vec_id, cell FROM rkc WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, cell FROM rkc
+       |  WHERE vec_id < $NQ AND crank <= $NPROBE),
+       |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
+       |  FROM probes p JOIN cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.qid),
+       |dots AS (SELECT ca.qid, ca.cid, sum(q.v * c.v) AS dot
+       |  FROM cand ca
+       |  JOIN cp q ON q.vec_id = ca.qid
+       |  JOIN cp c ON c.vec_id = ca.cid AND c.i = q.i
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT d.qid, d.cid,
+       |    round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nr nq ON nq.vec_id = d.qid
+       |  JOIN nr nc ON nc.vec_id = d.cid),
+       |rk AS (SELECT qid, cid, cosine, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cosine, cast(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $TOPK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -64,6 +64,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) == 5))
   }
 
+  test("approximate ANN paths keep recall against the exact baseline") {
+    def topsets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = topsets(sim.Similarity.annCosineTopk(spark, dir))
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, e) =>
+        e.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / e.size
+      }
+      rs.sum / rs.size
+    }
+    val ivf = meanRecall(topsets(sim.Similarity.annIvfTopk(spark, dir)))
+    assert(ivf >= 0.7, s"IVF recall@5 fell to $ivf (0.94 at authoring)")
+    val lsh = meanRecall(topsets(sim.Similarity.annLshTopk(spark, dir)))
+    assert(lsh >= 0.15, s"LSH recall@5 fell to $lsh (0.34 at authoring)")
+  }
+
   test("ceemdan orthogonality diagonal is exactly 1") {
     import org.apache.spark.sql.functions._
     val bad = tsa.SeriesOps2.ceemdanOrthogonality(spark, dir)
