@@ -155,14 +155,22 @@ object Wavelet {
       .filter(col("j") >= 4 && col("j") <= 12)
       .groupBy("id", "m")
       .agg(round(sum(spec4) / 100.0, 2).as("sav_sum"),
-        count(lit(1)).as("n_scales"))
+        count(lit(1)).as("n_scales"),
+        // masked_sav (timefrequency.py:272): only in-COI cells count
+        round(coalesce(sum(when(col("in_coi") === 1, spec4)), lit(0L)) / 100.0, 2)
+          .as("masked_sum"),
+        sum("in_coi").cast("long").as("n_coi"))
 
   val waveletSavSql: String =
     s"""WITH $cellsSql
        |SELECT id, m,
        |  round(cast(sum(cast(round(spectrum*100.0) AS BIGINT)) AS double)
        |        / 100.0, 2) AS sav_sum,
-       |  count(*) AS n_scales
+       |  count(*) AS n_scales,
+       |  round(cast(coalesce(sum(CASE WHEN in_coi = 1
+       |            THEN cast(round(spectrum*100.0) AS BIGINT) END), 0)
+       |        AS double) / 100.0, 2) AS masked_sum,
+       |  cast(sum(in_coi) AS BIGINT) AS n_coi
        |FROM wp WHERE j BETWEEN 4 AND 12 GROUP BY 1, 2""".stripMargin
 
   /** Composite spectrum — reference timefrequency.py:305: GWPS

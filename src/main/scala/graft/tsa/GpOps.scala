@@ -157,8 +157,26 @@ object GpOps {
       .agg(round(sum("amp"), 4).as("power"), count(lit(1)).as("n_samples"))
   }
 
+  // -------------------------------------------------------------------
+  // ts_envelope — reference core.py:741 (get_envelope): upper/lower
+  // cubic-spline envelopes through the padded maxima/minima (the same
+  // SeriesMath kernel the EMD sift uses). Per-series mapGroups.
+  // -------------------------------------------------------------------
+  def tsEnvelope(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.perSeries(spark, dir) { (id, t, y) =>
+      val env = SeriesMath.envelopes(t, y, padWidth = 2)
+      if (env == null) Iterator.empty
+      else {
+        val (upper, lower) = env
+        t.indices.iterator.map(i =>
+          (id, t(i), math.rint(upper(i) * 1e6) / 1e6,
+            math.rint(lower(i) * 1e6) / 1e6))
+      }
+    }.toDF("id", "t", "upper", "lower")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gp_brownian_map" -> (gpBrownianMap _),
     "gp_harmonic_map" -> (gpHarmonicMap _),
-    "hht_spectrogram" -> (hhtSpectrogram _))
+    "hht_spectrogram" -> (hhtSpectrogram _),
+    "ts_envelope" -> (tsEnvelope _))
 }
