@@ -215,25 +215,31 @@ object Dedup {
   // (multiplicity-weighted), plus 4×15-bit band keys for Hamming
   // bucketing at scale. Integer arithmetic end-to-end => exact oracle.
   // -------------------------------------------------------------------
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash): the 60 bit-votes are 60 aggregate expressions
+    * in ONE groupBy pass over the token hashes — versus the
+    * bits-crossJoin formulation this cuts the shuffled row count 60×
+    * (the partial aggregate carries 60 longs per doc instead of 60
+    * rows per token) while producing the identical integer votes. The
+    * oracle SQL keeps the explicit per-bit formulation; the values are
+    * exact integers either way. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val tk = tokens(spark, dir).select(col("doc_id"), h60(col("tok")).as("h"))
-    val bits = spark.range(0, 60).toDF("bit")
-    val sim = tk.crossJoin(broadcast(bits))
-      .select(col("doc_id"), col("bit"),
-        (expr("shiftright(h, cast(bit AS int))") % 2 * 2 - 1).as("vote"))
-      .groupBy("doc_id", "bit")
-      .agg(sum("vote").as("votes"))
-      .select(col("doc_id"),
-        when(col("votes") > 0,
-          expr("shiftleft(cast(1 AS bigint), cast(bit AS int))"))
-          .otherwise(0L).as("bitval"))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
-    sim.select(col("doc_id"), col("simhash"),
+    val voteCols = (0 until 60).map(b =>
+      sum(expr(s"shiftright(h, $b)") % 2 * 2 - 1).as(s"v$b"))
+    val simhash = (0 until 60).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L): Column)
+      .reduce(_ + _)
+    tk.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).select(col("doc_id"), col("simhash"),
       (col("simhash") % 32768).as("band0"),
       (shiftright(col("simhash"), 15) % 32768).as("band1"),
       (shiftright(col("simhash"), 30) % 32768).as("band2"),
       (shiftright(col("simhash"), 45) % 32768).as("band3"))
-  }
 
   val dedupSimhashSql: String =
     s"""WITH $tokensSql,
@@ -266,7 +272,7 @@ object Dedup {
 
   def dedupSimhashPairs(spark: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
-    val sig = dedupSimhash(spark, dir).select("doc_id", "simhash")
+    val sig = simhashSig(spark, dir)
     val bands = sig.selectExpr("doc_id", "simhash",
       """stack(6,
         |  0L, shiftright(simhash,  0) % 1024,
