@@ -192,15 +192,78 @@ object FSeriesOps {
        |  round((sp*skk - sk*skp) / (n*skk - sk*sk), 6) + 0.0 AS intercept
        |FROM m""".stripMargin
 
+  /** psd_curvefit — reference core.py:999 (FSeries.curvefit). The
+    * reference takes an arbitrary scipy curve_fit callable; the
+    * Spark-native analogue fits a declared family deterministically:
+    * a Lorentzian power profile p(k) ≈ a / (1 + (k/k0)²) — the
+    * classic red-noise PSD knee — via a broadcast grid over the knee
+    * k0 with the amplitude a in closed form per (series, k0)
+    * (a = Σ p·g / Σ g², the exact LS optimum given k0), then argmin
+    * RSS. Two aggregations, one shuffle each, no driver iteration. */
+  def psdCurvefit(spark: SparkSession, dir: String): DataFrame = {
+    val knees = spark.range(1, 41).toDF("k0") // knee grid: k0 = 1..40
+    val g = lit(1.0) / (lit(1.0) + (col("k") / col("k0")) *
+      (col("k") / col("k0")))
+    val fits = Gls.psdDft(spark, dir)
+      .crossJoin(broadcast(knees))
+      .select(col("id"), col("k0"), col("power"), g.as("g"))
+      .groupBy("id", "k0")
+      .agg((sum(col("power") * col("g")) / sum(col("g") * col("g"))).as("a"),
+        sum(col("power") * col("power")).as("spp"),
+        (sum(col("power") * col("g")) * sum(col("power") * col("g")) /
+          sum(col("g") * col("g"))).as("explained"))
+      // RSS(k0) = Σp² − (Σpg)²/Σg² at the optimal a. Rank on the
+      // DIMENSIONLESS unexplained fraction rss/Σp² rounded to 6 dp:
+      // raw rss magnitudes put summation-order FP noise at the
+      // rounding granularity, the ratio keeps it ~1e-15.
+      .select(col("id"), col("k0"), col("a"),
+        ((col("spp") - col("explained")) / col("spp")).as("rfrac"))
+    val wr = Window.partitionBy("id")
+      .orderBy(round(col("rfrac"), 6).asc, col("k0").asc)
+    fits.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("k0").as("knee_k"),
+        (round(col("a"), 3) + lit(0.0)).as("amplitude"))
+  }
+
+  val psdCurvefitSql: String =
+    s"""WITH psd AS (${Gls.psdDftSql}),
+       |fits AS (SELECT id, k0.k0,
+       |    sum(power * (1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                        * (k/cast(k0.k0 AS double)))))
+       |      / sum((1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                        * (k/cast(k0.k0 AS double))))
+       |            * (1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                        * (k/cast(k0.k0 AS double))))) AS a,
+       |    (sum(power*power)
+       |      - sum(power * (1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                            * (k/cast(k0.k0 AS double)))))
+       |        * sum(power * (1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                            * (k/cast(k0.k0 AS double)))))
+       |        / sum((1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                        * (k/cast(k0.k0 AS double))))
+       |              * (1.0/(1.0 + (k/cast(k0.k0 AS double))
+       |                        * (k/cast(k0.k0 AS double))))))
+       |      / sum(power*power) AS rfrac
+       |  FROM psd CROSS JOIN generate_series(1, 40) AS k0(k0)
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT id, k0, a, row_number() OVER (
+       |    PARTITION BY id ORDER BY round(rfrac, 6) ASC, k0 ASC) AS rn
+       |  FROM fits)
+       |SELECT id, k0 AS knee_k, round(a, 3) + 0.0 AS amplitude
+       |FROM rk WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gls_peak_prominence" -> (glsPeakProminence _),
     "gls_best_prominence" -> (glsBestProminence _),
     "psd_ifft" -> (psdIfft _),
-    "psd_polyfit" -> (psdPolyfit _))
+    "psd_polyfit" -> (psdPolyfit _),
+    "psd_curvefit" -> (psdCurvefit _))
 
   val oracles: Map[String, String] = Map(
     "gls_peak_prominence" -> glsPeakProminenceSql,
     "gls_best_prominence" -> glsBestProminenceSql,
     "psd_ifft" -> psdIfftSql,
-    "psd_polyfit" -> psdPolyfitSql)
+    "psd_polyfit" -> psdPolyfitSql,
+    "psd_curvefit" -> psdCurvefitSql)
 }

@@ -40,6 +40,25 @@ object StreamingOps {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
 
+  /** Stream–stream interval join — the streaming twin of the batch
+    * as-of enrichment (plans/AsOf.scala): every purchase joins the
+    * clicks of the SAME user in the preceding hour. Both sides are
+    * watermarked so Spark bounds the join state (a click older than
+    * its watermark + the interval can never match and is evicted) —
+    * the canonical Structured Streaming interval-join shape. */
+  def purchaseClickJoin(purchases: Dataset[Event],
+      clicks: Dataset[Event]): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   /** Gap-based sessionization (30 min inactivity closes a session) —
     * the streaming twin of the batch `events_sessionize` query. Emits
     * one row per closed session; processing-time timeout flushes the

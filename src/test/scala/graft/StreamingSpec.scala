@@ -64,6 +64,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet == Set("alpha beta", "gamma", "delta"))
   }
 
+  test("stream-stream interval join matches clicks in the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    purchases.addData(Event(100, ts(30), 1, "purchase", 9.99))
+    clicks.addData(
+      Event(1, ts(5), 1, "click", 0.0),  // 25 min before: match
+      Event(2, ts(29), 1, "click", 0.0), // 1 min before: match
+      Event(3, ts(31), 1, "click", 0.0), // AFTER the purchase: no match
+      Event(4, ts(10), 2, "click", 0.0)) // other user: no match
+    val q = StreamingOps.purchaseClickJoin(purchases.toDS(), clicks.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("joined_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT c_ts FROM joined_out ORDER BY c_ts").collect()
+    assert(rows.length == 2, s"expected 2 matched clicks, got ${rows.length}")
+    assert(rows.map(_.getTimestamp(0)).toSeq == Seq(ts(5), ts(29)))
+  }
+
   test("stateful sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
