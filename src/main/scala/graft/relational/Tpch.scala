@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic relational analytics over the star schema — exercises the
@@ -76,6 +77,43 @@ object Tpch {
       |HAVING round(cast(sum(cast(l_extendedprice * (1.0 - l_discount)
       |       AS decimal(30,6))) AS double), 4) > 50000.0""".stripMargin
 
+  // q10_returns — revenue lost to returned items per customer (TPC-H
+  // Q10 shape): lineitem(R) ⋈ orders ⋈ customer ⋈ nation, top 20 by
+  // revenue. The returnflag predicate prunes the fact FIRST; customer
+  // and nation broadcast; the top-k is a rank over the aggregated
+  // (small) result — deterministic via rounded revenue + custkey.
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val cust = Tables.table(spark, dir, "customer")
+    val ord = Tables.table(spark, dir, "orders")
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val agg = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,6)")).cast("double"), 4).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("c_custkey").asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+  }
+
+  val q10ReturnsSql: String =
+    """WITH agg AS (SELECT c_custkey, c_name, n_name,
+      |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+      |        AS decimal(30,6))) AS double), 4) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_custkey, c_name, n_name, revenue, cast(rank AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        ORDER BY revenue DESC, c_custkey ASC) AS rank FROM agg)
+      |WHERE rank <= 20""".stripMargin
+
   // q5_region_rev — revenue by nation within a region (TPC-H Q5
   // shape, adapted: no c_nationkey=s_nationkey colocation constraint
   // since supplier assignment is synthetic). All dims broadcast.
@@ -131,11 +169,13 @@ object Tpch {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region_rev" -> (q5RegionRev _),
-    "q6_selective" -> (q6Selective _))
+    "q6_selective" -> (q6Selective _),
+    "q10_returns" -> (q10Returns _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_region_rev" -> q5RegionRevSql,
-    "q6_selective" -> q6SelectiveSql)
+    "q6_selective" -> q6SelectiveSql,
+    "q10_returns" -> q10ReturnsSql)
 }
