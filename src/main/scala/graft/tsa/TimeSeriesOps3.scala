@@ -35,7 +35,9 @@ object TimeSeriesOps3 {
     val den = (-R to R).map(o => when(tap(o).isNotNull, lit(gw(o)))
       .otherwise(lit(0.0))).reduce(_ + _)
     Tables.series(spark, dir)
-      .withColumn("y_smooth", round(num / den, 6))
+      // + 0.0 normalizes IEEE signed zero after the round (a smoothed
+      // value in (-5e-7, 0) rounds to -0.0 in DuckDB but +0.0 in Spark)
+      .withColumn("y_smooth", round(num / den, 6) + lit(0.0))
       .select("id", "eid", "y_smooth")
   }
 
@@ -58,7 +60,7 @@ object TimeSeriesOps3 {
        |  $defs
        |  FROM s WINDOW win AS (PARTITION BY id ORDER BY t, eid))
        |SELECT id, eid,
-       |  round(($num) / ($den), 6) AS y_smooth
+       |  round(($num) / ($den), 6) + 0.0 AS y_smooth
        |FROM v""".stripMargin
   }
 
