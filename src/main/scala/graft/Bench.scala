@@ -30,8 +30,11 @@ object Bench {
     graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir).persist().count()
     graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count()
     graft.dedup.Dedup.warm(spark, sfDir)
-    // ceemdan feeds ceemdan_orthogonality via a self-join (the plan
-    // appears twice) — persist so CacheManager substitutes both sides
+    // ceemdan_orthogonality is a single-pass mode pivot over the same
+    // ceemdan mapGroups plan — persist one instance so CacheManager
+    // substitutes it into both the standalone ceemdan query and the
+    // pivot (relies on the perSeries lambda being a capture-free
+    // cached instance, so the two plans stay canonically equal)
     graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count()
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -65,6 +68,8 @@ object Bench {
       name -> times(times.size / 2)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
+    // bound executor memory for anything running after the suite
+    spark.sharedState.cacheManager.clearCache()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

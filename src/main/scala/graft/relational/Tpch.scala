@@ -80,15 +80,18 @@ object Tpch {
   // q10_returns — revenue lost to returned items per customer (TPC-H
   // Q10 shape): lineitem(R) ⋈ orders ⋈ customer ⋈ nation, top 20 by
   // revenue. The returnflag predicate prunes the fact FIRST; customer
-  // and nation broadcast; the top-k is a rank over the aggregated
-  // (small) result — deterministic via rounded revenue + custkey.
+  // and nation broadcast. orders is a fact table (~SF×1.5M rows) so it
+  // carries no broadcast hint — AQE picks broadcast when the pruned
+  // side is small enough and shuffle-hash/sort-merge at cluster scale.
+  // The top-k is a rank over the aggregated (small) result —
+  // deterministic via rounded revenue + custkey.
   def q10Returns(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.table(spark, dir, "nation")
     val cust = Tables.table(spark, dir, "customer")
     val ord = Tables.table(spark, dir, "orders")
     val li = Tables.table(spark, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
-    val agg = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")

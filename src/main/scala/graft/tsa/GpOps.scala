@@ -86,7 +86,7 @@ object GpOps {
   private def gridMap(spark: SparkSession, dir: String)(
       kernel: (Double, Double) => Double => Double): DataFrame =
     SeriesOps.perSeries(spark, dir) { (id, t0, y0) =>
-      val stride = math.max(1, t0.length / 200)
+      val stride = (t0.length + 199) / 200
       val idx = t0.indices.by(stride).toArray
       val t = idx.map(t0)
       val yRaw = idx.map(y0)
