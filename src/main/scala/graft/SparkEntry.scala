@@ -29,6 +29,7 @@ object SparkEntry {
       spectral.GlsBootstrap.queries ++
       relational.EventsOps.queries ++
       plans.AsOf.queries ++
+      plans.AsOfNative.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       spectral.Wavelet.oracles ++
       relational.EventsOps.oracles ++
       plans.AsOf.oracles ++
+      plans.AsOfNative.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
