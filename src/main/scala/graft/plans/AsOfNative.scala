@@ -177,6 +177,18 @@ object AsOfNative {
     val ex = spark.experimental
     if (!ex.extraStrategies.contains(AsOfJoinStrategy))
       ex.extraStrategies = ex.extraStrategies :+ AsOfJoinStrategy
+    if (!ex.extraOptimizations.contains(AsOfKeyPushdown)) {
+      // extraOptimizations run as the LAST optimizer batch (fixed
+      // point over just these rules), after the standard pushdown
+      // batch is done — so pair the as-of rule with Catalyst's own
+      // PushDownPredicates to carry the re-positioned filter the rest
+      // of the way to the scan. Builder-time injection
+      // (GraftExtensions) lands in the operator-optimization batch
+      // instead and needs no companion.
+      ex.extraOptimizations = ex.extraOptimizations ++
+        Seq(AsOfKeyPushdown,
+          org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
+    }
   }
 
   /** Left as-of join with the same surface as [[AsOf.join]]: for every

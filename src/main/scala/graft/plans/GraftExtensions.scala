@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * equivalent runtime path is [[AsOfNative.ensureRegistered]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfNative.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfKeyPushdown)
+  }
 }

@@ -39,6 +39,35 @@ class AsOfNativeSpec extends AnyFunSuite {
       compose.filter(col("asof_purchase_value").isNull).count())
   }
 
+  test("AsOfKeyPushdown pushes key predicates into both parquet scans") {
+    import org.apache.spark.sql.functions._
+    val native = AsOfNative.eventsAsofNative(spark, dir)
+      .filter(col("id") === 3L)
+    val compose = AsOf.eventsAsofPurchase(spark, dir)
+      .filter(col("id") === 3L)
+    assert(native.count() == compose.count())
+    assert(native.exceptAll(compose).count() == 0)
+    // the filter must reach the scans: both sides' PushedFilters carry
+    // the user_id predicate (id aliases user_id below the as-of node)
+    val planStr = native.queryExecution.executedPlan.toString
+    val pushedScans = planStr.split("PushedFilters: ").drop(1)
+      .count(_.takeWhile(_ != ']').contains("EqualTo(user_id,3)"))
+    assert(pushedScans == 2,
+      s"expected user_id pushdown in both scans:\n$planStr")
+    // and no Filter may remain above the as-of exec
+    def unwrapA(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val above = unwrapA(native.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.collectFirst { case e: AsOfNative.AsOfJoinExec => e }.isDefined
+        => f
+    }
+    assert(above.isEmpty, s"residual filter above AsOfJoinExec:\n$planStr")
+  }
+
   test("physical plan: AsOfJoinExec with one exchange per side") {
     val df = AsOfNative.eventsAsofNative(spark, dir)
     df.count() // finalize AQE so the executed plan is the real one
