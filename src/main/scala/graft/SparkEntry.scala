@@ -30,6 +30,7 @@ object SparkEntry {
       relational.EventsOps.queries ++
       plans.AsOf.queries ++
       plans.AsOfNative.queries ++
+      plans.RangeJoin.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       relational.EventsOps.oracles ++
       plans.AsOf.oracles ++
       plans.AsOfNative.oracles ++
+      plans.RangeJoin.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
