@@ -21,24 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object GpOps {
 
-  /** SHO covariance at lag tau for (S0, w0, Q). */
-  private def sho(s0: Double, w0: Double, q: Double)(tau: Double): Double = {
-    val x = math.abs(tau)
+  /** SHO covariance for (S0, w0, Q), returned as a lag function with
+    * every lag-independent constant hoisted: the result is evaluated
+    * n²/2 × periods × series times, so the body must be a handful of
+    * libm calls with NO allocation (a curried `def` here would rebuild
+    * the constants and two closure objects per matrix element — the
+    * dominant cost of the original implementation). */
+  private def sho(s0: Double, w0: Double, q: Double): Double => Double = {
+    val amp = s0 * w0 * q
     if (q >= 0.5) {
-      val damp = math.exp(-w0 * x / (2.0 * q))
+      val c = w0 / (2.0 * q)
       val eta = math.sqrt(math.max(1.0 - 1.0 / (4.0 * q * q), 1e-14))
-      s0 * w0 * q * damp *
-        (math.cos(eta * w0 * x) + math.sin(eta * w0 * x) / (2.0 * eta * q))
+      val ew = eta * w0
+      val sc = 1.0 / (2.0 * eta * q)
+      tau => {
+        val x = math.abs(tau)
+        amp * math.exp(-c * x) * (math.cos(ew * x) + sc * math.sin(ew * x))
+      }
     } else {
       // exact two-exponential form: cosh/sinh would overflow long
       // before the e^{-damp} factor cancels (η w0 x ≫ 700 at strongly
       // overdamped Q), and both exponents a±b here are always ≤ 0
       val eta = math.sqrt(1.0 / (4.0 * q * q) - 1.0)
-      val b = w0 * x / (2.0 * q)
-      val a = eta * w0 * x
-      s0 * w0 * q *
-        (math.exp(a - b) * (0.5 + 1.0 / (4.0 * eta * q)) +
-          math.exp(-a - b) * (0.5 - 1.0 / (4.0 * eta * q)))
+      val cb = w0 / (2.0 * q)
+      val ca = eta * w0
+      val p1 = 0.5 + 1.0 / (4.0 * eta * q)
+      val p2 = 0.5 - 1.0 / (4.0 * eta * q)
+      tau => {
+        val x = math.abs(tau)
+        amp * (math.exp((ca - cb) * x) * p1 + math.exp((-ca - cb) * x) * p2)
+      }
     }
   }
 
@@ -46,7 +58,7 @@ object GpOps {
     * period (damping tau = 10·period, the reference's prior center)
     * mixed with a strongly-overdamped background (Q = 0.01). */
   private def brownianKernel(varY: Double, period: Double)
-      (tau: Double): Double = {
+      : Double => Double = {
     // graft grid-MAP conventions: 60% of the variance in the periodic
     // SHO (damping 3 periods), 40% in the overdamped background — the
     // period must explain the oscillation, the background only the
@@ -59,7 +71,9 @@ object GpOps {
     val f = math.sqrt(1.0 - 4.0 * q2 * q2)
     val w2 = 2.0 * q2 / ((3.0 * period) * (1.0 - f))
     val s2 = (1.0 - mix) * varY / (0.5 * w2 * q2 * (1.0 + 1.0 / f))
-    sho(s1, w1, q1)(tau) + sho(s2, w2, q2)(tau)
+    val f1 = sho(s1, w1, q1)
+    val f2 = sho(s2, w2, q2)
+    tau => f1(tau) + f2(tau)
   }
 
   /** RotationTerm (celerite2 docs; reference HarmonicGP gp.py:521-539):
@@ -67,7 +81,7 @@ object GpOps {
     * amplitude ratio f. Fixed shape hyperparameters Q0 = e, dQ = e²,
     * f = 0.5 (the reference's prior medians). */
   private def harmonicKernel(varY: Double, period: Double)
-      (tau: Double): Double = {
+      : Double => Double = {
     val q0 = math.exp(1.0)
     val dq = math.exp(2.0)
     val fr = 0.1 // weak first harmonic: keeps P vs 2P non-degenerate
@@ -78,7 +92,9 @@ object GpOps {
     val q2 = 0.5 + q0
     val w2 = 8.0 * math.Pi * q2 / (period * math.sqrt(4.0 * q2 * q2 - 1.0))
     val s2 = fr * amp / (w2 * q2)
-    sho(s1, w1, q1)(tau) + sho(s2, w2, q2)(tau)
+    val f1 = sho(s1, w1, q1)
+    val f2 = sho(s2, w2, q2)
+    tau => f1(tau) + f2(tau)
   }
 
   /** Shared grid-MAP harness: subsample to ≤200 points, demean, scan
@@ -100,9 +116,19 @@ object GpOps {
         val results = (1 to 20).map { j =>
           val p = j * 43200.0 // 12 h .. 10 d
           val kf = kernel(varY, p)
-          val k = Array.tabulate(n, n) { (a, b) =>
-            kf(t(a) - t(b)) +
-              (if (a == b) noise + 1e-9 * varY else 0.0)
+          // kernels are even in tau: fill the lower triangle and mirror
+          val k = Array.ofDim[Double](n, n)
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b <= a) {
+              val v = kf(t(a) - t(b))
+              k(a)(b) = v
+              k(b)(a) = v
+              b += 1
+            }
+            k(a)(a) += noise + 1e-9 * varY
+            a += 1
           }
           val l = SeriesMath.cholesky(k)
           if (l == null) (p, Double.NegativeInfinity)

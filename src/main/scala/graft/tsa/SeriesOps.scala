@@ -159,7 +159,7 @@ object SeriesOps {
   // -------------------------------------------------------------------
   def gpPeriodMap(spark: SparkSession, dir: String): DataFrame =
     perSeries(spark, dir) { (id, t0, y0) =>
-      val stride = math.max(1, t0.length / 200)
+      val stride = (t0.length + 199) / 200
       val idx = t0.indices.by(stride).toArray
       val t = idx.map(t0)
       val yRaw = idx.map(y0)
@@ -172,12 +172,24 @@ object SeriesOps {
         val noise = 0.2 * varY
         val results = (1 to 20).map { j =>
           val p = j * 43200.0 // 12 h .. 10 d
+          val wp = math.Pi / p
           val ell = 3.0 * p
-          val k = Array.tabulate(n, n) { (a, b) =>
-            val d = t(a) - t(b)
-            val s = math.sin(math.Pi * d / p)
-            varY * math.exp(-5.0 * s * s - d * d / (2.0 * ell * ell)) +
-              (if (a == b) noise + 1e-9 * varY else 0.0)
+          val il2 = 1.0 / (2.0 * ell * ell)
+          // kernel is even in d: fill the lower triangle and mirror
+          val k = Array.ofDim[Double](n, n)
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b <= a) {
+              val d = t(a) - t(b)
+              val s = math.sin(wp * d)
+              val v = varY * math.exp(-5.0 * s * s - d * d * il2)
+              k(a)(b) = v
+              k(b)(a) = v
+              b += 1
+            }
+            k(a)(a) += noise + 1e-9 * varY
+            a += 1
           }
           val l = SeriesMath.cholesky(k)
           if (l == null) (p, Double.NegativeInfinity)
