@@ -55,4 +55,45 @@ class SourcesSpec extends AnyFunSuite {
       plan.contains("PartitionFilters: [(etype"),
       s"partition pruning missing in plan:\n$plan")
   }
+
+  test("bucketed tables join with no shuffle on either side") {
+    // The 100 TB co-location story: facts bucketed on the join key at
+    // write time join WITHOUT an exchange — the join reads bucket i of
+    // both tables in the same task. Broadcast is disabled so the test
+    // exercises the bucketed sort-merge path, not a small-table
+    // shortcut.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    Tables.table(spark, dir, "lineitem")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/li").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.table(spark, dir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/ord").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE exchange: the post-join groupBy. The join itself
+      // must read co-located buckets with no hashpartitioning below.
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the agg exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("SelectedBucketsCount") ||
+        plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
 }
