@@ -59,6 +59,48 @@ object StreamingOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  case class AsOfOut(user_id: Long, eid: Long, t: Long,
+      asof_t: Option[Long], asof_value: Option[Double])
+
+  // latest reference row seen per key (codegen-visible, see SessState)
+  private[streaming] case class RefState(pt: Long, value: Double)
+
+  /** Streaming as-of enrichment — the stateful twin of the native
+    * batch as-of join (plans/AsOfNative.scala): every probe event is
+    * enriched with the most recent reference row (purchase) at or
+    * before its time for the same key. Keyed state holds ONE row (the
+    * latest reference) per user — O(keys) state, no buffering of the
+    * probe stream. Within a micro-batch rows are processed in event-
+    * time order with references winning ties, so in-order streams get
+    * exact as-of semantics; late references only affect later batches
+    * (the standard enrich-with-latest-state trade-off — exact
+    * retro-correction would require buffering probes by watermark). */
+  def asofEnrich(probes: Dataset[Event],
+      refs: Dataset[Event]): Dataset[AsOfOut] = {
+    import probes.sparkSession.implicits._
+    val tagged = probes.map(e =>
+        (e.user_id, e.ts.getTime / 1000, false, e.value, e.event_id))
+      .union(refs.map(e =>
+        (e.user_id, e.ts.getTime / 1000, true, e.value, e.event_id)))
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[RefState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Boolean, Double, Long)],
+            state: GroupState[RefState]) =>
+          // refs sort before probes at equal t (same tie rule as batch)
+          val sorted = rows.toSeq.sortBy(r => (r._2, !r._3, r._5))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { r =>
+            if (r._3) cur = Some(RefState(r._2, r._4))
+            else out += AsOfOut(uid, r._5, r._2,
+              cur.map(_.pt), cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization (30 min inactivity closes a session) —
     * the streaming twin of the batch `events_sessionize` query. Emits
     * one row per closed session; processing-time timeout flushes the

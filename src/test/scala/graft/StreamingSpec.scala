@@ -110,4 +110,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n_events") == 3)
     assert(rows(0).getAs[Double]("sum_value") == 3.0)
   }
+
+  test("streaming as-of enrichment carries the latest reference across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[Event]
+    val refs = MemoryStream[Event]
+    // batch 1: purchase at min 5; probes at min 3 (before any ref ->
+    // null match) and min 10 (matches the min-5 purchase)
+    probes.addData(
+      Event(1, ts(3), 1, "click", 0.0),
+      Event(2, ts(10), 1, "click", 0.0))
+    refs.addData(Event(100, ts(5), 1, "purchase", 9.99))
+    // default microbatch trigger: AvailableNow would terminate after
+    // the first batch and drop the cross-batch state assertion
+    val q = StreamingOps.asofEnrich(probes.toDS(), refs.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .start()
+    q.processAllAvailable()
+    // batch 2: newer purchase at min 20; probes at min 19 (still the
+    // min-5 purchase, held in state from batch 1) and min 25 (new one)
+    probes.addData(
+      Event(3, ts(19), 1, "click", 0.0),
+      Event(4, ts(25), 1, "click", 0.0))
+    refs.addData(Event(101, ts(20), 1, "purchase", 19.99))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM asof_out ORDER BY eid").collect()
+    assert(rows.length == 4)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("asof_t")))
+    assert(rows(1).getAs[Double]("asof_value") == 9.99)
+    assert(rows(2).getAs[Double]("asof_value") == 9.99)
+    assert(rows(3).getAs[Double]("asof_value") == 19.99)
+  }
 }
