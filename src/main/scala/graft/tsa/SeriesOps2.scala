@@ -314,9 +314,19 @@ object SeriesOps2 {
     * mapGroups plan twice (closure identity defeats cache
     * substitution), so instead pivot the ≤4 modes to columns and emit
     * every pair correlation from ONE aggregation pass. */
-  def ceemdanOrthogonality(spark: SparkSession, dir: String): DataFrame = {
+  def ceemdanOrthogonality(spark: SparkSession, dir: String): DataFrame =
+    orthogonalityOf(ceemdan(spark, dir))
+
+  /** ceemdan_c_orthogonality — reference decomposition.py:361-374
+    * (c_orthogonality_matrix): the same pairwise mode correlation over
+    * the POST-PROCESSED modes — a pure compose over ceemdan_post, so
+    * in Bench the persisted ceemdan plan serves this whole chain. */
+  def ceemdanCOrthogonality(spark: SparkSession, dir: String): DataFrame =
+    orthogonalityOf(ceemdanPost(spark, dir))
+
+  private def orthogonalityOf(modesDf: DataFrame): DataFrame = {
     val maxModes = 4
-    val piv = ceemdan(spark, dir)
+    val piv = modesDf
       .groupBy("id", "t")
       .pivot("mode", 0 until maxModes)
       .agg(first("y"))
@@ -537,6 +547,7 @@ object SeriesOps2 {
     "ceemdan" -> (ceemdan _),
     "ceemdan_post" -> (ceemdanPost _),
     "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
+    "ceemdan_c_orthogonality" -> (ceemdanCOrthogonality _),
     "acf_period_quality" -> (acfPeriodQuality _),
     "gaussian_prior" -> (gaussianPrior _),
     "ts_denoise" -> (tsDenoise _))
