@@ -40,6 +40,7 @@ object SparkEntry {
     tsa.TimeSeriesOps.oracles ++
       tsa.TimeSeriesOps2.oracles ++
       tsa.TimeSeriesOps3.oracles ++
+      tsa.GpOps.oracles ++
       spectral.Gls.oracles ++
       spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++

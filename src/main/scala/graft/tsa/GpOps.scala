@@ -1,6 +1,6 @@
 package graft.tsa
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Brownian- and Harmonic-kernel GP period maps plus the HHT
@@ -200,9 +200,91 @@ object GpOps {
       }
     }.toDF("id", "t", "upper", "lower")
 
+  // -------------------------------------------------------------------
+  // gp_psd — reference gp.py (CeleriteModeler.get_psd): the analytic
+  // PSD of the SHO kernel family,
+  //   S(ω) = √(2/π) · S0·ω0⁴ / ((ω²−ω0²)² + ω0²ω²/Q²),
+  // for the harmonic (RotationTerm) kernel evaluated at the series'
+  // ACF-estimated period. Unlike the grid-MAP queries this is fully
+  // declarative (acf_best_period ⋈ exact-cents variance × broadcast
+  // period grid → closed-form arithmetic), so it carries a real DuckDB
+  // oracle — the one GP-family output under the hash gate.
+  // -------------------------------------------------------------------
+  def gpPsd(spark: SparkSession, dir: String): DataFrame = {
+    val best = TimeSeriesOps.acfBestPeriod(spark, dir)
+      .select("id", "best_period")
+    // exact-cents population variance: integer sums then identical
+    // double arithmetic on both sides -> bit-exact pre-libm inputs
+    val c = round(col("y") * 100.0, 0).cast("long")
+    val varDf = graft.Tables.series(spark, dir)
+      .groupBy("id")
+      .agg(((sum(c * c).cast("double") / count(lit(1)) -
+        (sum(c).cast("double") / count(lit(1))) *
+          (sum(c).cast("double") / count(lit(1)))) / 10000.0).as("var_y"))
+    val grid = spark.range(1, 21).select(col("id").as("j"))
+    val p = col("best_period")
+    val fr = lit(0.1)
+    val amp = col("var_y") / (lit(1.0) + fr)
+    val q1 = lit(0.5) + exp(lit(1.0)) + exp(lit(2.0))
+    val w1 = lit(4.0) * lit(math.Pi) * q1 /
+      (p * sqrt(lit(4.0) * q1 * q1 - lit(1.0)))
+    val s1 = amp / (w1 * q1)
+    val q2 = lit(0.5) + exp(lit(1.0))
+    val w2 = lit(8.0) * lit(math.Pi) * q2 /
+      (p * sqrt(lit(4.0) * q2 * q2 - lit(1.0)))
+    val s2 = fr * amp / (w2 * q2)
+    val om = lit(2.0) * lit(math.Pi) / (col("j").cast("double") * lit(43200.0))
+    def shoPsd(s: Column, w: Column, q: Column): Column = {
+      val d = om * om - w * w
+      s * ((w * w) * (w * w)) / (d * d + w * w * om * om / (q * q))
+    }
+    best.join(varDf, "id").crossJoin(broadcast(grid))
+      .select(col("id"),
+        (col("j").cast("double") * lit(43200.0)).as("p_grid"),
+        round(log10(sqrt(lit(2.0) / lit(math.Pi)) *
+          (shoPsd(s1, w1, q1) + shoPsd(s2, w2, q2))), 6).as("log10_psd"))
+  }
+
+  val gpPsdSql: String =
+    s"""WITH best AS (${TimeSeriesOps.acfBestPeriodSql}),
+       |vs AS (SELECT id,
+       |  (cast(sum(c*c) AS double)/count(*)
+       |   - (cast(sum(c) AS double)/count(*))
+       |     * (cast(sum(c) AS double)/count(*)))/10000.0 AS var_y
+       |  FROM (SELECT user_id AS id,
+       |          cast(round(value*100.0) AS BIGINT) AS c FROM events)
+       |  GROUP BY id),
+       |grid AS (SELECT j FROM generate_series(1, 20) AS t(j)),
+       |k AS (SELECT best.id, best.best_period AS p, vs.var_y,
+       |  var_y/1.1 AS amp,
+       |  0.5 + exp(1.0) + exp(2.0) AS q1,
+       |  0.5 + exp(1.0) AS q2
+       |  FROM best JOIN vs ON best.id = vs.id),
+       |kk AS (SELECT id, p, amp, q1, q2,
+       |  4.0*pi()*q1/(p*sqrt(4.0*q1*q1 - 1.0)) AS w1,
+       |  8.0*pi()*q2/(p*sqrt(4.0*q2*q2 - 1.0)) AS w2
+       |  FROM k),
+       |kkk AS (SELECT id, p, q1, q2, w1, w2,
+       |  amp/(w1*q1) AS s1, 0.1*amp/(w2*q2) AS s2 FROM kk)
+       |SELECT kkk.id,
+       |  cast(grid.j AS double)*43200.0 AS p_grid,
+       |  round(log10(sqrt(2.0/pi()) * (
+       |    s1*((w1*w1)*(w1*w1)) /
+       |      ((om*om - w1*w1)*(om*om - w1*w1) + w1*w1*om*om/(q1*q1))
+       |    + s2*((w2*w2)*(w2*w2)) /
+       |      ((om*om - w2*w2)*(om*om - w2*w2) + w2*w2*om*om/(q2*q2))
+       |  )), 6) AS log10_psd
+       |FROM kkk CROSS JOIN (SELECT j,
+       |  2.0*pi()/(cast(j AS double)*43200.0) AS om FROM grid) grid
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gp_brownian_map" -> (gpBrownianMap _),
     "gp_harmonic_map" -> (gpHarmonicMap _),
+    "gp_psd" -> (gpPsd _),
     "hht_spectrogram" -> (hhtSpectrogram _),
     "ts_envelope" -> (tsEnvelope _))
+
+  val oracles: Map[String, String] = Map(
+    "gp_psd" -> gpPsdSql)
 }

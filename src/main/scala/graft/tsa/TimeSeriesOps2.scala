@@ -171,6 +171,40 @@ object TimeSeriesOps2 {
        |FROM s JOIN t0 USING (id)""".stripMargin
 
   // -------------------------------------------------------------------
+  // ts_roll — reference core.py (Signal.roll): numpy-style circular
+  // shift of the value axis by k samples per series. Rank within the
+  // series, then self-join rank -> (rank-1+k) mod n + 1 — both sides
+  // of the join share the (id)-keyed exchange, and the rolled pairing
+  // is deterministic via the (t, eid) rank order.
+  // -------------------------------------------------------------------
+  val RollK = 3
+
+  def tsRoll(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("t", "eid")
+    val ranked = Tables.series(spark, dir)
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val src = ranked.select(col("id").as("id2"), col("r").as("r2"),
+      col("y").as("y_roll"))
+    ranked.join(src, col("id") === col("id2") &&
+        ((col("r") - 1 + RollK) % col("n")) + 1 === col("r2"))
+      .select(col("id"), col("eid"), col("y_roll"))
+  }
+
+  val tsRollSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |ranked AS (SELECT id, eid, y,
+       |  cast(row_number() OVER (PARTITION BY id ORDER BY t, eid)
+       |    AS BIGINT) AS r,
+       |  cast(count(*) OVER (PARTITION BY id) AS BIGINT) AS n
+       |  FROM s)
+       |SELECT a.id, a.eid, b.y AS y_roll
+       |FROM ranked a JOIN ranked b
+       |  ON a.id = b.id AND ((a.r - 1 + $RollK) % a.n) + 1 = b.r""".stripMargin
+
+  // -------------------------------------------------------------------
   // ts_stats_by_type — the series data model generalizes to compound
   // keys: (user, event_type) as the series identity. Same one-pass
   // profile as ts_stats, keyed twice.
@@ -195,6 +229,7 @@ object TimeSeriesOps2 {
     "psd_downsample" -> (psdDownsample _),
     "ts_teo_instfreq" -> (tsTeoInstfreq _),
     "ts_transform" -> (tsTransform _),
+    "ts_roll" -> (tsRoll _),
     "ts_stats_by_type" -> (tsStatsByType _))
 
   val oracles: Map[String, String] = Map(
@@ -202,5 +237,6 @@ object TimeSeriesOps2 {
     "psd_downsample" -> psdDownsampleSql,
     "ts_teo_instfreq" -> tsTeoInstfreqSql,
     "ts_transform" -> tsTransformSql,
+    "ts_roll" -> tsRollSql,
     "ts_stats_by_type" -> tsStatsByTypeSql)
 }
