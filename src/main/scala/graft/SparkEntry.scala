@@ -45,6 +45,7 @@ object SparkEntry {
       spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++
       spectral.Wavelet.oracles ++
+      spectral.GlsBootstrap.oracles ++
       relational.EventsOps.oracles ++
       plans.AsOf.oracles ++
       plans.AsOfNative.oracles ++

@@ -356,17 +356,98 @@ object Dedup {
        |JOIN cnt n2 ON n2.doc_id = id2
        |WHERE round(cast(ninter AS double) / (n1.n + n2.n - ninter), 4) >= 0.05""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_clusters — connected components over the verified near-dup
+  // pairs (jaccard ≥ ClusterTau): the dedup ENDGAME. Emitting pairs is
+  // not enough to deduplicate a corpus — near-dup relations are not
+  // transitive per-pair, so production pipelines cluster the pair graph
+  // and keep one canonical doc per component. cluster_id = min doc_id
+  // reachable, computed by iterative min-label propagation (the Pregel
+  // / GraphX connected-components algorithm): each round every node
+  // takes the min of its own label and its neighbors' labels; converges
+  // in O(component diameter) rounds — near-dup clusters are shallow
+  // (diameter ≪ 10), and the driver-side loop runs one Spark job per
+  // round with NO data ever collected to the driver. At 100 TB: each
+  // round is one shuffle keyed by node id over (edges ⋈ labels);
+  // persist the frontier, unpersist the previous round, and checkpoint
+  // every ~5 rounds to truncate lineage (persist-swap suffices here).
+  // Oracle: DuckDB recursive CTE propagating labels to fixpoint (UNION
+  // dedups states, so it terminates) — same min-reachable-id semantics.
+  // -------------------------------------------------------------------
+  val ClusterTau = 0.5
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+      .filter(col("jaccard") >= ClusterTau)
+      .select("id1", "id2")
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    val wc = Window.partitionBy("cluster_id")
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id1, c.id2, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.id1
+       |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2),
+       |pj AS (SELECT c.id1, c.id2,
+       |  round(cast(coalesce(i.ninter, 0) AS double)
+       |        / (n1.n + n2.n - coalesce(i.ninter, 0)), 4) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+       |  JOIN cnt n1 ON n1.doc_id = c.id1
+       |  JOIN cnt n2 ON n2.doc_id = c.id2),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM pj WHERE jaccard >= $ClusterTau
+       |      UNION ALL
+       |      SELECT id2, id1 FROM pj WHERE jaccard >= $ClusterTau),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id,
+       |  count(*) OVER (PARTITION BY min(lbl)) AS cluster_size
+       |FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => dedupSimhashPairs(s, d)),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -1,116 +1,225 @@
 package graft.spectral
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bootstrap false-alarm statistics for the GLS periodogram —
   * reference spectral.py:140-163 (GLS.bootstrap / fap / fal): resample
-  * the values (keeping the time stamps), take each replicate's maximum
-  * periodogram power, and read off the FAP of the observed best peak
-  * and the 95% false-alarm level. Resampling is splitmix64-seeded per
-  * (series, replicate) — deterministic cluster-wide. Rows-only oracle
-  * (sequential per-series bootstrap; not SQL-expressible).
+  * the values with replacement (keeping the time stamps), take each
+  * replicate's maximum periodogram power over a reduced frequency
+  * grid, and read off the FAP of the observed best peak plus the 95%
+  * false-alarm level (nearest-rank quantile).
+  *
+  * Fully declarative (round-6 rewrite of the former per-series
+  * mapGroups loop): the resample index is a stateless shared md5 hash
+  * `h60(id_b_i) mod n`, so the op sits under the full DuckDB hash
+  * gate instead of a rows-only check. Replicate b = 0 is the identity
+  * permutation (the observed series).
+  *
+  * Cost shape (the part that matters at 100 TB): the naive plan
+  * explodes series × (B+1) replicates × NF frequencies — a
+  * rows×1300 intermediate whose row-handling overhead dominates
+  * everything else. Instead, the NF per-frequency trig sums are
+  * UNROLLED as 2·NF aggregate expressions in ONE groupBy(id, b) pass
+  * over the rows×(B+1) resampled values (the same shape as the
+  * simhash bit votes): the partial aggregate carries 2·NF+2 doubles
+  * per replicate through the shuffle and no wide intermediate ever
+  * materializes. The frequency axis is unpivoted AFTER aggregation
+  * (39k → 1.95M tiny rows) for the Zechmeister–Kürster closed form.
+  * Signal-independent moments (C/S/C2/S2) aggregate once per series —
+  * not per replicate — with the double-angle terms from the
+  * identities c2 = c²−s², s2 = 2sc; demeaning folds into the closed
+  * form (Ch = avg(y·c) − ȳ·C, YY = avg(y²) − ȳ²), so no demean pass
+  * over the fan-out either.
   */
 object GlsBootstrap {
   private val B = 25 // bootstrap replicates
   private val NF = 50 // reduced frequency grid f_k = k/(30 d), k=1..NF
   private val DF = Gls.DF
+  // nearest-rank 95% quantile of B maxima, 1-based
+  private val FalRank = math.ceil(0.95 * B).toInt
 
-  private def nextLong(state0: Long): (Long, Long) = {
-    val state = state0 + 0x9e3779b97f4a7c15L
-    var z = state
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (state, z ^ (z >>> 31))
-  }
-
-  /** Max GLS power (fit_mean, uniform weights) over the reduced grid. */
-  private def maxPower(t: Array[Double], y: Array[Double]): Double = {
-    val n = t.length
-    val mean = y.sum / n
-    val yc = y.map(_ - mean)
-    var yy = 0.0
-    yc.foreach(v => yy += v * v)
-    yy /= n
-    var best = 0.0
-    var k = 1
-    while (k <= NF) {
-      val om = 2.0 * math.Pi * DF * k
-      var c = 0.0; var s = 0.0; var ch = 0.0; var sh = 0.0
-      var c2 = 0.0; var s2 = 0.0
-      var i = 0
-      while (i < n) {
-        val a = om * t(i)
-        val ca = math.cos(a); val sa = math.sin(a)
-        c += ca; s += sa
-        ch += yc(i) * ca; sh += yc(i) * sa
-        c2 += ca * ca - sa * sa // cos(2a)
-        s2 += 2.0 * sa * ca // sin(2a)
-        i += 1
-      }
-      c /= n; s /= n; ch /= n; sh /= n; c2 /= n; s2 /= n
-      val tan2 = (s2 - 2.0 * s * c) / (c2 - (c * c - s * s))
-      val c2w = 1.0 / math.sqrt(1.0 + tan2 * tan2)
-      val s2w = tan2 * c2w
-      val cw = math.sqrt(0.5) * math.sqrt(1.0 + c2w)
-      val sw = math.sqrt(0.5) * math.signum(s2w) * math.sqrt(1.0 - c2w)
-      val yyc = ch * cw + sh * sw
-      val yys = sh * cw - ch * sw
-      val cc = 0.5 * (1.0 + c2 * c2w + s2 * s2w) -
-        (c * cw + s * sw) * (c * cw + s * sw)
-      val ss = 0.5 * (1.0 - c2 * c2w - s2 * s2w) -
-        (s * cw - c * sw) * (s * cw - c * sw)
-      val p = (yyc * yyc / cc + yys * yys / ss) / yy
-      if (p > best) best = p
-      k += 1
-    }
-    best
-  }
+  /** ω_k·tc with the literal structure shared by both engines:
+    * ((2·π·DF)·k)·tc evaluated in that order. */
+  private def om(k: Int): Column = lit(2.0 * math.Pi * DF * k) * col("tc")
+  private def omSql(k: Int, tc: String): String = s"(2*pi()*${DF}*$k*$tc)"
 
   def glsFap(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.series(spark, dir)
-      .select(col("id").cast("long"), col("t"), col("y"),
-        col("eid").cast("long"))
-      .as[(Long, Double, Double, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (id: Long, it: Iterator[(Long, Double, Double, Long)]) =>
-        // (t, eid) sort: deterministic under repartitioning
-        val rows = it.toArray.sortBy(r => (r._2, r._4))
-        val t0 = rows.head._2
-        val t = rows.map(_._2 - t0)
-        val y = rows.map(_._3)
-        val n = t.length
-        val observed = maxPower(t, y)
-        val maxima = new Array[Double](B)
-        var b = 0
-        var state = id * 0x5851f42d4c957f2dL
-        while (b < B) {
-          val ys = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            val (st2, r) = nextLong(state)
-            state = st2
-            ys(i) = y(((r >>> 1) % n).toInt)
-            i += 1
-          }
-          maxima(b) = maxPower(t, ys)
-          b += 1
-        }
-        java.util.Arrays.sort(maxima)
-        // FAP of observed peak = fraction of replicates above it
-        var above = 0
-        maxima.foreach(m => if (m > observed) above += 1)
-        val fap = above.toDouble / B
-        // 95% false-alarm level (nearest-rank quantile)
-        val fal95 = maxima(math.min(B - 1, math.ceil(0.95 * B).toInt - 1))
-        (id, math.rint(observed * 1e6) / 1e6, math.rint(fap * 1e4) / 1e4,
-          math.rint(fal95 * 1e6) / 1e6)
-      }
-      .toDF("id", "best_power", "fap", "fal95")
+    // the trig-sum aggregate is 2·NF+2 ≈ 104 columns wide; keep it
+    // inside whole-stage codegen (default cutoff is 100 fields)
+    spark.conf.set("spark.sql.codegen.maxFields", "300")
+    val wOrd = Window.partitionBy("id").orderBy("t", "eid")
+    val wAll = Window.partitionBy("id")
+    val r = Tables.series(spark, dir)
+      .select(col("id"), col("t"), col("y"),
+        (row_number().over(wOrd) - 1).cast("long").as("i"),
+        count(lit(1)).over(wAll).as("n"),
+        min("t").over(wAll).as("t0"))
+    // resampled values: position i keeps its time, takes the value at
+    // index j = h60(id_b_i) mod n (b = 0: identity)
+    val reps = spark.range(0, B + 1).toDF("b")
+    val bs = r.crossJoin(broadcast(reps))
+      .select(col("id"), col("b"), (col("t") - col("t0")).as("tc"),
+        when(col("b") === 0, col("i"))
+          .otherwise(pmod(
+            Dedup.h60(concat_ws("_", col("id"), col("b"), col("i"))),
+            col("n")))
+          .as("j"))
+    val v = r.select(col("id"), col("i").as("j"), col("y"))
+    val x = bs.join(v, Seq("id", "j")).select("id", "b", "tc", "y")
+    // one pass over the resampled rows: 2·NF trig sums + mean (exact
+    // cents => bit-identical to the oracle) + raw second moment
+    val yAggs: Seq[Column] = (1 to NF).flatMap { k =>
+      Seq(avg(col("y") * cos(om(k))).as(s"yc$k"),
+        avg(col("y") * sin(om(k))).as(s"ys$k"))
+    } ++ Seq(
+      (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
+        count(lit(1)) / 100.0).as("ym"),
+      avg(col("y") * col("y")).as("y2"))
+    val a1 = x.groupBy("id", "b").agg(yAggs.head, yAggs.tail: _*)
+    val yk = a1.selectExpr("id", "b", "ym", "y2",
+      s"stack($NF, ${(1 to NF).map(k => s"$k, yc$k, ys$k").mkString(", ")}) AS (k, YCr, YSr)")
+    // signal-independent moments: once per series, not per replicate
+    val bAggs: Seq[Column] = (1 to NF).flatMap { k =>
+      Seq(avg(cos(om(k))).as(s"ca$k"), avg(sin(om(k))).as(s"sa$k"),
+        avg(cos(om(k)) * cos(om(k)) - sin(om(k)) * sin(om(k))).as(s"cb$k"),
+        avg(lit(2.0) * sin(om(k)) * cos(om(k))).as(s"sb$k"))
+    }
+    val ab = r.select(col("id"), (col("t") - col("t0")).as("tc"))
+      .groupBy("id").agg(bAggs.head, bAggs.tail: _*)
+    val base = ab.selectExpr("id",
+      s"stack($NF, ${(1 to NF).map(k => s"$k, ca$k, sa$k, cb$k, sb$k").mkString(", ")}) AS (k, C, S, C2, S2)")
+    val m = yk.join(broadcast(base), Seq("id", "k"))
+      .select(col("id"), col("b"), col("k"),
+        col("C"), col("S"), col("C2"), col("S2"),
+        (col("YCr") - col("ym") * col("C")).as("Ch"),
+        (col("YSr") - col("ym") * col("S")).as("Sh"),
+        (col("y2") - col("ym") * col("ym")).as("YY"))
+    // Zechmeister–Kürster closed form (mirrors Gls.glsPeriodogram)
+    val tan2 = (col("S2") - lit(2.0) * col("S") * col("C")) /
+      (col("C2") - (col("C") * col("C") - col("S") * col("S")))
+    val pg = m.withColumn("tan2", tan2)
+      .withColumn("C2w", lit(1.0) / sqrt(lit(1.0) + col("tan2") * col("tan2")))
+      .withColumn("S2w", col("tan2") * col("C2w"))
+      .withColumn("Cw", sqrt(lit(0.5)) * sqrt(lit(1.0) + col("C2w")))
+      .withColumn("Sw", sqrt(lit(0.5)) * signum(col("S2w")) *
+        sqrt(lit(1.0) - col("C2w")))
+      .withColumn("YC", col("Ch") * col("Cw") + col("Sh") * col("Sw"))
+      .withColumn("YS", col("Sh") * col("Cw") - col("Ch") * col("Sw"))
+      .withColumn("CC",
+        lit(0.5) * (lit(1.0) + col("C2") * col("C2w") + col("S2") * col("S2w")) -
+          (col("C") * col("Cw") + col("S") * col("Sw")) *
+          (col("C") * col("Cw") + col("S") * col("Sw")))
+      .withColumn("SS",
+        lit(0.5) * (lit(1.0) - col("C2") * col("C2w") - col("S2") * col("S2w")) -
+          (col("S") * col("Cw") - col("C") * col("Sw")) *
+          (col("S") * col("Cw") - col("C") * col("Sw")))
+      .select(col("id"), col("b"),
+        round((col("YC") * col("YC") / col("CC") +
+          col("YS") * col("YS") / col("SS")) / col("YY"), 6).as("power"))
+    // Single pass over the replicate maxima: the observed peak comes
+    // from a window (the subtree above is evaluated ONCE), FAP and the
+    // nearest-rank FAL fold into one aggregation.
+    val mx = pg.groupBy("id", "b").agg(max("power").as("maxp"))
+    val rep = mx
+      .withColumn("best_power",
+        max(when(col("b") === 0, col("maxp")))
+          .over(Window.partitionBy("id")))
+      .filter(col("b") > 0)
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("id").orderBy("maxp", "b")))
+    rep.groupBy("id", "best_power")
+      .agg(round(avg(when(col("maxp") > col("best_power"), 1.0)
+        .otherwise(0.0)), 4).as("fap"),
+        max(when(col("rk") === FalRank, col("maxp"))).as("fal95"))
+      .select("id", "best_power", "fap", "fal95")
+  }
+
+  val glsFapSql: String = {
+    val h = Dedup.h60Sql("r.id || '_' || b.b || '_' || r.i")
+    val yAggs = (1 to NF).map { k =>
+      s"avg(y*cos(${omSql(k, "tc")})) AS yc$k, avg(y*sin(${omSql(k, "tc")})) AS ys$k"
+    }.mkString(",\n       |  ")
+    val bAggs = (1 to NF).map { k =>
+      val o = omSql(k, "tc")
+      s"avg(cos($o)) AS ca$k, avg(sin($o)) AS sa$k, " +
+        s"avg(cos($o)*cos($o) - sin($o)*sin($o)) AS cb$k, " +
+        s"avg(2.0*sin($o)*cos($o)) AS sb$k"
+    }.mkString(",\n       |  ")
+    def lst(f: Int => String) = (1 to NF).map(f).mkString(", ")
+    s"""WITH s AS (${Tables.seriesSql}),
+       |r AS (SELECT id, t, y,
+       |        row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1 AS i,
+       |        count(*) OVER (PARTITION BY id) AS n,
+       |        min(t) OVER (PARTITION BY id) AS t0
+       |      FROM s),
+       |bs AS (SELECT r.id, b.b, r.t - r.t0 AS tc,
+       |         CASE WHEN b.b = 0 THEN r.i ELSE $h % r.n END AS j
+       |       FROM r CROSS JOIN generate_series(0, $B) AS b(b)),
+       |v AS (SELECT id, i AS j, y FROM r),
+       |x AS (SELECT bs.id, bs.b, bs.tc, v.y
+       |      FROM bs JOIN v ON bs.id = v.id AND bs.j = v.j),
+       |a1 AS (SELECT id, b,
+       |  $yAggs,
+       |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
+       |    / count(*) / 100.0 AS ym,
+       |  avg(y*y) AS y2
+       |  FROM x GROUP BY 1, 2),
+       |yk AS (SELECT id, b, ym, y2,
+       |  unnest(range(1, ${NF + 1})) AS k,
+       |  unnest([${lst(k => s"yc$k")}]) AS YCr,
+       |  unnest([${lst(k => s"ys$k")}]) AS YSr
+       |  FROM a1),
+       |ab AS (SELECT id,
+       |  $bAggs
+       |  FROM (SELECT id, t - t0 AS tc FROM r) GROUP BY 1),
+       |base AS (SELECT id,
+       |  unnest(range(1, ${NF + 1})) AS k,
+       |  unnest([${lst(k => s"ca$k")}]) AS C,
+       |  unnest([${lst(k => s"sa$k")}]) AS S,
+       |  unnest([${lst(k => s"cb$k")}]) AS C2,
+       |  unnest([${lst(k => s"sb$k")}]) AS S2
+       |  FROM ab),
+       |mo AS (SELECT yk.id, yk.b, yk.k,
+       |         base.C, base.S, base.C2, base.S2,
+       |         yk.YCr - yk.ym * base.C AS Ch,
+       |         yk.YSr - yk.ym * base.S AS Sh,
+       |         yk.y2 - yk.ym * yk.ym AS YY
+       |       FROM yk JOIN base ON base.id = yk.id AND base.k = yk.k),
+       |t1 AS (SELECT id, b, k, C, S, Ch, Sh, C2, S2, YY,
+       |  (S2 - 2*S*C) / (C2 - (C*C - S*S)) AS tan2 FROM mo),
+       |t2 AS (SELECT *, 1.0/sqrt(1.0 + tan2*tan2) AS C2w,
+       |  tan2 * (1.0/sqrt(1.0 + tan2*tan2)) AS S2w FROM t1),
+       |t3 AS (SELECT *, sqrt(0.5)*sqrt(1.0 + C2w) AS Cw,
+       |  sqrt(0.5)*sign(S2w)*sqrt(1.0 - C2w) AS Sw FROM t2),
+       |t4 AS (SELECT id, b, YY,
+       |  Ch*Cw + Sh*Sw AS YC, Sh*Cw - Ch*Sw AS YS,
+       |  0.5*(1.0 + C2*C2w + S2*S2w) - (C*Cw + S*Sw)*(C*Cw + S*Sw) AS CC,
+       |  0.5*(1.0 - C2*C2w - S2*S2w) - (S*Cw - C*Sw)*(S*Cw - C*Sw) AS SS
+       |  FROM t3),
+       |pg AS (SELECT id, b,
+       |         round((YC*YC/CC + YS*YS/SS)/YY, 6) AS power FROM t4),
+       |mx AS (SELECT id, b, max(power) AS maxp FROM pg GROUP BY 1, 2),
+       |rep AS (SELECT id, b, maxp, best_power,
+       |          row_number() OVER (PARTITION BY id ORDER BY maxp, b) AS rk
+       |        FROM (SELECT id, b, maxp,
+       |                max(CASE WHEN b = 0 THEN maxp END)
+       |                  OVER (PARTITION BY id) AS best_power
+       |              FROM mx)
+       |        WHERE b > 0)
+       |SELECT id, best_power,
+       |  round(avg(CASE WHEN maxp > best_power
+       |    THEN 1.0 ELSE 0.0 END), 4) AS fap,
+       |  max(CASE WHEN rk = $FalRank THEN maxp END) AS fal95
+       |FROM rep GROUP BY 1, 2""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gls_fap" -> (glsFap _))
+
+  val oracles: Map[String, String] = Map(
+    "gls_fap" -> glsFapSql)
 }
