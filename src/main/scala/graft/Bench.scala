@@ -36,6 +36,9 @@ object Bench {
     // pivot (relies on the perSeries lambda being a capture-free
     // cached instance, so the two plans stay canonically equal)
     graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count()
+    // hht_spectrogram is a declarative rebin of the hht_inst mapGroups
+    // output — persist one instance so both queries share the sift
+    graft.tsa.SeriesOps.hhtInst(spark, sfDir).persist().count()
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

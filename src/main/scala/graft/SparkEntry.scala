@@ -34,6 +34,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       text.TextOps.queries ++
+      text.Corpus.queries ++
       relational.Tpch.queries
 
   def oracleSql: Map[String, String] =
@@ -53,5 +54,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
+      text.Corpus.oracles ++
       relational.Tpch.oracles
 }

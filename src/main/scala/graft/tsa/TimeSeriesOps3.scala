@@ -188,15 +188,95 @@ object TimeSeriesOps3 {
        |        / (den.den / cast(den.n0 AS double)), 4) + 0.0 AS acf_u
        |FROM num JOIN den USING (id)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ts_curvefit — reference core.py:572 (TSeries.curvefit): nonlinear
+  // least squares of an arbitrary model over the time axis. The
+  // Spark-native equivalent of scipy.optimize.curve_fit is a broadcast
+  // grid over the nonlinear parameter with a closed-form linear
+  // sub-fit per grid point (the same shape as psd_curvefit). Model
+  // family here: exponential decay toward an offset,
+  //   y ≈ a·exp(−(t−t0)/τ) + c,
+  // τ on a half-day grid (j·43200 s, j = 1..40). Per τ one aggregation
+  // yields the moment sums; (a, c) and the RSS come out in closed
+  // form; rank on the dimensionless unexplained fraction (rounded —
+  // raw RSS magnitudes would put summation-order noise at the
+  // rounding granularity).
+  // -------------------------------------------------------------------
+  def tsCurvefit(spark: SparkSession, dir: String): DataFrame = {
+    val taus = spark.range(1, 41).toDF("j")
+    val s = Tables.series(spark, dir)
+    val t0 = s.groupBy("id").agg(min("t").as("t0"))
+    val g = exp((col("t0") - col("t")) / (col("j") * lit(43200.0)))
+    val fits = s.join(broadcast(t0), "id")
+      .crossJoin(broadcast(taus))
+      .select(col("id"), col("j"), col("y"), g.as("g"))
+      .groupBy("id", "j")
+      .agg(sum("g").as("sg"), sum(col("g") * col("g")).as("sgg"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum(col("g") * col("y")).as("sgy"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("id"), col("j"),
+        (col("sgy") - col("sg") * col("sy") / col("n")).as("sxy"),
+        (col("sgg") - col("sg") * col("sg") / col("n")).as("sxx"),
+        (col("syy") - col("sy") * col("sy") / col("n")).as("svv"),
+        col("sg"), col("sy"), col("n"))
+    val withA = fits
+      .select(col("id"), col("j"), col("sg"), col("sy"), col("n"),
+        (col("sxy") / col("sxx")).as("a"),
+        ((col("svv") - col("sxy") * col("sxy") / col("sxx")) / col("svv"))
+          .as("rfrac"))
+    val wr = Window.partitionBy("id")
+      .orderBy(round(col("rfrac"), 6).asc, col("j").asc)
+    withA.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("id"), (col("j") * lit(43200.0)).as("tau"),
+        (round(col("a"), 4) + lit(0.0)).as("a"),
+        (round((col("sy") - col("a") * col("sg")) / col("n"), 4) + lit(0.0))
+          .as("c"))
+  }
+
+  val tsCurvefitSql: String = {
+    val g = "exp((t0.t0 - s.t) / (cast(j.j AS double) * 43200.0))"
+    s"""WITH s AS (${Tables.seriesSql}),
+       |t0 AS (SELECT id, min(t) AS t0 FROM s GROUP BY 1),
+       |mo AS (SELECT s.id, j.j,
+       |    sum($g) AS sg, sum($g * $g) AS sgg,
+       |    sum(s.y) AS sy, sum(s.y * s.y) AS syy,
+       |    sum($g * s.y) AS sgy,
+       |    cast(count(*) AS double) AS n
+       |  FROM s JOIN t0 ON t0.id = s.id
+       |  CROSS JOIN generate_series(1, 40) AS j(j)
+       |  GROUP BY 1, 2),
+       |ct AS (SELECT id, j, sg, sy, n,
+       |    sgy - sg * sy / n AS sxy,
+       |    sgg - sg * sg / n AS sxx,
+       |    syy - sy * sy / n AS svv
+       |  FROM mo),
+       |fits AS (SELECT id, j, sg, sy, n,
+       |    sxy / sxx AS a,
+       |    (svv - sxy * sxy / sxx) / svv AS rfrac
+       |  FROM ct),
+       |rk AS (SELECT id, j, sg, sy, n, a,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY round(rfrac, 6) ASC, j ASC) AS rn
+       |  FROM fits)
+       |SELECT id, cast(j AS double) * 43200.0 AS tau,
+       |  round(a, 4) + 0.0 AS a,
+       |  round((sy - a * sg) / n, 4) + 0.0 AS c
+       |FROM rk WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_smooth_gaussian" -> (tsSmoothGaussian _),
     "ts_convolve" -> ((s: SparkSession, d: String) => tsConvolve(s, d)),
     "ts_find_dips" -> (tsFindDips _),
-    "ts_acf_unbiased" -> (tsAcfUnbiased _))
+    "ts_acf_unbiased" -> (tsAcfUnbiased _),
+    "ts_curvefit" -> (tsCurvefit _))
 
   val oracles: Map[String, String] = Map(
     "ts_smooth_gaussian" -> tsSmoothGaussianSql,
     "ts_convolve" -> tsConvolveSql,
     "ts_find_dips" -> tsFindDipsSql,
-    "ts_acf_unbiased" -> tsAcfUnbiasedSql)
+    "ts_acf_unbiased" -> tsAcfUnbiasedSql,
+    "ts_curvefit" -> tsCurvefitSql)
 }
