@@ -61,8 +61,11 @@ object Bench {
       System.gc()
       // median-of-runs exists to reject GC/contention outliers, which
       // only matter relative to short runtimes — for long queries one
-      // timed run is within noise and keeps the suite's wall bounded
-      val nRuns = if (warm > 8.0) 1 else runs
+      // timed run is within noise and keeps the suite's wall bounded.
+      // Sub-2s queries get 5 runs: a GC/compaction storm can span two
+      // consecutive runs, and median-of-3 then reports the storm.
+      val nRuns =
+        if (warm > 8.0) 1 else if (warm < 2.0) runs.max(5) else runs
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

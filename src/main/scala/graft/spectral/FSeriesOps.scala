@@ -127,6 +127,61 @@ object FSeriesOps {
        |SELECT id, period AS best_period, prominence
        |FROM rk WHERE rn = 1""".stripMargin
 
+  /** gls_half_width_prominence — periods_at_half_max(use_prominence=
+    * true) (reference core.py:963-975): the FWHM interval around the
+    * PROMINENCE-best peak, with the half level measured relative to
+    * prominence (power − prominence/2) rather than half the height —
+    * the alias-robust variant of gls_half_width. Same crossing
+    * mechanics: nearest grid points on each side of the peak that dip
+    * below the level (null → never dips inside the grid). */
+  def glsHalfWidthProminence(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy("id")
+      .orderBy(col("prominence").desc, col("k").asc)
+    val kstar = glsPeakProminence(spark, dir)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("k").as("kstar"),
+        col("power").as("best_power"), col("prominence"))
+    val pg = Gls.glsPeriodogram(spark, dir)
+    val below = pg.join(kstar, "id")
+      .filter(col("power") < col("best_power") - col("prominence") / 2.0)
+    val lo = below.filter(col("k") < col("kstar"))
+      .groupBy("id").agg(max("k").as("kl"))
+    val hi = below.filter(col("k") > col("kstar"))
+      .groupBy("id").agg(min("k").as("ku"))
+    kstar.join(lo, Seq("id"), "left").join(hi, Seq("id"), "left")
+      .select(col("id"), col("kstar"), col("prominence"),
+        round(lit(1.0 / DF) / col("ku"), 4).as("period_lo"),
+        round(lit(1.0 / DF) / col("kl"), 4).as("period_hi"))
+  }
+
+  val glsHalfWidthProminenceSql: String =
+    s"""$peaksWithBoundsSql,
+       |prom AS (SELECT b.id, b.pk AS k, b.ppow,
+       |  round(b.ppow - greatest(
+       |    min(CASE WHEN r.k >= b.klo AND r.k <= b.pk THEN r.power END),
+       |    min(CASE WHEN r.k >= b.pk AND r.k <= b.khi THEN r.power END)
+       |  ), 6) + 0.0 AS prominence
+       |  FROM bounds b JOIN pg r ON r.id = b.id
+       |  GROUP BY b.id, b.pk, b.ppow),
+       |rk AS (SELECT id, k, ppow, prominence,
+       |  row_number() OVER (PARTITION BY id
+       |                     ORDER BY prominence DESC, k ASC) AS rn
+       |  FROM prom),
+       |kstar AS (SELECT id, k AS kstar, ppow AS best_power, prominence
+       |  FROM rk WHERE rn = 1),
+       |below AS (SELECT pg.id, pg.k, kstar.kstar
+       |  FROM pg JOIN kstar USING (id)
+       |  WHERE pg.power < kstar.best_power - kstar.prominence / 2.0),
+       |lo AS (SELECT id, max(k) AS kl FROM below WHERE k < kstar GROUP BY id),
+       |hi AS (SELECT id, min(k) AS ku FROM below WHERE k > kstar GROUP BY id)
+       |SELECT kstar.id, kstar.kstar, kstar.prominence,
+       |  round(${1.0 / DF} / hi.ku, 4) AS period_lo,
+       |  round(${1.0 / DF} / lo.kl, 4) AS period_hi
+       |FROM kstar
+       |LEFT JOIN lo USING (id)
+       |LEFT JOIN hi USING (id)""".stripMargin
+
   /** psd_ifft — reference core.py:980 (FSeries.ifft): inverse real FFT
     * of the power spectrum back to the lag domain (the round-trip
     * partner of psd_dft; up to normalization this is the Wiener–
@@ -258,12 +313,14 @@ object FSeriesOps {
     "gls_best_prominence" -> (glsBestProminence _),
     "psd_ifft" -> (psdIfft _),
     "psd_polyfit" -> (psdPolyfit _),
-    "psd_curvefit" -> (psdCurvefit _))
+    "psd_curvefit" -> (psdCurvefit _),
+    "gls_half_width_prominence" -> (glsHalfWidthProminence _))
 
   val oracles: Map[String, String] = Map(
     "gls_peak_prominence" -> glsPeakProminenceSql,
     "gls_best_prominence" -> glsBestProminenceSql,
     "psd_ifft" -> psdIfftSql,
     "psd_polyfit" -> psdPolyfitSql,
-    "psd_curvefit" -> psdCurvefitSql)
+    "psd_curvefit" -> psdCurvefitSql,
+    "gls_half_width_prominence" -> glsHalfWidthProminenceSql)
 }
