@@ -157,6 +157,94 @@ object GpOps {
   def gpHarmonicMap(spark: SparkSession, dir: String): DataFrame =
     gridMap(spark, dir)(harmonicKernel)
 
+  /** gp_predict — reference gp.py:379-383 (CeleriteModeler
+    * .get_prediction): the GP posterior mean, evaluated at the
+    * training points for the MAP period of the harmonic (RotationTerm)
+    * kernel. With α = (K_signal + σ²I)⁻¹ y from the same Cholesky the
+    * grid-MAP already runs, the posterior mean at the training inputs
+    * is μ = K_signal·α — one extra n² matvec after the period scan.
+    * Rows (id, t, y, mu) with y/μ in original units (mean re-added);
+    * rows-only oracle (Cholesky chain is not SQL-expressible). */
+  def gpPredict(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.perSeries(spark, dir) { (id, t0, y0) =>
+      val stride = (t0.length + 199) / 200
+      val idx = t0.indices.by(stride).toArray
+      val t = idx.map(t0)
+      val yRaw = idx.map(y0)
+      val n = t.length
+      if (n < 10) Iterator.empty
+      else {
+        val mean = yRaw.sum / n
+        val y = yRaw.map(_ - mean)
+        val varY = math.max(y.map(v => v * v).sum / n, 1e-12)
+        val noise = 0.2 * varY
+        var bestLl = Double.NegativeInfinity
+        var bestP = 0.0
+        var j = 1
+        while (j <= 20) {
+          val p = j * 43200.0
+          val kf = harmonicKernel(varY, p)
+          val k = Array.ofDim[Double](n, n)
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b <= a) {
+              val v = kf(t(a) - t(b))
+              k(a)(b) = v
+              k(b)(a) = v
+              b += 1
+            }
+            k(a)(a) += noise + 1e-9 * varY
+            a += 1
+          }
+          val l = SeriesMath.cholesky(k)
+          if (l != null) {
+            val alpha = SeriesMath.choleskySolve(l, y)
+            var ll = -0.5 * n * math.log(2.0 * math.Pi)
+            var i = 0
+            while (i < n) {
+              ll -= math.log(l(i)(i))
+              ll -= 0.5 * y(i) * alpha(i)
+              i += 1
+            }
+            if (ll > bestLl) { bestLl = ll; bestP = p }
+          }
+          j += 1
+        }
+        if (bestP == 0.0) Iterator.empty
+        else {
+          // refit at the MAP period and produce μ = K_signal·α
+          val kf = harmonicKernel(varY, bestP)
+          val ks = Array.ofDim[Double](n, n)
+          val k = Array.ofDim[Double](n, n)
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b <= a) {
+              val v = kf(t(a) - t(b))
+              ks(a)(b) = v; ks(b)(a) = v
+              k(a)(b) = v; k(b)(a) = v
+              b += 1
+            }
+            k(a)(a) += noise + 1e-9 * varY
+            a += 1
+          }
+          val l = SeriesMath.cholesky(k)
+          if (l == null) Iterator.empty
+          else {
+            val alpha = SeriesMath.choleskySolve(l, y)
+            t.indices.iterator.map { i =>
+              var mu = 0.0
+              var b = 0
+              while (b < n) { mu += ks(i)(b) * alpha(b); b += 1 }
+              (id, t(i), yRaw(i),
+                math.rint((mu + mean) * 1e4) / 1e4, bestP)
+            }
+          }
+        }
+      }
+    }.toDF("id", "t", "y", "mu", "map_period")
+
   // -------------------------------------------------------------------
   // hht_spectrogram — reference timefrequency.py:91-99 (_spectrogram):
   // bin the per-sample (freq, amp) pairs emitted by hht_inst onto a
@@ -282,6 +370,7 @@ object GpOps {
     "gp_brownian_map" -> (gpBrownianMap _),
     "gp_harmonic_map" -> (gpHarmonicMap _),
     "gp_psd" -> (gpPsd _),
+    "gp_predict" -> (gpPredict _),
     "hht_spectrogram" -> (hhtSpectrogram _),
     "ts_envelope" -> (tsEnvelope _))
 

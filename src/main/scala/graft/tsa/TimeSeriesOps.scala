@@ -510,13 +510,19 @@ object TimeSeriesOps {
       .withColumn("y1", lag("y", 1).over(w))
       .filter(col("y1").isNotNull)
       .groupBy("id")
-      .agg((round(corr("y", "y1"), 6) + lit(0.0)).as("lag1_corr"))
+      .agg((round(corr("y", "y1"), 6) + lit(0.0)).as("lag1_corr"),
+        // TSeries.cov (core.py:560), the unnormalized twin: sample
+        // covariance (n−1), 4 dp — the magnitude is value², so the
+        // coarser rounding keeps summation-order noise well inside
+        // the rounding granularity
+        (round(covar_samp("y", "y1"), 4) + lit(0.0)).as("lag1_cov"))
 
   val tsCorrSql: String =
     s"""WITH s AS (${Tables.seriesSql}),
        |v AS (SELECT id, y,
        |  lag(y,1) OVER (PARTITION BY id ORDER BY t, eid) AS y1 FROM s)
-       |SELECT id, round(corr(y, y1), 6) + 0.0 AS lag1_corr
+       |SELECT id, round(corr(y, y1), 6) + 0.0 AS lag1_corr,
+       |  round(covar_samp(y, y1), 4) + 0.0 AS lag1_cov
        |FROM v WHERE y1 IS NOT NULL GROUP BY id""".stripMargin
 
   // -------------------------------------------------------------------

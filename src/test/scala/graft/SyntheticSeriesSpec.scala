@@ -76,6 +76,28 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(p - P1) <= 43200.0, s"harmonic MAP period $p, expected ~$P1")
   }
 
+  test("gp_predict posterior mean tracks the injected sinusoid") {
+    import org.apache.spark.sql.functions._
+    val rows = tsa.GpOps.gpPredict(spark, synDir)
+      .filter(col("id") === 1L)
+      .select("y", "mu").collect()
+    // 360 samples subsampled at stride 2 by the ≤200-point cap
+    assert(rows.length >= 150, s"only ${rows.length} prediction rows")
+    val y = rows.map(_.getDouble(0))
+    val mu = rows.map(_.getDouble(1))
+    val ybar = y.sum / y.length
+    val ssTot = y.map(v => (v - ybar) * (v - ybar)).sum
+    val ssRes = y.indices.map(i => (y(i) - mu(i)) * (y(i) - mu(i))).sum
+    val r2 = 1.0 - ssRes / ssTot
+    // noiseless sinusoid + 20%-variance GP noise model: the posterior
+    // mean must explain most of the variance at the MAP period
+    assert(r2 > 0.8, s"posterior-mean R² = $r2")
+    val p = tsa.GpOps.gpPredict(spark, synDir)
+      .filter(col("id") === 1L)
+      .select("map_period").head().getDouble(0)
+    assert(math.abs(p - P1) <= 43200.0, s"predict MAP period $p")
+  }
+
   test("ts_denoise (db4) smooths a noisy signal without losing it") {
     import org.apache.spark.sql.functions._
     // The denoiser's contract: strip the white-noise roughness while
