@@ -60,11 +60,37 @@ object EventsOps {
       |  cast(rank AS BIGINT) AS rank
       |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Exact interpolated quantiles (percentile_cont semantics) of the
+    * value distribution per event type — Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the definition exactly, so this
+    * sits under the hash gate. Exact quantiles sort within each
+    * group; at 100 TB swap in `percentile_approx` (t-digest, one
+    * mergeable pass) — the query shape is identical, only the
+    * accuracy/cost trade moves. */
+  def eventsQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        (round(expr("percentile(value, 0.5)"), 4) + lit(0.0)).as("p50"),
+        (round(expr("percentile(value, 0.95)"), 4) + lit(0.0)).as("p95"),
+        (round(expr("percentile(value, 0.99)"), 4) + lit(0.0)).as("p99"),
+        count(lit(1)).as("n"))
+
+  val eventsQuantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+      |  round(quantile_cont(value, 0.95), 4) + 0.0 AS p95,
+      |  round(quantile_cont(value, 0.99), 4) + 0.0 AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> (eventsJsonExtract _),
-    "events_topk_users" -> (eventsTopkUsers _))
+    "events_topk_users" -> (eventsTopkUsers _),
+    "events_quantiles" -> (eventsQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "events_json_extract" -> eventsJsonExtractSql,
-    "events_topk_users" -> eventsTopkUsersSql)
+    "events_topk_users" -> eventsTopkUsersSql,
+    "events_quantiles" -> eventsQuantilesSql)
 }
