@@ -98,6 +98,49 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(p - P1) <= 43200.0, s"predict MAP period $p")
   }
 
+  test("acf_period_quality recovers the injected 2 d period") {
+    import org.apache.spark.sql.functions._
+    val row = tsa.SeriesOps2.acfPeriodQuality(spark, synDir)
+      .filter(col("id") === 1L).select("best_period", "quality").head()
+    val p = row.getDouble(0)
+    assert(math.abs(p - P1) <= 21600.0,
+      s"acf quality best_period $p, expected ~$P1")
+    assert(row.getDouble(1) > 0.0, "quality must be positive")
+  }
+
+  test("gaussian_prior max-weight component sits at the 2 d log-period") {
+    import org.apache.spark.sql.functions._
+    val rows = tsa.SeriesOps2.gaussianPrior(spark, synDir)
+      .filter(col("id") === 1L)
+      .orderBy(col("weight").desc)
+      .select("mu_logp", "weight").collect()
+    assert(rows.nonEmpty, "no prior components for series 1")
+    // the injected period sits exactly on the band-0/band-1 boundary,
+    // so a band-edge artifact can edge out the true fundamental in raw
+    // weight — but the true log-period must appear among the
+    // near-maximal components (within 20% of the top weight)
+    val wMax = rows.head.getDouble(1)
+    val near = rows.filter(_.getDouble(1) >= 0.8 * wMax).map(_.getDouble(0))
+    assert(near.exists(mu => math.abs(mu - math.log(P1)) <= 0.1),
+      s"no near-maximal prior component at ln($P1); got ${near.mkString(", ")}")
+  }
+
+  test("lmd_modes emits positive envelopes and bounded FM components") {
+    import org.apache.spark.sql.functions._
+    val lmd = tsa.SeriesOps2.lmdModes(spark, synDir)
+      .filter(col("id") === 2L)
+    val stats = lmd.agg(count(lit(1)), min("amp"), max(abs(col("fm"))),
+      avg(when(col("amp") <= 0.0, 1.0).otherwise(0.0))).head()
+    assert(stats.getLong(0) > 0, "no LMD rows")
+    // product-function invariants: envelope never negative (touches 0
+    // only at the padded edges, < 5% of samples), FM component in
+    // [-1, 1] by construction of the envelope normalization
+    assert(stats.getDouble(1) >= 0.0, s"negative envelope ${stats.getDouble(1)}")
+    assert(stats.getDouble(2) <= 1.0 + 1e-9, s"|fm| > 1: ${stats.getDouble(2)}")
+    assert(stats.getDouble(3) < 0.05,
+      s"${stats.getDouble(3) * 100}% of rows have zero envelope")
+  }
+
   test("ts_denoise (db4) smooths a noisy signal without losing it") {
     import org.apache.spark.sql.functions._
     // The denoiser's contract: strip the white-noise roughness while
