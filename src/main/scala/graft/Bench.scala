@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // gls_fap's trig-sum aggregate is 2·NF+2 ≈ 104 buffers wide; keep
+      // it inside whole-stage codegen (default cutoff 100 fields). Set
+      // at session construction so no operator mutates shared config.
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,6 +55,10 @@ object Bench {
     // same query 176 s in one artifact, 13 s isolated). The median of 3
     // discards one such outlier per query by construction.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // the 5-run floor for sub-2s queries rejects multi-run GC storms;
+    // an EXPLICIT SPARK_GRAFT_RUNS (dev quick pass) must win over it
+    val shortFloor =
+      if (sys.env.contains("SPARK_GRAFT_RUNS")) runs else runs.max(5)
     val wall0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       // untimed warm-up: planning + codegen compile + GC debt from the
@@ -65,7 +73,7 @@ object Bench {
       // Sub-2s queries get 5 runs: a GC/compaction storm can span two
       // consecutive runs, and median-of-3 then reports the storm.
       val nRuns =
-        if (warm > 8.0) 1 else if (warm < 2.0) runs.max(5) else runs
+        if (warm > 8.0) 1 else if (warm < 2.0) shortFloor else runs
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -79,7 +87,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full record to the repo: the driver's stdout
+    // capture keeps only a tail, which beheads the per-query map in
+    // BENCH_r{N}.json — the file is the durable artifact.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

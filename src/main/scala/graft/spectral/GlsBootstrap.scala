@@ -47,10 +47,13 @@ object GlsBootstrap {
   private def om(k: Int): Column = lit(2.0 * math.Pi * DF * k) * col("tc")
   private def omSql(k: Int, tc: String): String = s"(2*pi()*${DF}*$k*$tc)"
 
+  // NOTE: the trig-sum aggregate is 2·NF+2 ≈ 104 columns wide — above
+  // whole-stage codegen's default 100-field cutoff. The owning sessions
+  // (Bench/Verify and the specs) set spark.sql.codegen.maxFields=300 at
+  // construction; mutating it here would leak the setting to every
+  // query compiled afterwards in a caller-owned session. Without the
+  // setting the query still runs correctly, just outside codegen.
   def glsFap(spark: SparkSession, dir: String): DataFrame = {
-    // the trig-sum aggregate is 2·NF+2 ≈ 104 columns wide; keep it
-    // inside whole-stage codegen (default cutoff is 100 fields)
-    spark.conf.set("spark.sql.codegen.maxFields", "300")
     val wOrd = Window.partitionBy("id").orderBy("t", "eid")
     val wAll = Window.partitionBy("id")
     val r = Tables.series(spark, dir)

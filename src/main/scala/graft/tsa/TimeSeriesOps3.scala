@@ -256,13 +256,16 @@ object TimeSeriesOps3 {
        |    sxy / sxx AS a,
        |    (svv - sxy * sxy / sxx) / svv AS rfrac
        |  FROM ct),
-       |rk AS (SELECT id, j, sg, sy, n, a,
+       |rk AS (SELECT id, j, a,
+       |    -- c from the UNROUNDED a, computed here so the final
+       |    -- SELECT's rounded `a` alias cannot shadow the column
+       |    (sy - a * sg) / n AS c_raw,
        |    row_number() OVER (PARTITION BY id
        |      ORDER BY round(rfrac, 6) ASC, j ASC) AS rn
        |  FROM fits)
        |SELECT id, cast(j AS double) * 43200.0 AS tau,
        |  round(a, 4) + 0.0 AS a,
-       |  round((sy - a * sg) / n, 4) + 0.0 AS c
+       |  round(c_raw, 4) + 0.0 AS c
        |FROM rk WHERE rn = 1""".stripMargin
   }
 

@@ -12,6 +12,8 @@ class QueriesSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // keep gls_fap's 104-buffer aggregate inside whole-stage codegen
+    .config("spark.sql.codegen.maxFields", "300")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
