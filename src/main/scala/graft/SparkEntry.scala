@@ -19,6 +19,7 @@ object SparkEntry {
     tsa.TimeSeriesOps.queries ++
       tsa.TimeSeriesOps2.queries ++
       tsa.TimeSeriesOps3.queries ++
+      tsa.TimeSeriesOps4.queries ++
       tsa.SeriesOps.queries ++
       tsa.SeriesOps2.queries ++
       tsa.GpOps.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     tsa.TimeSeriesOps.oracles ++
       tsa.TimeSeriesOps2.oracles ++
       tsa.TimeSeriesOps3.oracles ++
+      tsa.TimeSeriesOps4.oracles ++
       tsa.GpOps.oracles ++
       spectral.Gls.oracles ++
       spectral.FSeriesOps.oracles ++

@@ -1,0 +1,142 @@
+package graft.tsa
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 core-series tail: general grid resampling (TSeries.interp)
+  * and series concatenation (TSeries.join) — the last two everyday
+  * TSeries utilities from the reference surface.
+  */
+object TimeSeriesOps4 {
+
+  private def w = Window.partitionBy("id").orderBy("t", "eid")
+
+  // -------------------------------------------------------------------
+  // ts_interp — reference core.py:636-663 (TSeries.interp): resample a
+  // series onto an ARBITRARY new time grid, methods "nearest" and
+  // "linear" (the default; spline interp-to-grid lives in the EMD
+  // envelope kernel, SeriesMath.envelopes). The reference's standard
+  // pre-step for FFT/ACF/HHT. Unlike ts_fill_gaps (which fills onto
+  // the series' own uniform grid) the target grid here is independent
+  // of the sampling: a 5 h grid that hits neither the 2 h event
+  // cadence nor the 6 h fill_gaps bins, so every output is a genuine
+  // interpolation. Same as-of machinery: grid rows generated per
+  // series with sequence() (no driver loop), bracketing samples via
+  // IGNORE NULLS window carries — one shuffle keyed by series id.
+  // Nearest ties (grid point equidistant from both samples) take the
+  // PREVIOUS sample, scipy interp1d kind="nearest" semantics.
+  // -------------------------------------------------------------------
+  def tsInterp(spark: SparkSession, dir: String): DataFrame = {
+    val step = 18000.0
+    val s = Tables.series(spark, dir)
+    val bounds = s.groupBy("id")
+      .agg(ceil(min("t") / step).cast("long").as("k0"),
+        floor(max("t") / step).cast("long").as("k1"))
+    val grid = bounds
+      .select(col("id"), explode(sequence(col("k0"), col("k1"))).as("k"))
+      .select(col("id"), (col("k") * step).as("t"),
+        lit(null).cast("double").as("y"),
+        lit(null).cast("long").as("eid"), lit(1).as("is_grid"))
+    val merged = s.withColumn("is_grid", lit(0))
+      .select("id", "t", "y", "eid", "is_grid").unionByName(grid)
+    val wm = Window.partitionBy("id").orderBy(col("t"), col("is_grid"))
+    val rows = merged
+      .withColumn("tp", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
+        .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("yp", last(when(col("is_grid") === 0, col("y")), ignoreNulls = true)
+        .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
+    val wm2 = Window.partitionBy("id").orderBy(col("t").desc, col("is_grid").desc)
+    val full = rows
+      .withColumn("tn", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
+        .over(wm2.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("yn", last(when(col("is_grid") === 0, col("y")), ignoreNulls = true)
+        .over(wm2.rowsBetween(Window.unboundedPreceding, -1)))
+    full.filter(col("is_grid") === 1 &&
+        col("tp").isNotNull && col("tn").isNotNull)
+      .select(col("id"), col("t"),
+        // nearest: original exact-cents value selected by bit-identical
+        // time comparisons on both engines — no rounding needed
+        when(col("t") - col("tp") <= col("tn") - col("t"), col("yp"))
+          .otherwise(col("yn")).as("y_nearest"),
+        round(col("yp") + (col("yn") - col("yp")) *
+          (col("t") - col("tp")) / (col("tn") - col("tp")), 6).as("y_linear"))
+  }
+
+  val tsInterpSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |bounds AS (SELECT id, cast(ceil(min(t)/18000.0) AS bigint) AS k0,
+       |  cast(floor(max(t)/18000.0) AS bigint) AS k1 FROM s GROUP BY id),
+       |grid AS (SELECT id, k * 18000.0 AS t, cast(NULL AS double) AS y,
+       |  cast(NULL AS bigint) AS eid, 1 AS is_grid
+       |  -- constant range (DuckDB generate_series takes no lateral
+       |  -- bounds): 5 h steps covering epochs 2017..2031; the BETWEEN
+       |  -- filter reproduces Spark's per-series sequence(k0, k1).
+       |  -- OracleConstantsSpec guards that testdata stays inside.
+       |  FROM bounds, generate_series(84000, 108000) AS g(k)
+       |  WHERE g.k BETWEEN bounds.k0 AND bounds.k1),
+       |merged AS (
+       |  SELECT id, t, y, eid, 0 AS is_grid FROM s
+       |  UNION ALL SELECT id, t, y, eid, is_grid FROM grid),
+       |fwd AS (SELECT *,
+       |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
+       |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
+       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yp
+       |  FROM merged),
+       |bwd AS (SELECT *,
+       |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tn,
+       |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yn
+       |  FROM fwd)
+       |SELECT id, t,
+       |  CASE WHEN t - tp <= tn - t THEN yp ELSE yn END AS y_nearest,
+       |  round(yp + (yn - yp) * (t - tp) / (tn - tp), 6) AS y_linear
+       |FROM bwd
+       |WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ts_join — reference core.py:610-618 (TSeries.join): concatenate
+  // two series over the time axis (used to stitch split segments back
+  // together); overlapping timestamps keep BOTH samples, which the
+  // reference surfaces as a warning and graft surfaces as the n_at_t
+  // column. Demonstrated on the even/odd-eid slices of each series —
+  // interleaved timestamps, so the union genuinely re-sorts (one
+  // shuffle keyed by series id; `pos` is the re-indexed sample rank).
+  // -------------------------------------------------------------------
+  def tsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.series(spark, dir)
+    val a = s.filter(pmod(col("eid"), lit(2)) === 0).withColumn("src", lit(0))
+    val b = s.filter(pmod(col("eid"), lit(2)) === 1).withColumn("src", lit(1))
+    a.unionByName(b)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n_at_t",
+        count(lit(1)).over(Window.partitionBy("id", "t")))
+      .select("id", "eid", "t", "y", "src", "pos", "n_at_t")
+  }
+
+  val tsJoinSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |u AS (
+       |  SELECT id, eid, t, y, 0 AS src FROM s WHERE eid % 2 = 0
+       |  UNION ALL
+       |  SELECT id, eid, t, y, 1 AS src FROM s WHERE eid % 2 = 1)
+       |SELECT id, eid, t, y, src,
+       |  row_number() OVER (PARTITION BY id ORDER BY t, eid) AS pos,
+       |  count(*) OVER (PARTITION BY id, t) AS n_at_t
+       |FROM u""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interp" -> (tsInterp _),
+    "ts_join" -> (tsJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "ts_interp" -> tsInterpSql,
+    "ts_join" -> tsJoinSql)
+}

@@ -31,6 +31,18 @@ class OracleConstantsSpec extends AnyFunSuite {
     }
   }
 
+  test("events time range stays inside the ts_interp grid constant") {
+    import org.apache.spark.sql.functions._
+    for (dir <- dirs) {
+      val r = Tables.series(spark, dir)
+        .agg(floor(min(col("t")) / 18000.0).cast("long"),
+          ceil(max(col("t")) / 18000.0).cast("long")).collect()(0)
+      assert(r.getLong(0) >= 84000L && r.getLong(1) <= 108000L,
+        s"$dir: 5h steps [${r.getLong(0)}, ${r.getLong(1)}] outside the " +
+          "oracle's generate_series(84000, 108000) — widen tsInterpSql")
+    }
+  }
+
   test("document length stays inside the fingerprint shingle constant") {
     import org.apache.spark.sql.functions._
     for (dir <- dirs) {
