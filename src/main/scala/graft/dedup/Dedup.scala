@@ -368,18 +368,70 @@ object Dedup {
   // transitive per-pair, so production pipelines cluster the pair graph
   // and keep one canonical doc per component. cluster_id = min doc_id
   // reachable, computed by iterative min-label propagation (the Pregel
-  // / GraphX connected-components algorithm): each round every node
-  // takes the min of its own label and its neighbors' labels; converges
-  // in O(component diameter) rounds — near-dup clusters are shallow
-  // (diameter ≪ 10), and the driver-side loop runs one Spark job per
-  // round with NO data ever collected to the driver. At 100 TB: each
-  // round is one shuffle keyed by node id over (edges ⋈ labels);
-  // persist the frontier, unpersist the previous round, and checkpoint
-  // every ~5 rounds to truncate lineage (persist-swap suffices here).
+  // / GraphX connected-components algorithm) with two 100 TB-posture
+  // restrictions (round 7): the label set is the edge-INCIDENT nodes
+  // only (near-dup components touch a tiny fraction of a deduped
+  // corpus, so the loop never scans all documents), and each round
+  // only the CHANGED labels (the frontier) push to their neighbors —
+  // messages are monotone decreasing, so an unchanged label has
+  // already been delivered. Singleton documents get their own cluster
+  // by ONE anti-join after convergence. Per round: one bounded shuffle
+  // over (frontier ⋈ edges), convergence read off the same projection
+  // (no separate full-labels compare join); O(diameter) rounds, nothing
+  // collected to the driver beyond the scalar frontier size.
   // Oracle: DuckDB recursive CTE propagating labels to fixpoint (UNION
   // dedups states, so it terminates) — same min-reachable-id semantics.
   // -------------------------------------------------------------------
   val ClusterTau = 0.5
+  val MaxCcRounds = 64
+
+  /** Min-label propagation over a SYMMETRIC edge set (src, dst).
+    * Returns (doc_id, comp) for every edge-incident node; comp = min
+    * reachable node id. Fails loudly (require) if the graph needs more
+    * than [[MaxCcRounds]] rounds — a silent non-converged result would
+    * diverge from the fixpoint oracle. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    ccWithRounds(edges)._1
+
+  private[graft] def ccWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // symmetric edges → the src side alone covers all incident nodes
+    var cached = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .persist()
+    var labels = cached
+    var frontier = cached // round 0: every node is "changed"
+    var changed = cached.count()
+    var rounds = 0
+    while (changed > 0 && rounds < MaxCcRounds) {
+      val nbrMin = edges.join(frontier, edges("src") === frontier("doc_id"))
+        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      val step = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          // convergence folds into the SAME projection — counting the
+          // cached chg flags replaces the former full-labels join
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg"))
+      // every few rounds cut the lineage (each round's plan otherwise
+      // embeds every previous round's — analysis cost grows
+      // quadratically on deep-diameter graphs); localCheckpoint keeps
+      // the truncation executor-local, no checkpoint dir needed
+      val next =
+        if (rounds % 8 == 7) step.localCheckpoint(true)
+        else step.persist()
+      changed = next.filter(col("chg")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "comp")
+      frontier = next.filter(col("chg")).select("doc_id", "comp")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge after $rounds rounds " +
+        s"(frontier $changed) — raise MaxCcRounds")
+    (labels, rounds)
+  }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir)
@@ -389,28 +441,17 @@ object Dedup {
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
       .persist()
-    var labels = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
+    val labeled = connectedComponents(edges)
     edges.unpersist()
+    // singletons (no incident near-dup edge) are their own cluster —
+    // the corpus enters ONCE here, never inside the propagation loop
+    val singles = Tables.table(spark, dir, "documents")
+      .select("doc_id")
+      .join(labeled, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
     val wc = Window.partitionBy("cluster_id")
-    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+    labeled.unionByName(singles)
+      .select(col("doc_id"), col("comp").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(wc))
   }
 

@@ -60,4 +60,41 @@ class DedupSkewSpec extends AnyFunSuite {
       .agg(max("hamming")).collect()(0).getLong(0)
     assert(h == 0L)
   }
+
+  /** Symmetric edge set from undirected (a, b) pairs. */
+  private def edgesOf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+  }
+
+  test("connectedComponents labels ONLY edge-incident nodes") {
+    // the 100 TB contract: the propagation loop's working set is the
+    // edge-incident subgraph — a corpus-sized label table never forms.
+    // The function signature enforces it (it sees only edges); this
+    // pins the output node set to exactly the incident nodes.
+    val labels = dedup.Dedup.connectedComponents(
+      edgesOf(Seq((10L, 11L), (11L, 12L), (50L, 51L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(10L, 11L, 12L, 50L, 51L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(50L, 51L).forall(labels(_) == 50L))
+  }
+
+  test("connectedComponents converges on a diameter-25 path (old cap was 20)") {
+    val path = (0L until 25L).map(i => (i, i + 1))
+    val (labels, rounds) = dedup.Dedup.ccWithRounds(edgesOf(path))
+    val comps = labels.collect().map(_.getLong(1)).toSet
+    assert(comps == Set(0L), s"non-converged labels: $comps")
+    assert(rounds <= dedup.Dedup.MaxCcRounds)
+  }
+
+  test("connectedComponents frontier propagation converges in O(1) on a star") {
+    // hub 0 with 20 leaves: leaves adopt label 0 in round 1, round 2
+    // finds an empty frontier — the changed-only message send must not
+    // keep re-propagating settled labels
+    val star = (1L to 20L).map(i => (0L, i))
+    val (labels, rounds) = dedup.Dedup.ccWithRounds(edgesOf(star))
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 3, s"star graph took $rounds rounds")
+  }
 }
