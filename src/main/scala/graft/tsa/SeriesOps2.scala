@@ -350,118 +350,121 @@ object SeriesOps2 {
   // [p_min, p_max], ACF, highest peak => best period + height, then
   // fit a·e^{-t/tau}·cos(2πt/P) by (log a, log tau) grid search
   // (deterministic replacement for scipy.optimize.minimize) and report
-  // the quality factor.
+  // the quality factor. The kernel is shared with gaussian_prior —
+  // object-level constants keep the perSeries lambdas capture-free
+  // (plan-equality across invocations, see SeriesOps.SeriesFunc).
   // -------------------------------------------------------------------
-  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame = {
-    val dt = 21600.0
-    val pMin = 86400.0
-    val pMax = 432000.0
-    val sos = SeriesMath.butterBandpassSos(5, 1.0 / pMax, 1.0 / pMin, 1.0 / dt)
-    perSeries(spark, dir) { (id, t0, y0) =>
-      val (gt, gy) = resample(t0, y0, dt)
-      val ml = math.min((2.0 * pMax / dt).toInt, gt.length)
-      if (gt.length < 40) Iterator.empty
-      else {
-        val mean = gy.sum / gy.length
-        val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
-        // direct ACF on the uniform grid, lags 0..ml-1
-        val denom = filt.map(v => v * v).sum
-        val acf = Array.tabulate(ml) { k =>
-          var s = 0.0
-          var i = 0
-          while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
-          if (denom > 0) s / denom else 0.0
+  private val QDt = 21600.0
+  private val QPMax = 432000.0
+  private val QSos =
+    SeriesMath.butterBandpassSos(5, 1.0 / QPMax, 1.0 / 86400.0, 1.0 / QDt)
+
+  /** acf_harmonic_quality kernel: ACF of the band-filtered uniform
+    * series over `ml` lags, best peak, then the (a, tau) exp-cos grid
+    * fit → (best_period, height, quality). */
+  private def acfQuality(gt: Array[Double], gy: Array[Double],
+      sos: Array[Array[Double]], pmax: Double, dt: Double)
+      : Option[(Double, Double, Double)] = {
+    val mean = gy.sum / gy.length
+    val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
+    val ml = math.min((2.0 * pmax / dt).toInt, gt.length)
+    // direct ACF on the uniform grid, lags 0..ml-1
+    val denom = filt.map(v => v * v).sum
+    val acf = Array.tabulate(ml) { k =>
+      var s = 0.0
+      var i = 0
+      while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
+      if (denom > 0) s / denom else 0.0
+    }
+    val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
+    if (peaks.isEmpty) None
+    else {
+      val bestIdx = peaks.maxBy(acf)
+      val bestPer = bestIdx * dt
+      val height = acf(bestIdx)
+      val tauMax = 20.0 * pmax / bestPer
+      // grid search over (a, tau)
+      val lags = Array.tabulate(ml)(_ * dt)
+      def rss(a: Double, tau: Double): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < ml) {
+          val m = a * math.exp(-lags(i) / tau) *
+            math.cos(2.0 * math.Pi * lags(i) / bestPer)
+          s += (acf(i) - m) * (acf(i) - m)
+          i += 1
         }
-        val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
-        if (peaks.isEmpty) Iterator.empty
-        else {
-          val bestIdx = peaks.maxBy(acf)
-          val bestPer = bestIdx * dt
-          val height = acf(bestIdx)
-          val tauMax = 20.0 * pMax / bestPer
-          // grid search over (a, tau)
-          val lags = Array.tabulate(ml)(_ * dt)
-          def rss(a: Double, tau: Double): Double = {
-            var s = 0.0
-            var i = 0
-            while (i < ml) {
-              val m = a * math.exp(-lags(i) / tau) *
-                math.cos(2.0 * math.Pi * lags(i) / bestPer)
-              s += (acf(i) - m) * (acf(i) - m)
-              i += 1
-            }
-            s
-          }
-          var best = (1.0, 2.0 * bestPer, Double.MaxValue)
-          var ai = -4
-          while (ai <= 4) {
-            val a = math.exp(ai * 0.35)
-            var ti = -4
-            while (ti <= 4) {
-              val tau = 2.0 * bestPer * math.exp(ti * 0.5)
-              val r = rss(a, tau)
-              if (r < best._3) best = (a, tau, r)
-              ti += 1
-            }
-            ai += 1
-          }
-          val tau = math.min(best._2, tauMax * bestPer)
-          val quality = (tau / bestPer) * (ml * height / best._3)
+        s
+      }
+      var best = (1.0, 2.0 * bestPer, Double.MaxValue)
+      var ai = -4
+      while (ai <= 4) {
+        val a = math.exp(ai * 0.35)
+        var ti = -4
+        while (ti <= 4) {
+          val tau = 2.0 * bestPer * math.exp(ti * 0.5)
+          val r = rss(a, tau)
+          if (r < best._3) best = (a, tau, r)
+          ti += 1
+        }
+        ai += 1
+      }
+      val tau = math.min(best._2, tauMax * bestPer)
+      val quality = (tau / bestPer) * (ml * height / best._3)
+      Some((bestPer, height, quality))
+    }
+  }
+
+  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (gt, gy) = resample(t0, y0, QDt)
+      if (gt.length < 40) Iterator.empty
+      else acfQuality(gt, gy, QSos, QPMax, QDt) match {
+        case None => Iterator.empty
+        case Some((bestPer, height, quality)) =>
           Iterator.single((id, bestPer, math.rint(height * 1e6) / 1e6,
             math.rint(quality * 1e3) / 1e3))
-        }
       }
     }.toDF("id", "best_period", "height", "quality")
-  }
 
   // -------------------------------------------------------------------
   // gaussian_prior — reference gp.py:69 (make_gaussian_prior): mixture
   // of gaussians on log-period from the ACF harmonic quality of
   // band-filtered versions of the signal; emits the mixture components
-  // (fundamental + half/double harmonics, quality-weighted).
+  // (fundamental + half/double harmonics). Weights follow the
+  // reference exactly (gp.py:142-149): each band contributes its
+  // acf_period_quality QUALITY factor q — NOT the raw normalized ACF
+  // height, which is amplitude-blind (a band that filters the signal
+  // AWAY still has a unit-normalized ACF, so height-weighting let
+  // junk bands outvote the band actually containing the period; the
+  // quality factor divides by the exp-cos fit RSS, which junk fails).
   // -------------------------------------------------------------------
-  def gaussianPrior(spark: SparkSession, dir: String): DataFrame = {
-    val dt = 21600.0
-    val bands = Array(86400.0, 172800.0, 345600.0) // p_max = a*b^k
-    val fundHeight = 0.8
+  private val PriorBands = Array(86400.0, 172800.0, 345600.0) // p_max = a*b^k
+  private val PriorSos = PriorBands.map(pmax =>
+    SeriesMath.butterBandpassSos(5, 1.0 / pmax, 2.0 / pmax, 1.0 / QDt))
+  private val FundHeight = 0.8
+
+  def gaussianPrior(spark: SparkSession, dir: String): DataFrame =
     perSeries(spark, dir) { (id, t0, y0) =>
-      val (gt, gy) = resample(t0, y0, dt)
+      val (gt, gy) = resample(t0, y0, QDt)
       if (gt.length < 40) Iterator.empty
       else {
-        val mean = gy.sum / gy.length
-        bands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
-          val pmin = pmax / 2.0
-          val sos = SeriesMath.butterBandpassSos(5, 1.0 / pmax, 1.0 / pmin,
-            1.0 / dt)
-          val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
-          val ml = math.min((2.0 * pmax / dt).toInt, gt.length)
-          val denom = filt.map(v => v * v).sum
-          if (denom <= 0) Iterator.empty
-          else {
-            val acf = Array.tabulate(ml) { k =>
-              var s = 0.0; var i = 0
-              while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
-              s / denom
-            }
-            val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
-            if (peaks.isEmpty) Iterator.empty
-            else {
-              val bestIdx = peaks.maxBy(acf)
-              val per = bestIdx * dt
-              val q = math.max(acf(bestIdx), 0.0)
+        PriorBands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
+          acfQuality(gt, gy, PriorSos(bi), pmax, QDt) match {
+            case None => Iterator.empty
+            case Some((per, _, quality)) =>
+              val q = math.max(quality, 0.0)
               Iterator(
                 (id, bi, 0, math.rint(math.log(per) * 1e6) / 1e6,
-                  math.rint(q * fundHeight * 1e6) / 1e6),
+                  math.rint(q * FundHeight * 1e6) / 1e6),
                 (id, bi, 1, math.rint(math.log(per / 2.0) * 1e6) / 1e6,
-                  math.rint(q * (1 - fundHeight) / 2 * 1e6) / 1e6),
+                  math.rint(q * (1 - FundHeight) / 2 * 1e6) / 1e6),
                 (id, bi, 2, math.rint(math.log(per * 2.0) * 1e6) / 1e6,
-                  math.rint(q * (1 - fundHeight) / 2 * 1e6) / 1e6))
-            }
+                  math.rint(q * (1 - FundHeight) / 2 * 1e6) / 1e6))
           }
         }
       }
     }.toDF("id", "band", "harmonic", "mu_logp", "weight")
-  }
 
   // -------------------------------------------------------------------
   // ts_denoise — reference timefrequency.py:151 (denoise, family

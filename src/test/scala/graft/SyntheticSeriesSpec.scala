@@ -24,6 +24,7 @@ class SyntheticSeriesSpec extends AnyFunSuite {
   private val PB = 345600.0      // 4 d tone (spectrogram)
 
   private val P4 = 691200.0 // 8 d — smooth on the 6 h grid (denoise)
+  private val P5 = 216000.0 // 2.5 d — INTERIOR of the [2 d, 4 d] band
   private def clean4(t: Double): Double =
     10.0 + 3.0 * math.sin(2 * math.Pi * t / P4)
   private lazy val noise4: Array[Double] = {
@@ -41,7 +42,8 @@ class SyntheticSeriesSpec extends AnyFunSuite {
       (uid, gen) <- Seq(
         (1L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P1)),
         (2L, (t: Double) => 10.0 + 2.0 * math.sin(2 * math.Pi * t / PA) +
-          2.0 * math.sin(2 * math.Pi * t / PB)))
+          2.0 * math.sin(2 * math.Pi * t / PB)),
+        (5L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P5)))
       k <- 0 until 360
       t = T0 + k * 7200.0
     } yield (uid * 1000 + k, (t * 1e9).toLong, uid, "tick", gen(t), "{}")) ++
@@ -108,21 +110,24 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(row.getDouble(1) > 0.0, "quality must be positive")
   }
 
-  test("gaussian_prior max-weight component sits at the 2 d log-period") {
+  test("gaussian_prior ARGMAX component sits at the injected 2.5 d log-period") {
     import org.apache.spark.sql.functions._
+    // Strict argmax gate (round 7): the injected period lies in the
+    // interior of the [2 d, 4 d] band — off the a·bᵏ band boundaries,
+    // which are genuine ambiguity points of the reference algorithm
+    // itself (a boundary tone is half-attenuated by BOTH adjacent
+    // band-pass filters; reference make_gaussian_prior, gp.py:70-137).
+    // For an interior period the true fundamental must be THE maximum,
+    // no near-maximal tolerance.
     val rows = tsa.SeriesOps2.gaussianPrior(spark, synDir)
-      .filter(col("id") === 1L)
-      .orderBy(col("weight").desc)
+      .filter(col("id") === 5L)
       .select("mu_logp", "weight").collect()
-    assert(rows.nonEmpty, "no prior components for series 1")
-    // the injected period sits exactly on the band-0/band-1 boundary,
-    // so a band-edge artifact can edge out the true fundamental in raw
-    // weight — but the true log-period must appear among the
-    // near-maximal components (within 20% of the top weight)
-    val wMax = rows.head.getDouble(1)
-    val near = rows.filter(_.getDouble(1) >= 0.8 * wMax).map(_.getDouble(0))
-    assert(near.exists(mu => math.abs(mu - math.log(P1)) <= 0.1),
-      s"no near-maximal prior component at ln($P1); got ${near.mkString(", ")}")
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.nonEmpty, "no prior components for series 5")
+    val top = rows.maxBy(_._2)._1
+    assert(math.abs(top - math.log(P5)) <= 0.1,
+      s"argmax prior component at $top, expected ln($P5) = ${math.log(P5)}; " +
+        s"components: ${rows.sortBy(-_._2).take(5).mkString(", ")}")
   }
 
   test("lmd_modes emits positive envelopes and bounded FM components") {
