@@ -218,10 +218,14 @@ object Similarity {
   // ∝ corpus · NPROBE / NC instead of |queries| × |corpus|, and the
   // cell assignment is a join key — at 100 TB the corpus can be
   // WRITTEN bucketed by cell so probes prune at the source.
-  // Centroids are the NC lowest-vec_id vectors (deterministic seeded
-  // quantizer — the Lloyd refinement would be a tiny broadcast-model
-  // iteration and does not change the plan shape, so the oracle-exact
-  // seeded form is kept).
+  // Quantizer (round 7): NC lowest-vec_id seed vectors, then ONE Lloyd
+  // iteration — assign to seeds, per-cell component MEANS become the
+  // refined centroids, reassign. The means use exact integer-µ sums
+  // (round(v·1e6) as bigint, then one double division) so both engines
+  // emit bit-identical centroid components; the refinement is plain
+  // grouped aggregation + a broadcast of NC vectors, so the plan shape
+  // (and its 100 TB posture) is unchanged while the cells track the
+  // data instead of the luck of the seeds.
   // -------------------------------------------------------------------
   private val NC = 16
   private val NPROBE = 4
@@ -231,13 +235,32 @@ object Similarity {
     val emb = Tables.table(spark, dir, "embeddings")
     val seeds = emb.filter(col("vec_id") < NC)
       .select(col("vec_id").as("cell"), col("embedding").as("semb"))
-    // similarity of every vector to every centroid (NC is tiny —
-    // broadcast); rank with rounded-sim + cell tiebreak (deterministic)
-    val sims = emb.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cell"),
-        round(expr("cosine_sim(embedding, semb)"), 6).as("csim"))
     val wv = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell").asc)
+    // seed assignment: similarity of every vector to every seed (NC is
+    // tiny — broadcast); rank with rounded-sim + cell tiebreak
+    val asg0 = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"),
+        round(expr("cosine_sim(embedding, semb)"), 6).as("csim"))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") === 1)
+      .select("vec_id", "cell")
+    // Lloyd step: per-(cell, component) exact-µ means, re-packed into
+    // double-array centroids (CosineSim takes float or double arrays)
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        col("col").cast("double").as("v"))
+    val cents = comps.join(asg0, "vec_id")
+      .groupBy("cell", "i")
+      .agg((sum(round(col("v") * 1000000.0, 0).cast("long")).cast("double") /
+        count(lit(1)) / 1000000.0).as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("a"))
+      .select(col("cell"), expr("transform(a, x -> x.cv)").as("cemb"))
+    // refined assignment against the Lloyd centroids
+    val sims = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        round(expr("cosine_sim(embedding, cemb)"), 6).as("csim"))
     val ranked = sims.withColumn("crank", row_number().over(wv))
     val cells = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("cell"))
@@ -263,14 +286,34 @@ object Similarity {
   val annIvfTopkSql: String =
     s"""WITH $compsSql,
        |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
-       |cdots AS (SELECT c.vec_id, s.vec_id AS cell, sum(c.v * s.v) AS dot
+       |cdots0 AS (SELECT c.vec_id, s.vec_id AS cell, sum(c.v * s.v) AS dot
        |  FROM cp c JOIN cp s ON s.i = c.i AND s.vec_id < $NC
        |  GROUP BY 1, 2),
-       |csim AS (SELECT d.vec_id, d.cell,
+       |csim0 AS (SELECT d.vec_id, d.cell,
        |    round(d.dot / (nv.nrm * ns.nrm), 6) AS csim
-       |  FROM cdots d
+       |  FROM cdots0 d
        |  JOIN nr nv ON nv.vec_id = d.vec_id
        |  JOIN nr ns ON ns.vec_id = d.cell),
+       |asg0 AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS crank
+       |    FROM csim0)
+       |  WHERE crank = 1),
+       |-- one Lloyd iteration: exact integer-µ component means
+       |cent AS (SELECT a.cell, c.i,
+       |    cast(sum(cast(round(c.v * 1000000.0) AS BIGINT)) AS double)
+       |      / count(*) / 1000000.0 AS v
+       |  FROM asg0 a JOIN cp c ON c.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |cnr AS (SELECT cell, sqrt(sum(v*v)) AS nrm FROM cent GROUP BY 1),
+       |cdots AS (SELECT c.vec_id, ct.cell, sum(c.v * ct.v) AS dot
+       |  FROM cp c JOIN cent ct ON ct.i = c.i
+       |  GROUP BY 1, 2),
+       |csim AS (SELECT d.vec_id, d.cell,
+       |    round(d.dot / (nv.nrm * cn.nrm), 6) AS csim
+       |  FROM cdots d
+       |  JOIN nr nv ON nv.vec_id = d.vec_id
+       |  JOIN cnr cn ON cn.cell = d.cell),
        |rkc AS (SELECT vec_id, cell, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS crank
        |  FROM csim),

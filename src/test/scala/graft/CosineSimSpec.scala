@@ -45,4 +45,22 @@ class CosineSimSpec extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
+
+  test("cosine_sim accepts a double-array side (IVF centroid path)") {
+    CosineSim.register(spark)
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // float embedding vs its exact double copy: identical direction
+    val rows = emb.limit(20)
+      .withColumn("dbl", expr("transform(embedding, x -> cast(x AS double))"))
+      .select(expr("cosine_sim(embedding, dbl)").as("fd"),
+        expr("cosine_sim(dbl, dbl)").as("dd"),
+        expr("cosine_sim(embedding, embedding)").as("ff"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12, s"float×double ${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12, s"double×double ${r.getDouble(1)}")
+      assert(r.getDouble(0) === r.getDouble(2))
+    }
+  }
 }

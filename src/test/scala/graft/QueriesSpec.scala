@@ -79,8 +79,12 @@ class QueriesSpec extends AnyFunSuite {
       }
       rs.sum / rs.size
     }
+    // round-7 Lloyd-refined quantizer: recall@5 = 0.94 at sf0.001,
+    // exactly matching the round-6 seeded quantizer (no decrease); the
+    // tight bound pins that the refinement never costs recall here
     val ivf = meanRecall(topsets(sim.Similarity.annIvfTopk(spark, dir)))
-    assert(ivf >= 0.7, s"IVF recall@5 fell to $ivf (0.94 at authoring)")
+    assert(ivf >= 0.9, s"IVF recall@5 fell to $ivf (0.94 at authoring, " +
+      "seeded and Lloyd-refined alike)")
     val lsh = meanRecall(topsets(sim.Similarity.annLshTopk(spark, dir)))
     assert(lsh >= 0.15, s"LSH recall@5 fell to $lsh (0.34 at authoring)")
   }
