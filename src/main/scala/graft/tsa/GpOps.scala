@@ -245,6 +245,68 @@ object GpOps {
       }
     }.toDF("id", "t", "y", "mu", "map_period")
 
+  /** gp_loocv — reference gp.py:387-397 (CeleriteModeler.loocv): the
+    * leave-one-out predictive log-score Σᵢ log p(yᵢ | y₋ᵢ), computed
+    * from the SAME Cholesky factors as the harmonic grid-MAP via the
+    * standard rank-one identities q = K⁻¹y, c = diag(K⁻¹):
+    *   loocv = −½·(Σ qᵢ²/cᵢ − Σ log cᵢ + n·log 2π).
+    * Emitted for every trial period with is_best = argmax — model
+    * selection by cross-validation instead of marginal likelihood
+    * (LOO penalizes the overfit kernels ML can prefer). diag(K⁻¹)
+    * costs one O(n³/6) triangular sweep per period on top of the
+    * Cholesky, so the subsample cap is 120 points here (vs 200 for
+    * the pure-ML maps); rows-only oracle like the other Cholesky ops.
+    */
+  def gpLoocv(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.perSeries(spark, dir) { (id, t0, y0) =>
+      val stride = (t0.length + 119) / 120
+      val idx = t0.indices.by(stride).toArray
+      val t = idx.map(t0)
+      val yRaw = idx.map(y0)
+      val n = t.length
+      if (n < 10) Iterator.empty
+      else {
+        val mean = yRaw.sum / n
+        val y = yRaw.map(_ - mean)
+        val varY = math.max(y.map(v => v * v).sum / n, 1e-12)
+        val noise = 0.2 * varY
+        val results = (1 to 20).map { j =>
+          val p = j * 43200.0 // 12 h .. 10 d, the grid-MAP grid
+          val kf = harmonicKernel(varY, p)
+          val k = Array.ofDim[Double](n, n)
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b <= a) {
+              val v = kf(t(a) - t(b))
+              k(a)(b) = v
+              k(b)(a) = v
+              b += 1
+            }
+            k(a)(a) += noise + 1e-9 * varY
+            a += 1
+          }
+          val l = SeriesMath.cholesky(k)
+          if (l == null) (p, Double.NegativeInfinity)
+          else {
+            val q = SeriesMath.choleskySolve(l, y)
+            val c = SeriesMath.choleskyInvDiag(l)
+            var s = n * math.log(2.0 * math.Pi)
+            var i = 0
+            while (i < n) {
+              s += q(i) * q(i) / c(i) - math.log(c(i))
+              i += 1
+            }
+            (p, -0.5 * s)
+          }
+        }
+        val best = results.maxBy(_._2)._1
+        results.iterator.map { case (p, s) =>
+          (id, p, math.rint(s * 1e3) / 1e3, if (p == best) 1 else 0)
+        }
+      }
+    }.toDF("id", "period", "loocv", "is_best")
+
   // -------------------------------------------------------------------
   // hht_spectrogram — reference timefrequency.py:91-99 (_spectrogram):
   // bin the per-sample (freq, amp) pairs emitted by hht_inst onto a
@@ -371,6 +433,7 @@ object GpOps {
     "gp_harmonic_map" -> (gpHarmonicMap _),
     "gp_psd" -> (gpPsd _),
     "gp_predict" -> (gpPredict _),
+    "gp_loocv" -> (gpLoocv _),
     "hht_spectrogram" -> (hhtSpectrogram _),
     "ts_envelope" -> (tsEnvelope _))
 

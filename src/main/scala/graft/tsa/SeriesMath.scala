@@ -414,6 +414,31 @@ object SeriesMath {
     l
   }
 
+  /** diag(K⁻¹) for K = L·Lᵀ: column i of L⁻¹ by forward substitution,
+    * diag(K⁻¹)ᵢ = ‖L⁻¹eᵢ‖² — the denominators of the GP leave-one-out
+    * identities (one O(n³/6) triangular sweep, no full inverse). */
+  def choleskyInvDiag(l: Array[Array[Double]]): Array[Double] = {
+    val n = l.length
+    val diag = new Array[Double](n)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s2 = 0.0
+      var k = i
+      while (k < n) {
+        var s = if (k == i) 1.0 else 0.0
+        var j = i
+        while (j < k) { s -= l(k)(j) * x(j); j += 1 }
+        x(k) = s / l(k)(k)
+        s2 += x(k) * x(k)
+        k += 1
+      }
+      diag(i) = s2
+      i += 1
+    }
+    diag
+  }
+
   /** Solve L Lᵀ x = b given lower-triangular L. */
   def choleskySolve(l: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = l.length

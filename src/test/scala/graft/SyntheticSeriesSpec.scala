@@ -100,6 +100,12 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(p - P1) <= 43200.0, s"predict MAP period $p")
   }
 
+  test("gp_loocv leave-one-out score peaks at the injected 2 d period") {
+    val row = tsa.GpOps.gpLoocv(spark, synDir)
+    val p = bestPeriod(row, 1L)
+    assert(math.abs(p - P1) <= 43200.0, s"LOO-best period $p, expected ~$P1")
+  }
+
   test("acf_period_quality recovers the injected 2 d period") {
     import org.apache.spark.sql.functions._
     val row = tsa.SeriesOps2.acfPeriodQuality(spark, synDir)
