@@ -36,6 +36,7 @@ object SparkEntry {
       sim.Similarity.queries ++
       text.TextOps.queries ++
       text.Corpus.queries ++
+      sources.SyntheticData.queries ++
       relational.Tpch.queries
 
   def oracleSql: Map[String, String] =
@@ -57,5 +58,6 @@ object SparkEntry {
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
       text.Corpus.oracles ++
+      sources.SyntheticData.oracles ++
       relational.Tpch.oracles
 }
