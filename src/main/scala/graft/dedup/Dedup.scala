@@ -393,36 +393,36 @@ object Dedup {
   def connectedComponents(edges: DataFrame): DataFrame =
     ccWithRounds(edges)._1
 
-  private[graft] def ccWithRounds(edges: DataFrame): (DataFrame, Int) = {
-    // symmetric edges → the src side alone covers all incident nodes
-    var cached = edges.select(col("src").as("doc_id"))
+  private[graft] def ccWithRounds(edgesIn: DataFrame): (DataFrame, Int) = {
+    // Snapshot the (tiny) edge set ONCE: the caller's edge pipeline —
+    // for dedup_clusters the whole minhash candidate tree — must not
+    // enter the loop, and each round snapshots its (tiny) label frame
+    // the same way. Without the truncation, round k's logical plan
+    // embeds round k−1's TWICE (directly + via the messages) plus the
+    // edge pipeline once — 2^k plan copies, and the optimizer, not the
+    // data, dominates the loop (observed: seconds per round over a few
+    // hundred cached rows). With it every round's plan is three
+    // constant-size LogicalRDD scans.
+    val edges = edgesIn.localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
-      .persist()
-    var labels = cached
-    var frontier = cached // round 0: every node is "changed"
-    var changed = cached.count()
+      .localCheckpoint(true)
+    var frontier = labels // round 0: every node is "changed"
+    var changed = labels.count()
     var rounds = 0
     while (changed > 0 && rounds < MaxCcRounds) {
       val nbrMin = edges.join(frontier, edges("src") === frontier("doc_id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      val step = labels
+      val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           // convergence folds into the SAME projection — counting the
-          // cached chg flags replaces the former full-labels join
+          // snapshot's chg flags replaces the former full-labels join
           coalesce(col("ncomp") < col("comp"), lit(false)).as("chg"))
-      // every few rounds cut the lineage (each round's plan otherwise
-      // embeds every previous round's — analysis cost grows
-      // quadratically on deep-diameter graphs); localCheckpoint keeps
-      // the truncation executor-local, no checkpoint dir needed
-      val next =
-        if (rounds % 8 == 7) step.localCheckpoint(true)
-        else step.persist()
+        .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select("doc_id", "comp")
       frontier = next.filter(col("chg")).select("doc_id", "comp")
       rounds += 1
@@ -440,9 +440,7 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
-      .persist()
     val labeled = connectedComponents(edges)
-    edges.unpersist()
     // singletons (no incident near-dup edge) are their own cluster —
     // the corpus enters ONCE here, never inside the propagation loop
     val singles = Tables.table(spark, dir, "documents")
