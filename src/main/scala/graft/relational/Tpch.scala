@@ -83,8 +83,11 @@ object Tpch {
   // and nation broadcast. orders is a fact table (~SF×1.5M rows) so it
   // carries no broadcast hint — AQE picks broadcast when the pruned
   // side is small enough and shuffle-hash/sort-merge at cluster scale.
-  // The top-k is a rank over the aggregated (small) result —
-  // deterministic via rounded revenue + custkey.
+  // The top-k compiles to TakeOrderedAndProject (per-partition 20-row
+  // heaps, driver merges 20-row results — no single-partition shuffle
+  // of the full aggregate); the rank column is then a window over the
+  // 20 surviving rows only. Deterministic via rounded revenue +
+  // custkey.
   def q10Returns(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.table(spark, dir, "nation")
     val cust = Tables.table(spark, dir, "customer")
@@ -97,9 +100,11 @@ object Tpch {
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(30,6)")).cast("double"), 4).as("revenue"))
+    val top = agg
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
     val w = Window.orderBy(col("revenue").desc, col("c_custkey").asc)
-    agg.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 20)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   val q10ReturnsSql: String =
