@@ -132,11 +132,89 @@ object TimeSeriesOps4 {
        |  count(*) OVER (PARTITION BY id, t) AS n_at_t
        |FROM u""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ts_pad — reference core.py:726 (Signal.pad), in the configuration
+  // the envelope kernel uses (get_envelope, core.py:762): pad_width=3,
+  // time padded mode="reflect" reflect_type="odd" (t continues past
+  // the edge with mirrored spacing, t₋ₖ = 2·t₀ − tₖ), values plain
+  // reflect (y₋ₖ = yₖ). Pure window arithmetic; series shorter than
+  // pad_width+1 simply emit fewer pad rows (the reference raises).
+  // pos: −3..−1 left pad, 0..n−1 body, n..n+2 right pad.
+  // -------------------------------------------------------------------
+  private val PadW = 3
+
+  def tsPad(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.series(spark, dir)
+    val wAll = Window.partitionBy("id")
+    val base = s
+      .withColumn("rna", row_number().over(w))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("id").orderBy(col("t").desc, col("eid").desc)))
+      .withColumn("t0", min("t").over(wAll))
+      .withColumn("tn", max("t").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val body = base.select(col("id"), (col("rna") - 1).cast("long").as("pos"),
+      col("t"), col("y"), lit(0).as("region"))
+    val left = base.filter(col("rna").between(2, PadW + 1))
+      .select(col("id"), (lit(1) - col("rna")).cast("long").as("pos"),
+        (lit(2.0) * col("t0") - col("t")).as("t"), col("y"),
+        lit(-1).as("region"))
+    val right = base.filter(col("rnd").between(2, PadW + 1))
+      .select(col("id"), (col("n") + col("rnd") - 2).cast("long").as("pos"),
+        (lit(2.0) * col("tn") - col("t")).as("t"), col("y"),
+        lit(1).as("region"))
+    body.unionByName(left).unionByName(right)
+  }
+
+  val tsPadSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |b AS (SELECT id, t, y,
+       |  row_number() OVER (PARTITION BY id ORDER BY t, eid) AS rna,
+       |  row_number() OVER (PARTITION BY id ORDER BY t DESC, eid DESC) AS rnd,
+       |  min(t) OVER (PARTITION BY id) AS t0,
+       |  max(t) OVER (PARTITION BY id) AS tn,
+       |  count(*) OVER (PARTITION BY id) AS n
+       |  FROM s)
+       |SELECT id, cast(rna - 1 AS BIGINT) AS pos, t, y, 0 AS region FROM b
+       |UNION ALL
+       |SELECT id, cast(1 - rna AS BIGINT), 2.0*t0 - t, y, -1 FROM b
+       |WHERE rna BETWEEN 2 AND ${PadW + 1}
+       |UNION ALL
+       |SELECT id, cast(n + rnd - 2 AS BIGINT), 2.0*tn - t, y, 1 FROM b
+       |WHERE rnd BETWEEN 2 AND ${PadW + 1}""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ts_drop — reference core.py:717 (Signal.drop): delete samples by
+  // positional index, demonstrated with the envelope-kernel shape
+  // (every 100th position dropped); survivors are re-indexed.
+  // -------------------------------------------------------------------
+  def tsDrop(spark: SparkSession, dir: String): DataFrame =
+    Tables.series(spark, dir)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .filter(pmod(col("pos"), lit(100)) =!= 0)
+      .withColumn("new_pos", (row_number().over(w) - 1).cast("long"))
+      .select("id", "new_pos", "t", "y")
+
+  val tsDropSql: String =
+    s"""WITH s AS (${Tables.seriesSql}),
+       |p AS (SELECT id, eid, t, y,
+       |  row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1 AS pos
+       |  FROM s)
+       |SELECT id,
+       |  cast(row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1
+       |       AS BIGINT) AS new_pos,
+       |  t, y
+       |FROM p WHERE pos % 100 <> 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_interp" -> (tsInterp _),
-    "ts_join" -> (tsJoin _))
+    "ts_join" -> (tsJoin _),
+    "ts_pad" -> (tsPad _),
+    "ts_drop" -> (tsDrop _))
 
   val oracles: Map[String, String] = Map(
     "ts_interp" -> tsInterpSql,
-    "ts_join" -> tsJoinSql)
+    "ts_join" -> tsJoinSql,
+    "ts_pad" -> tsPadSql,
+    "ts_drop" -> tsDropSql)
 }
