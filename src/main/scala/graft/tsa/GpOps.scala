@@ -315,6 +315,17 @@ object GpOps {
   // Edge freq rows are zeroed by the reference (power[[0,-1]] = 0) —
   // here they are dropped. Declarative groupBy over the mapGroups
   // output: one extra shuffle keyed (id, fbin, m), map-side combined.
+  //
+  // Round 7 — DERIVED-INPUT oracle: the EMD sift is not
+  // SQL-expressible, but this binning over its output is pure SQL — so
+  // Verify dumps hht_inst to parquet and the oracle replays the exact
+  // rebin in DuckDB over that parquet (`__GRAFT_OUT__` is substituted
+  // with the dump directory by Verify), shrinking the untested surface
+  // to the sift itself. Power sums aggregate exact integer-µ units
+  // (amp is 1e-6-quantized at the sift emit) and the 4 dp round runs
+  // in INTEGER space (÷100, ties-away round of the exact X.5 double,
+  // ÷10⁴): the µ-unit sums land exactly on 4-dp halves, where Spark's
+  // BigDecimal round and DuckDB's binary round disagree.
   // -------------------------------------------------------------------
   val FBins = 32
   val Nyquist: Double = 1.0 / (2.0 * 21600.0)
@@ -330,41 +341,12 @@ object GpOps {
         col("fbin"),
         floor((col("t") - lit(graft.spectral.Wavelet.T0)) / 43200.0)
           .cast("long").as("m"))
-      .agg(round(sum("amp"), 4).as("power"), count(lit(1)).as("n_samples"))
-  }
-
-  // -------------------------------------------------------------------
-  // hht_rebin — the rebin stage of hht_spectrogram under a
-  // DERIVED-INPUT oracle (round 7): the EMD sift is not
-  // SQL-expressible, but the binning over its output is pure SQL — so
-  // Verify dumps hht_inst to parquet and the oracle replays this exact
-  // rebin in DuckDB over that parquet (`__GRAFT_OUT__` is substituted
-  // with the dump directory by Verify). Power sums use exact integer-µ
-  // arithmetic — amp is 1e-6-quantized at the sift emit, so both
-  // engines aggregate identical integers and the 4 dp round matches
-  // bit-for-bit. Shrinks the untested surface to the sift itself.
-  // -------------------------------------------------------------------
-  def hhtRebin(spark: SparkSession, dir: String): DataFrame = {
-    val dfb = Nyquist / FBins
-    SeriesOps.hhtInst(spark, dir)
-      .withColumn("fbin",
-        least(greatest(floor(col("freq") / dfb), lit(0.0)),
-          lit((FBins - 1).toDouble)).cast("long"))
-      .filter(col("fbin") > 0 && col("fbin") < FBins - 1)
-      .groupBy(col("id"),
-        col("fbin"),
-        floor((col("t") - lit(graft.spectral.Wavelet.T0)) / 43200.0)
-          .cast("long").as("m"))
-      // 4 dp round in INTEGER space: the µ-unit sums land exactly on
-      // 4-dp halves (quantum 1e-6), where Spark's BigDecimal round and
-      // DuckDB's binary round disagree; ÷100 of an exact integer and a
-      // ties-away round of the X.5 double are identical in both
       .agg((round(sum(round(col("amp") * 1000000.0, 0).cast("long"))
           .cast("double") / 100.0, 0) / 10000.0).as("power"),
         count(lit(1)).as("n_samples"))
   }
 
-  val hhtRebinSql: String = {
+  val hhtSpectrogramSql: String = {
     val dfb = Nyquist / FBins
     s"""WITH hi AS (
        |  SELECT * FROM read_parquet('__GRAFT_OUT__/hht_inst/*.parquet')),
@@ -485,10 +467,9 @@ object GpOps {
     "gp_predict" -> (gpPredict _),
     "gp_loocv" -> (gpLoocv _),
     "hht_spectrogram" -> (hhtSpectrogram _),
-    "hht_rebin" -> (hhtRebin _),
     "ts_envelope" -> (tsEnvelope _))
 
   val oracles: Map[String, String] = Map(
     "gp_psd" -> gpPsdSql,
-    "hht_rebin" -> hhtRebinSql)
+    "hht_spectrogram" -> hhtSpectrogramSql)
 }

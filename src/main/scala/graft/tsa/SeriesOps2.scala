@@ -324,6 +324,32 @@ object SeriesOps2 {
   def ceemdanCOrthogonality(spark: SparkSession, dir: String): DataFrame =
     orthogonalityOf(ceemdanPost(spark, dir))
 
+  /** DERIVED-INPUT oracle for the orthogonality queries: the ensemble
+    * sift is not SQL-expressible, but the mode pivot + pairwise corr
+    * over its output is — DuckDB replays it over the `src` parquet
+    * Verify dumps in the same run (`__GRAFT_OUT__` substitution),
+    * hash-checking everything downstream of the sift. corr rounds at
+    * 4 dp on both sides (ts_corr precedent: both engines' single-pass
+    * estimators agree well inside that granularity). */
+  private def orthogonalitySql(src: String): String = {
+    val maxModes = 4
+    val cols = (0 until maxModes)
+      .map(m => s"max(CASE WHEN mode = $m THEN y END) AS m$m")
+      .mkString(",\n       |  ")
+    val pairs = (for { i <- 0 until maxModes; j <- i until maxModes } yield
+      s"SELECT id, CAST($i AS BIGINT) AS mi, CAST($j AS BIGINT) AS mj, " +
+        s"round(corr(m$i, m$j), 4) + 0.0 AS orth FROM pv GROUP BY id")
+      .mkString("\n       |UNION ALL\n       |")
+    s"""WITH ce AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/$src/*.parquet')),
+       |pv AS (SELECT id, t,
+       |  $cols
+       |  FROM ce GROUP BY 1, 2)
+       |SELECT * FROM (
+       |$pairs
+       |) WHERE orth IS NOT NULL""".stripMargin
+  }
+
   private def orthogonalityOf(modesDf: DataFrame): DataFrame = {
     val maxModes = 4
     val piv = modesDf
@@ -554,4 +580,8 @@ object SeriesOps2 {
     "acf_period_quality" -> (acfPeriodQuality _),
     "gaussian_prior" -> (gaussianPrior _),
     "ts_denoise" -> (tsDenoise _))
+
+  val oracles: Map[String, String] = Map(
+    "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
+    "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"))
 }
