@@ -89,6 +89,33 @@ object SyntheticData {
        |FROM generate_series(1, 2000) AS g(n)""".stripMargin
 
   // -------------------------------------------------------------------
+  // syn_two_tones — SustainedPlusGappedPureTones (data/__init__.py:105):
+  // a sustained 0.065-cycle/sample tone plus a gapped 0.255 tone over
+  // [500, 750) — the signal the reference's own CEEMDAN test
+  // (tests/test_decomposition.py) separates into exactly two IMFs.
+  // -------------------------------------------------------------------
+  def twoTonesY(n: org.apache.spark.sql.Column,
+      gapStart: Int, gapEnd: Int): org.apache.spark.sql.Column =
+    sin(lit(2.0 * math.Pi * 0.065) * n) +
+      when(n >= gapStart && n < gapEnd,
+        sin(lit(2.0 * math.Pi * 0.255) * (n - gapStart.toDouble)))
+        .otherwise(lit(0.0))
+
+  def synTwoTones(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 1000).toDF("n")
+      .select(col("n"),
+        (round(twoTonesY(col("n").cast("double"), 500, 750), 6) + lit(0.0))
+          .as("y"))
+
+  val synTwoTonesSql: String =
+    s"""SELECT g.n,
+       |  round(sin(${2.0 * math.Pi * 0.065} * g.n)
+       |    + CASE WHEN g.n >= 500 AND g.n < 750
+       |           THEN sin(${2.0 * math.Pi * 0.255} * (g.n - 500.0))
+       |           ELSE 0.0 END, 6) + 0.0 AS y
+       |FROM generate_series(0, 999) AS g(n)""".stripMargin
+
+  // -------------------------------------------------------------------
   // syn_duffing — inner phase t²/512 + 32 is exact in doubles (powers
   // of two), so the libm inputs are bit-identical on both engines.
   // -------------------------------------------------------------------
@@ -111,10 +138,12 @@ object SyntheticData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "syn_bpsk" -> (synBpsk _),
     "syn_atoms_fm" -> (synAtomsFm _),
+    "syn_two_tones" -> (synTwoTones _),
     "syn_duffing" -> (synDuffing _))
 
   val oracles: Map[String, String] = Map(
     "syn_bpsk" -> synBpskSql,
     "syn_atoms_fm" -> synAtomsFmSql,
+    "syn_two_tones" -> synTwoTonesSql,
     "syn_duffing" -> synDuffingSql)
 }

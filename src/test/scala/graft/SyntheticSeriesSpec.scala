@@ -52,7 +52,18 @@ class SyntheticSeriesSpec extends AnyFunSuite {
         (4000L + k, (t * 1e9).toLong, 4L, "tick",
           clean4(t) + noise4(k), "{}")
       })
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val twoTone = for (k <- 0 until 256) yield {
+      // SustainedPlusGappedPureTones (reference data/__init__.py:105)
+      // at quarter length so graft's ≤256-point ensemble cap doesn't
+      // decimate the 0.255-cycle/sample gapped tone (3.9 samples/cycle
+      // survives stride 1 only)
+      val y = math.sin(2 * math.Pi * 0.065 * k) +
+        (if (k >= 128 && k < 192)
+          math.sin(2 * math.Pi * 0.255 * (k - 128)) else 0.0)
+      val t = T0 + k * 21600.0
+      (6000L + k, (t * 1e9).toLong, 6L, "tick", y, "{}")
+    }
+    (rows ++ twoTone).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
     val f = new java.io.File(s"$dir/ev")
       .listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -134,6 +145,39 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(top - math.log(P5)) <= 0.1,
       s"argmax prior component at $top, expected ln($P5) = ${math.log(P5)}; " +
         s"components: ${rows.sortBy(-_._2).take(5).mkString(", ")}")
+  }
+
+  test("ceemdan separates the sustained and gapped pure tones") {
+    import org.apache.spark.sql.functions._
+    // ported from the reference's own CEEMDAN test
+    // (tests/test_decomposition.py: two tones -> two IMFs, first mode
+    // concentrated in the gap), adapted to graft's ensemble=10 /
+    // 256-point configuration with correspondingly looser bounds
+    val rows = tsa.SeriesOps2.ceemdan(spark, synDir)
+      .filter(col("id") === 6L)
+      .select("mode", "t", "y").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "no ceemdan modes for the two-tone series")
+    val nModes = rows.map(_._1).max + 1
+    assert(nModes >= 2, s"expected >= 2 modes, got $nModes")
+    def k(t: Double): Int = ((t - T0) / 21600.0).round.toInt
+    // mode 0 (finest IMF) carries the gapped 0.255 tone: its energy
+    // must concentrate inside the gap window [128, 192)
+    val m0 = rows.filter(_._1 == 0)
+    val (in, out) = m0.partition(r => k(r._2) >= 128 && k(r._2) < 192)
+    def ms(a: Array[(Int, Double, Double)]): Double =
+      a.map(r => r._3 * r._3).sum / math.max(a.length, 1)
+    assert(ms(in) > 5.0 * ms(out),
+      s"gap MS ${ms(in)} not > 5x outside MS ${ms(out)}")
+    // mode 1 tracks the sustained 0.065 tone (scale-invariant corr)
+    val m1 = rows.filter(_._1 == 1).sortBy(_._2)
+    val tone = m1.map(r => math.sin(2 * math.Pi * 0.065 * k(r._2)))
+    val v = m1.map(_._3)
+    val (mv, mt) = (v.sum / v.length, tone.sum / tone.length)
+    val corr = v.indices.map(i => (v(i) - mv) * (tone(i) - mt)).sum /
+      math.sqrt(v.map(x => (x - mv) * (x - mv)).sum *
+        tone.map(x => (x - mt) * (x - mt)).sum)
+    assert(corr > 0.7, s"mode-1 correlation with the sustained tone: $corr")
   }
 
   test("lmd_modes emits positive envelopes and bounded FM components") {
