@@ -92,9 +92,12 @@ object Bench {
     println(json)
     // Also persist the full record to the repo: the driver's stdout
     // capture keeps only a tail, which beheads the per-query map in
-    // BENCH_r{N}.json — the file is the durable artifact.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    // BENCH_r{N}.json — the file is the durable artifact. Targeted
+    // dev passes (SPARK_GRAFT_ONLY) must NOT clobber the full-suite
+    // record with a partial one.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

@@ -43,8 +43,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // derived-input oracles (hht_rebin) replay SQL over parquet THIS
-    // run just dumped — the placeholder resolves to the dump directory
+    // derived-input oracles (hht_spectrogram, ceemdan_orthogonality,
+    // ceemdan_c_orthogonality) replay SQL over parquet THIS run just
+    // dumped — the placeholder resolves to the dump directory
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outDir))}"

@@ -403,6 +403,13 @@ object Dedup {
     // data, dominates the loop (observed: seconds per round over a few
     // hundred cached rows). With it every round's plan is three
     // constant-size LogicalRDD scans.
+    //
+    // Block lifecycle: localCheckpoint storage is RDD-level (not
+    // CacheManager), so Dataset.unpersist cannot free it eagerly; a
+    // superseded round's blocks are released by the ContextCleaner
+    // once the round's references drop (next loop iteration). Every
+    // frame is edge-incident-small (labels, not corpus), so only a
+    // couple of tiny snapshots are ever live together.
     val edges = edgesIn.localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()

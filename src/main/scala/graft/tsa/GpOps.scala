@@ -97,6 +97,54 @@ object GpOps {
     tau => f1(tau) + f2(tau)
   }
 
+  /** Signal covariance matrix K(kf) — kernels are even in tau: fill
+    * the lower triangle and mirror. Shared by every GP op below so the
+    * kernel assembly cannot drift between the grid maps, gp_predict
+    * and gp_loocv. */
+  private def kernelMatrix(kf: Double => Double, t: Array[Double])
+      : Array[Array[Double]] = {
+    val n = t.length
+    val k = Array.ofDim[Double](n, n)
+    var a = 0
+    while (a < n) {
+      var b = 0
+      while (b <= a) {
+        val v = kf(t(a) - t(b))
+        k(a)(b) = v
+        k(b)(a) = v
+        b += 1
+      }
+      a += 1
+    }
+    k
+  }
+
+  /** Copy ks, add the white-noise+jitter diagonal, factor. Returns
+    * null when the matrix is not positive definite (like cholesky). */
+  private def noisyCholesky(ks: Array[Array[Double]], diag: Double)
+      : Array[Array[Double]] = {
+    val n = ks.length
+    val k = Array.tabulate(n, n)((a, b) => ks(a)(b))
+    var i = 0
+    while (i < n) { k(i)(i) += diag; i += 1 }
+    SeriesMath.cholesky(k)
+  }
+
+  /** log marginal likelihood from the factors (gp.py log_likelihood). */
+  private def logMarginal(l: Array[Array[Double]], y: Array[Double])
+      : Double = {
+    val n = y.length
+    val alpha = SeriesMath.choleskySolve(l, y)
+    var ll = -0.5 * n * math.log(2.0 * math.Pi)
+    var i = 0
+    while (i < n) {
+      ll -= math.log(l(i)(i))
+      ll -= 0.5 * y(i) * alpha(i)
+      i += 1
+    }
+    ll
+  }
+
   /** Shared grid-MAP harness: subsample to ≤200 points, demean, scan
     * the 12 h..10 d period grid, Cholesky log-marginal per period. */
   private def gridMap(spark: SparkSession, dir: String)(
@@ -115,34 +163,10 @@ object GpOps {
         val noise = 0.2 * varY
         val results = (1 to 20).map { j =>
           val p = j * 43200.0 // 12 h .. 10 d
-          val kf = kernel(varY, p)
-          // kernels are even in tau: fill the lower triangle and mirror
-          val k = Array.ofDim[Double](n, n)
-          var a = 0
-          while (a < n) {
-            var b = 0
-            while (b <= a) {
-              val v = kf(t(a) - t(b))
-              k(a)(b) = v
-              k(b)(a) = v
-              b += 1
-            }
-            k(a)(a) += noise + 1e-9 * varY
-            a += 1
-          }
-          val l = SeriesMath.cholesky(k)
+          val l = noisyCholesky(kernelMatrix(kernel(varY, p), t),
+            noise + 1e-9 * varY)
           if (l == null) (p, Double.NegativeInfinity)
-          else {
-            val alpha = SeriesMath.choleskySolve(l, y)
-            var ll = -0.5 * n * math.log(2.0 * math.Pi)
-            var i = 0
-            while (i < n) {
-              ll -= math.log(l(i)(i))
-              ll -= 0.5 * y(i) * alpha(i)
-              i += 1
-            }
-            (p, ll)
-          }
+          else (p, logMarginal(l, y))
         }
         val best = results.maxBy(_._2)._1
         results.iterator.map { case (p, ll) =>
@@ -183,30 +207,10 @@ object GpOps {
         var j = 1
         while (j <= 20) {
           val p = j * 43200.0
-          val kf = harmonicKernel(varY, p)
-          val k = Array.ofDim[Double](n, n)
-          var a = 0
-          while (a < n) {
-            var b = 0
-            while (b <= a) {
-              val v = kf(t(a) - t(b))
-              k(a)(b) = v
-              k(b)(a) = v
-              b += 1
-            }
-            k(a)(a) += noise + 1e-9 * varY
-            a += 1
-          }
-          val l = SeriesMath.cholesky(k)
+          val l = noisyCholesky(kernelMatrix(harmonicKernel(varY, p), t),
+            noise + 1e-9 * varY)
           if (l != null) {
-            val alpha = SeriesMath.choleskySolve(l, y)
-            var ll = -0.5 * n * math.log(2.0 * math.Pi)
-            var i = 0
-            while (i < n) {
-              ll -= math.log(l(i)(i))
-              ll -= 0.5 * y(i) * alpha(i)
-              i += 1
-            }
+            val ll = logMarginal(l, y)
             if (ll > bestLl) { bestLl = ll; bestP = p }
           }
           j += 1
@@ -214,22 +218,8 @@ object GpOps {
         if (bestP == 0.0) Iterator.empty
         else {
           // refit at the MAP period and produce μ = K_signal·α
-          val kf = harmonicKernel(varY, bestP)
-          val ks = Array.ofDim[Double](n, n)
-          val k = Array.ofDim[Double](n, n)
-          var a = 0
-          while (a < n) {
-            var b = 0
-            while (b <= a) {
-              val v = kf(t(a) - t(b))
-              ks(a)(b) = v; ks(b)(a) = v
-              k(a)(b) = v; k(b)(a) = v
-              b += 1
-            }
-            k(a)(a) += noise + 1e-9 * varY
-            a += 1
-          }
-          val l = SeriesMath.cholesky(k)
+          val ks = kernelMatrix(harmonicKernel(varY, bestP), t)
+          val l = noisyCholesky(ks, noise + 1e-9 * varY)
           if (l == null) Iterator.empty
           else {
             val alpha = SeriesMath.choleskySolve(l, y)
@@ -272,21 +262,8 @@ object GpOps {
         val noise = 0.2 * varY
         val results = (1 to 20).map { j =>
           val p = j * 43200.0 // 12 h .. 10 d, the grid-MAP grid
-          val kf = harmonicKernel(varY, p)
-          val k = Array.ofDim[Double](n, n)
-          var a = 0
-          while (a < n) {
-            var b = 0
-            while (b <= a) {
-              val v = kf(t(a) - t(b))
-              k(a)(b) = v
-              k(b)(a) = v
-              b += 1
-            }
-            k(a)(a) += noise + 1e-9 * varY
-            a += 1
-          }
-          val l = SeriesMath.cholesky(k)
+          val l = noisyCholesky(kernelMatrix(harmonicKernel(varY, p), t),
+            noise + 1e-9 * varY)
           if (l == null) (p, Double.NegativeInfinity)
           else {
             val q = SeriesMath.choleskySolve(l, y)

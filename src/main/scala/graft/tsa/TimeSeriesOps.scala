@@ -544,13 +544,18 @@ object TimeSeriesOps {
         lit(null).cast("long").as("eid"), lit(1).as("is_grid"))
     val merged = s.withColumn("is_grid", lit(0))
       .select("id", "t", "y", "eid", "is_grid").unionByName(grid)
-    val wm = Window.partitionBy("id").orderBy(col("t"), col("is_grid"))
+    // eid tiebreak + is_grid ASC on the backward pass: same as-of
+    // hygiene as ts_interp (duplicate-timestamp determinism; a grid
+    // point coinciding with the series' last sample must resolve tn)
+    val wm = Window.partitionBy("id")
+      .orderBy(col("t"), col("is_grid"), col("eid"))
     val rows = merged
       .withColumn("tp", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
         .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("yp", last(when(col("is_grid") === 0, col("y")), ignoreNulls = true)
         .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
-    val wm2 = Window.partitionBy("id").orderBy(col("t").desc, col("is_grid").desc)
+    val wm2 = Window.partitionBy("id")
+      .orderBy(col("t").desc, col("is_grid").asc, col("eid").desc)
     val full = rows
       .withColumn("tn", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
         .over(wm2.rowsBetween(Window.unboundedPreceding, -1)))
@@ -559,8 +564,10 @@ object TimeSeriesOps {
     full.filter(col("is_grid") === 1 &&
         col("tp").isNotNull && col("tn").isNotNull)
       .select(col("id"), col("t"),
-        round(col("yp") + (col("yn") - col("yp")) *
-          (col("t") - col("tp")) / (col("tn") - col("tp")), 6).as("y_interp"))
+        when(col("tn") === col("tp"), col("yp"))
+          .otherwise(round(col("yp") + (col("yn") - col("yp")) *
+            (col("t") - col("tp")) / (col("tn") - col("tp")), 6))
+          .as("y_interp"))
   }
 
   val tsFillGapsSql: String =
@@ -580,22 +587,24 @@ object TimeSeriesOps {
        |  UNION ALL SELECT id, t, y, eid, is_grid FROM grid),
        |fwd AS (SELECT *,
        |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |    OVER (PARTITION BY id ORDER BY t, is_grid, eid
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
        |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |    OVER (PARTITION BY id ORDER BY t, is_grid, eid
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yp
        |  FROM merged),
        |bwd AS (SELECT *,
        |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid ASC, eid DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tn,
        |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid ASC, eid DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yn
        |  FROM fwd)
        |SELECT id, t,
-       |  round(yp + (yn - yp) * (t - tp) / (tn - tp), 6) AS y_interp
+       |  CASE WHEN tn = tp THEN yp
+       |       ELSE round(yp + (yn - yp) * (t - tp) / (tn - tp), 6)
+       |  END AS y_interp
        |FROM bwd
        |WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
 

@@ -41,13 +41,22 @@ object TimeSeriesOps4 {
         lit(null).cast("long").as("eid"), lit(1).as("is_grid"))
     val merged = s.withColumn("is_grid", lit(0))
       .select("id", "t", "y", "eid", "is_grid").unionByName(grid)
-    val wm = Window.partitionBy("id").orderBy(col("t"), col("is_grid"))
+    // eid tiebreak: duplicate (id, t) samples otherwise make the carry
+    // nondeterministic (only sample rows can tie — grid times are
+    // distinct per series and grid eids are null, so engine-specific
+    // NULL ordering never engages)
+    val wm = Window.partitionBy("id")
+      .orderBy(col("t"), col("is_grid"), col("eid"))
     val rows = merged
       .withColumn("tp", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
         .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("yp", last(when(col("is_grid") === 0, col("y")), ignoreNulls = true)
         .over(wm.rowsBetween(Window.unboundedPreceding, -1)))
-    val wm2 = Window.partitionBy("id").orderBy(col("t").desc, col("is_grid").desc)
+    // is_grid ASC here (not desc): in descending time a sample must
+    // still precede an equal-t grid row, or a grid point coinciding
+    // with the series' LAST sample sees tn = NULL and is dropped
+    val wm2 = Window.partitionBy("id")
+      .orderBy(col("t").desc, col("is_grid").asc, col("eid").desc)
     val full = rows
       .withColumn("tn", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true)
         .over(wm2.rowsBetween(Window.unboundedPreceding, -1)))
@@ -60,8 +69,12 @@ object TimeSeriesOps4 {
         // time comparisons on both engines — no rounding needed
         when(col("t") - col("tp") <= col("tn") - col("t"), col("yp"))
           .otherwise(col("yn")).as("y_nearest"),
-        round(col("yp") + (col("yn") - col("yp")) *
-          (col("t") - col("tp")) / (col("tn") - col("tp")), 6).as("y_linear"))
+        // a grid point ON a sample has tp = tn (both carries resolve to
+        // the coincident sample): emit the sample value, not 0/0
+        when(col("tn") === col("tp"), col("yp"))
+          .otherwise(round(col("yp") + (col("yn") - col("yp")) *
+            (col("t") - col("tp")) / (col("tn") - col("tp")), 6))
+          .as("y_linear"))
   }
 
   val tsInterpSql: String =
@@ -81,23 +94,25 @@ object TimeSeriesOps4 {
        |  UNION ALL SELECT id, t, y, eid, is_grid FROM grid),
        |fwd AS (SELECT *,
        |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |    OVER (PARTITION BY id ORDER BY t, is_grid, eid
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
        |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t, is_grid
+       |    OVER (PARTITION BY id ORDER BY t, is_grid, eid
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yp
        |  FROM merged),
        |bwd AS (SELECT *,
        |  last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid ASC, eid DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tn,
        |  last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS)
-       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid DESC
+       |    OVER (PARTITION BY id ORDER BY t DESC, is_grid ASC, eid DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS yn
        |  FROM fwd)
        |SELECT id, t,
        |  CASE WHEN t - tp <= tn - t THEN yp ELSE yn END AS y_nearest,
-       |  round(yp + (yn - yp) * (t - tp) / (tn - tp), 6) AS y_linear
+       |  CASE WHEN tn = tp THEN yp
+       |       ELSE round(yp + (yn - yp) * (t - tp) / (tn - tp), 6)
+       |  END AS y_linear
        |FROM bwd
        |WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
 

@@ -117,6 +117,23 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(p - P1) <= 43200.0, s"LOO-best period $p, expected ~$P1")
   }
 
+  test("ts_interp keeps a grid point coinciding with the series' last sample") {
+    import org.apache.spark.sql.functions._
+    // series 1 samples t = T0 + k·7200, k < 360: the last sample
+    // (k = 359) lands exactly on the 18000 s interp grid — the as-of
+    // backward pass must still resolve tn there (round-7 review fix)
+    val maxT = T0 + 359 * 7200.0
+    assert(maxT % 18000.0 == 0.0, "test premise: last sample grid-aligned")
+    val row = tsa.TimeSeriesOps4.tsInterp(spark, synDir)
+      .filter(col("id") === 1L && col("t") === maxT)
+      .select("y_nearest", "y_linear").collect()
+    assert(row.length == 1, s"terminal grid point missing (${row.length} rows)")
+    val expected = 10.0 + 3.0 * math.sin(2 * math.Pi * maxT / P1)
+    assert(row(0).getDouble(0) == expected && row(0).getDouble(1) == expected,
+      s"coincident grid point must emit the sample value $expected, " +
+        s"got ${row(0).getDouble(0)} / ${row(0).getDouble(1)}")
+  }
+
   test("acf_period_quality recovers the injected 2 d period") {
     import org.apache.spark.sql.functions._
     val row = tsa.SeriesOps2.acfPeriodQuality(spark, synDir)
