@@ -36,6 +36,7 @@ object SparkEntry {
       sim.Similarity.queries ++
       text.TextOps.queries ++
       text.Corpus.queries ++
+      multimodal.Multimodal.queries ++
       sources.SyntheticData.queries ++
       relational.Tpch.queries
 
@@ -59,6 +60,7 @@ object SparkEntry {
       sim.Similarity.oracles ++
       text.TextOps.oracles ++
       text.Corpus.oracles ++
+      multimodal.Multimodal.oracles ++
       sources.SyntheticData.oracles ++
       relational.Tpch.oracles
 }

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.dedup.Dedup.{h60, h60Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing beyond the metadata stub in
+  * [[graft.text.TextOps.multimodalExtract]]: media arrive as opaque
+  * `binary` columns; the decode itself is honestly stubbed (this
+  * container ships no image/audio codec) while everything Spark-side —
+  * schema, partitioning, batch shape, frame-sampling arithmetic — is
+  * real and verified.
+  *
+  * Two execution tiers, mirroring how a production pipeline splits:
+  *  - `multimodal_frames`: frame SAMPLING is pure arithmetic over the
+  *    payload (offsets, windows, per-frame signatures) — stays in
+  *    codegen'd expressions, under the DuckDB hash gate.
+  *  - `multimodal_batch`: per-payload DECODE runs in `mapPartitions`
+  *    with explicit batching — the Scala analogue of `mapInPandas`
+  *    (one "codec init" per batch, amortized across its rows, which is
+  *    the entire point of batch UDFs). The stub decode reproduces the
+  *    expression path's md5-derived metadata bit-for-bit, so
+  *    MultimodalSpec cross-verifies the two tiers row-for-row —
+  *    swapping in a real codec changes ONE function.
+  */
+object Multimodal {
+
+  // -------------------------------------------------------------------
+  // multimodal_frames — sample NFrames frames per payload at evenly
+  // spaced character offsets (a real pipeline samples by timestamp;
+  // the offset arithmetic is identical), emit per-frame signatures —
+  // the "feature extraction" a downstream dedup/ANN stage consumes.
+  // -------------------------------------------------------------------
+  val NFrames = 4
+  val FrameLen = 16
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"))
+      .filter(col("n_chars") >= NFrames)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        explode(sequence(lit(0), lit(NFrames - 1))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("n_chars") / NFrames).cast("long")
+          .as("offset"),
+        h60(expr(s"substring(text, cast(frame_idx * n_chars / $NFrames" +
+          s" as int) + 1, $FrameLen)")).as("frame_sig"))
+
+  val multimodalFramesSql: String = {
+    val off = s"cast(floor(f.frame_idx * length(d.text) / $NFrames.0) AS BIGINT)"
+    s"""SELECT d.doc_id, f.frame_idx,
+       |  $off AS offset,
+       |  ${h60Sql(s"substr(d.text, cast($off AS INT) + 1, $FrameLen)")}
+       |    AS frame_sig
+       |FROM documents d, generate_series(0, ${NFrames - 1}) AS f(frame_idx)
+       |WHERE length(d.text) >= $NFrames""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // multimodal_batch — the batch-UDF tier. Batches of 64 payloads are
+  // "decoded" together: `initCodec` runs once per batch (in production
+  // that is the model/codec handle whose amortization motivates
+  // mapInPandas), then each payload's metadata is extracted with the
+  // SAME md5-derived stub as multimodal_extract. batch_size is emitted
+  // so the spec can assert batching genuinely happened.
+  // -------------------------------------------------------------------
+  val BatchSize = 64
+
+  /** Capture-free singleton (plan-equality across invocations — see
+    * SeriesOps.SeriesFunc). */
+  private object BatchDecodeFunc extends (
+      Iterator[(Long, Array[Byte])] => Iterator[(Long, Int, Long, Long, Int)])
+      with Serializable {
+    override def apply(rows: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, Int, Long, Long, Int)] =
+      rows.grouped(BatchSize).flatMap { batch =>
+        val codec = initCodec() // ONCE per batch — the amortized cost
+        batch.iterator.map { case (docId, payload) =>
+          val (w, h) = codec.decodeDims(payload)
+          (docId, payload.length, w, h, batch.size)
+        }
+      }
+  }
+
+  /** STUB codec: deterministic md5-derived dimensions, bit-identical
+    * to the h60 expressions in multimodal_extract. A real deployment
+    * replaces this object with an actual decoder handle. */
+  private final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decodeDims(payload: Array[Byte]): (Long, Long) = {
+      md.reset()
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h60 % 512 + 64, (h60 >> 20) % 512 + 64)
+    }
+  }
+  private def initCodec(): StubCodec = new StubCodec
+
+  def multimodalBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(BatchDecodeFunc)
+      .toDF("doc_id", "n_bytes", "width", "height", "batch_size")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_batch" -> (multimodalBatch _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_frames" -> multimodalFramesSql)
+}
