@@ -45,6 +45,7 @@ object SparkEntry {
       tsa.TimeSeriesOps2.oracles ++
       tsa.TimeSeriesOps3.oracles ++
       tsa.TimeSeriesOps4.oracles ++
+      tsa.SeriesOps.oracles ++
       tsa.SeriesOps2.oracles ++
       tsa.GpOps.oracles ++
       spectral.Gls.oracles ++

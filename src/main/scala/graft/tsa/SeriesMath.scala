@@ -27,16 +27,16 @@ object SeriesMath {
   /** Natural cubic spline through (xs, ys), evaluated at xq.
     * Replaces scipy.interpolate.splrep/splev in the envelope
     * interpolation (reference core.py:741 get_envelope). */
-  def splineEval(xs: Array[Double], ys: Array[Double],
-      xq: Array[Double]): Array[Double] = {
+  /** Natural cubic spline coefficients over strictly increasing knots
+    * (requires n ≥ 3): arrays (b, c, d) of length n−1 such that on
+    * [xs(i), xs(i+1)] the spline is
+    * S(x) = ys(i) + b(i)·dx + c(i)·dx² + d(i)·dx³ with dx = x − xs(i).
+    * Second derivatives via the Thomas algorithm (natural boundary:
+    * M0 = Mn−1 = 0). Shared by splineEval (the EMD envelope kernel)
+    * and the ts_spline_coeffs query. */
+  def splineCoeffs(xs: Array[Double], ys: Array[Double])
+      : (Array[Double], Array[Double], Array[Double]) = {
     val n = xs.length
-    if (n == 0) return xq.map(_ => Double.NaN)
-    if (n == 1) return xq.map(_ => ys(0))
-    if (n == 2) {
-      val m = (ys(1) - ys(0)) / (xs(1) - xs(0))
-      return xq.map(x => ys(0) + m * (x - xs(0)))
-    }
-    // second derivatives via Thomas algorithm (natural: M0 = Mn-1 = 0)
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
     val alpha = new Array[Double](n)
     var i = 1
@@ -64,6 +64,19 @@ object SeriesMath {
       d(i) = (c(i + 1) - c(i)) / (3.0 * h(i))
       i += 1
     }
+    (b, c.take(n - 1), d)
+  }
+
+  def splineEval(xs: Array[Double], ys: Array[Double],
+      xq: Array[Double]): Array[Double] = {
+    val n = xs.length
+    if (n == 0) return xq.map(_ => Double.NaN)
+    if (n == 1) return xq.map(_ => ys(0))
+    if (n == 2) {
+      val m = (ys(1) - ys(0)) / (xs(1) - xs(0))
+      return xq.map(x => ys(0) + m * (x - xs(0)))
+    }
+    val (b, c, d) = splineCoeffs(xs, ys)
     xq.map { x =>
       // segment lookup (xq need not be sorted); clamp to spline domain
       var lo = 0; var hi = n - 2
@@ -111,14 +124,26 @@ object SeriesMath {
     (keep.map(pt), keep.map(py))
   }
 
-  def envelopes(t: Array[Double], y: Array[Double], padWidth: Int)
-      : (Array[Double], Array[Double]) = {
+  /** The padded-extrema spline KNOTS behind `envelopes` — exposed so
+    * ts_envelope can dump per-interval spline coefficients and replay
+    * the evaluation declaratively. Returns ((upper knots t, y),
+    * (lower knots t, y)), or null exactly when `envelopes` would. */
+  def envelopeKnots(t: Array[Double], y: Array[Double], padWidth: Int)
+      : ((Array[Double], Array[Double]), (Array[Double], Array[Double])) = {
     val pk = findPeaks(y, includeEdges = true)
     val dp = findDips(y, includeEdges = true)
     if (pk.length < 2 + padWidth || dp.length < 2 + padWidth) return null
     val (put, puy) = padAndDrop(pk.map(t), pk.map(y), padWidth)
     val (plt, ply) = padAndDrop(dp.map(t), dp.map(y), padWidth)
     if (put.length < 4 || plt.length < 4) return null
+    ((put, puy), (plt, ply))
+  }
+
+  def envelopes(t: Array[Double], y: Array[Double], padWidth: Int)
+      : (Array[Double], Array[Double]) = {
+    val k = envelopeKnots(t, y, padWidth)
+    if (k == null) return null
+    val ((put, puy), (plt, ply)) = k
     (splineEval(put, puy, t), splineEval(plt, ply, t))
   }
 

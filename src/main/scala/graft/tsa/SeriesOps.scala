@@ -2,6 +2,7 @@ package graft.tsa
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-series sequential operators — the algorithms that are genuinely
@@ -82,21 +83,30 @@ object SeriesOps {
   // sosfiltfilt): order-5 Butterworth band-pass (periods 1–5 days)
   // applied zero-phase on the 6 h-resampled series.
   // -------------------------------------------------------------------
-  def tsButterworth(spark: SparkSession, dir: String): DataFrame = {
-    val dt = 21600.0
-    val sos = SeriesMath.butterBandpassSos(5, 1.0 / 432000.0, 1.0 / 86400.0,
-      1.0 / dt)
-    perSeries(spark, dir) { (id, t, y) =>
-      val (gt, gy) = resampleUniform(t, y, dt)
+  // sos/dt hoisted to object level and the merge step stored in a val:
+  // acf_period_quality composes this plan, so two invocations must be
+  // canonically equal for Bench's persisted instance to substitute
+  // (see SeriesFunc — a capturing lambda would defeat it)
+  private val ButterDt = 21600.0
+  private val ButterSos =
+    SeriesMath.butterBandpassSos(5, 1.0 / 432000.0, 1.0 / 86400.0,
+      1.0 / ButterDt)
+
+  private val butterworthFn
+      : (Long, Array[Double], Array[Double]) => Iterator[(Long, Double, Double)] =
+    (id, t, y) => {
+      val (gt, gy) = resampleUniform(t, y, ButterDt)
       if (gt.length < 20) Iterator.empty
       else {
         val mean = gy.sum / gy.length
-        val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
+        val filt = SeriesMath.sosFiltFilt(ButterSos, gy.map(_ - mean))
         gt.indices.iterator.map(i =>
           (id, gt(i), math.rint(filt(i) * 1e6) / 1e6))
       }
-    }.toDF("id", "t", "y_filt")
-  }
+    }
+
+  def tsButterworth(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(butterworthFn).toDF("id", "t", "y_filt")
 
   // -------------------------------------------------------------------
   // emd_imfs — reference decomposition.py:12 (EMD): intrinsic mode
@@ -216,41 +226,85 @@ object SeriesOps {
   // hht_ht — reference timefrequency.py:129 (HHT method=HT): the plain
   // Hilbert-transform instantaneous frequency/amplitude of the signal
   // (no EMD normalization): analytic signal via FFT on the uniform 6 h
-  // resample, amp = |analytic|, freq = unwrapped-phase gradient / 2π.
+  // resample, amp = |analytic|, freq = phase gradient / 2π.
+  //
+  // Round 7 — split so the gradient arithmetic sits under the hash
+  // gate: only the FFT itself is non-relational, so `hht_analytic`
+  // dumps (re, im) per sample (rows-only mapGroups) and hht_ht is a
+  // window-function compose over it. Unwrapping needs no prefix sum:
+  // the centered gradient unwrapped(i+1) − unwrapped(i−1) equals
+  // dφ(i) + dφ(i+1) where dφ(i) is the PRINCIPAL phase step — the
+  // angle of zᵢ·conj(zᵢ₋₁), i.e. atan2(im·re₋ − re·im₋, re·re₋ +
+  // im·im₋) — so lag/lead over the dump reproduce the gradient
+  // exactly. DERIVED-INPUT oracle: DuckDB replays the same window
+  // arithmetic over the hht_analytic parquet Verify dumps. amp uses
+  // sqrt(re²+im²) (IEEE-exact on both engines) rather than hypot.
   // -------------------------------------------------------------------
-  def hhtHt(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, y0) =>
+  private val hhtAnalyticFn
+      : (Long, Array[Double], Array[Double]) => Iterator[(Long, Double, Double, Double)] =
+    (id, t0, y0) => {
       val (gt, gy) = resampleUniform(t0, y0, 21600.0)
       val n = Integer.highestOneBit(math.max(gy.length, 1))
       if (n < 8) Iterator.empty
       else {
         val mean = gy.take(n).sum / n
         val (re, im) = SeriesMath.analytic(gy.take(n).map(_ - mean))
-        val amp = Array.tabulate(n)(i => math.hypot(re(i), im(i)))
-        val phi = new Array[Double](n)
-        var i = 0
-        while (i < n) { phi(i) = math.atan2(im(i), re(i)); i += 1 }
-        val unwrapped = new Array[Double](n)
-        unwrapped(0) = phi(0)
-        i = 1
-        while (i < n) {
-          var d = phi(i) - phi(i - 1)
-          while (d > math.Pi) d -= 2.0 * math.Pi
-          while (d < -math.Pi) d += 2.0 * math.Pi
-          unwrapped(i) = unwrapped(i - 1) + d
-          i += 1
-        }
-        (0 until n).iterator.map { i =>
-          val f =
-            (if (i == 0) (unwrapped(1) - unwrapped(0)) / 21600.0
-             else if (i == n - 1) (unwrapped(n - 1) - unwrapped(n - 2)) / 21600.0
-             else (unwrapped(i + 1) - unwrapped(i - 1)) / 43200.0) /
-              (2.0 * math.Pi)
-          (id, gt(i), math.rint(f * 1e12) / 1e12,
-            math.rint(amp(i) * 1e6) / 1e6)
-        }
+        (0 until n).iterator.map(i => (id, gt(i), re(i), im(i)))
       }
-    }.toDF("id", "t", "inst_freq", "inst_amp")
+    }
+
+  def hhtAnalytic(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(hhtAnalyticFn).toDF("id", "t", "re", "im")
+
+  private val TwoPi = 6.283185307179586 // same literal in the oracles
+
+  /** Shared HT-gradient compose: principal phase steps via lag, the
+    * centered/one-sided gradient via lead, amplitude from `ampCol`.
+    * `keys` = series identity (id, or id+mode for the NHT twin). */
+  private def htGradient(src: DataFrame, keys: Seq[String],
+      ampCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("t")
+    val dp = atan2(
+      col("im") * lag("re", 1).over(w) - col("re") * lag("im", 1).over(w),
+      col("re") * lag("re", 1).over(w) + col("im") * lag("im", 1).over(w))
+    val out = src
+      .withColumn("dp", dp)
+      .withColumn("dn", lead(col("dp"), 1).over(w))
+    out.select(keys.map(col) ++ Seq(col("t"),
+      (round(
+        when(col("dp").isNull, col("dn") / 21600.0)
+          .otherwise(when(col("dn").isNull, col("dp") / 21600.0)
+            .otherwise((col("dp") + col("dn")) / 43200.0)) / TwoPi,
+        12) + 0.0).as("inst_freq"),
+      (round(ampCol, 6) + 0.0).as("inst_amp")): _*)
+  }
+
+  private def htGradientSql(src: String, keys: Seq[String],
+      ampSql: String): String = {
+    val ks = keys.mkString(", ")
+    s"""WITH a AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/$src/*.parquet')),
+       |d AS (SELECT *,
+       |  atan2(im * lag(re) OVER w - re * lag(im) OVER w,
+       |        re * lag(re) OVER w + im * lag(im) OVER w) AS dp
+       |  FROM a WINDOW w AS (PARTITION BY $ks ORDER BY t)),
+       |g AS (SELECT *, lead(dp) OVER (PARTITION BY $ks ORDER BY t) AS dn
+       |  FROM d)
+       |SELECT $ks, t,
+       |  round((CASE WHEN dp IS NULL THEN dn / 21600.0
+       |              WHEN dn IS NULL THEN dp / 21600.0
+       |              ELSE (dp + dn) / 43200.0 END) / $TwoPi, 12) + 0.0
+       |    AS inst_freq,
+       |  round($ampSql, 6) + 0.0 AS inst_amp
+       |FROM g""".stripMargin
+  }
+
+  def hhtHt(spark: SparkSession, dir: String): DataFrame =
+    htGradient(hhtAnalytic(spark, dir), Seq("id"),
+      sqrt(col("re") * col("re") + col("im") * col("im")))
+
+  val hhtHtSql: String =
+    htGradientSql("hht_analytic", Seq("id"), "sqrt(re*re + im*im)")
 
   // -------------------------------------------------------------------
   // hht_nht — reference timefrequency.py:117 (HHT method=NHT):
@@ -259,8 +313,14 @@ object SeriesOps {
   // analytic signal (normalized Hilbert transform) instead of direct
   // quadrature. Completes the DQ / TEO / HT / NHT method family.
   // -------------------------------------------------------------------
-  def hhtNht(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, y0) =>
+  // `hht_nht_norm` dumps the normalization's outputs per (mode,
+  // sample): the FM mode's analytic signal (re, im) and the
+  // accumulated AM envelope — everything downstream (the same HT
+  // gradient + the amp passthrough) replays under the hash gate.
+  private val hhtNhtNormFn
+      : (Long, Array[Double], Array[Double]) => Iterator[
+        (Long, Int, Double, Double, Double, Double)] =
+    (id, t0, y0) => {
       val (gtAll, gyAll) = resampleUniform(t0, y0, 21600.0)
       val n = Integer.highestOneBit(math.max(gtAll.length, 1))
       if (n < 16) Iterator.empty
@@ -292,38 +352,33 @@ object SeriesOps {
           }
           val fc = f.map(v => math.max(-1.0, math.min(1.0, v)))
           val (re, im) = SeriesMath.analytic(fc)
-          val phi = new Array[Double](n)
-          var i = 0
-          while (i < n) { phi(i) = math.atan2(im(i), re(i)); i += 1 }
-          val unwrapped = new Array[Double](n)
-          unwrapped(0) = phi(0)
-          i = 1
-          while (i < n) {
-            var d = phi(i) - phi(i - 1)
-            while (d > math.Pi) d -= 2.0 * math.Pi
-            while (d < -math.Pi) d += 2.0 * math.Pi
-            unwrapped(i) = unwrapped(i - 1) + d
-            i += 1
-          }
-          (0 until n).iterator.map { i =>
-            val fr =
-              (if (i == 0) (unwrapped(1) - unwrapped(0)) / 21600.0
-               else if (i == n - 1)
-                 (unwrapped(n - 1) - unwrapped(n - 2)) / 21600.0
-               else (unwrapped(i + 1) - unwrapped(i - 1)) / 43200.0) /
-                (2.0 * math.Pi)
-            (id, k, gt(i), math.rint(fr * 1e12) / 1e12,
-              math.rint(amp(i) * 1e6) / 1e6)
-          }
+          (0 until n).iterator.map(i =>
+            (id, k, gt(i), re(i), im(i), amp(i)))
         }
       }
-    }.toDF("id", "mode", "t", "inst_freq", "inst_amp")
+    }
+
+  def hhtNhtNorm(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(hhtNhtNormFn)
+      .toDF("id", "mode", "t", "re", "im", "amp")
+
+  def hhtNht(spark: SparkSession, dir: String): DataFrame =
+    htGradient(hhtNhtNorm(spark, dir), Seq("id", "mode"), col("amp"))
+
+  val hhtNhtSql: String =
+    htGradientSql("hht_nht_norm", Seq("id", "mode"), "amp")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_butterworth" -> (tsButterworth _),
     "emd_imfs" -> (emdImfs _),
     "hht_inst" -> (hhtInst _),
+    "hht_analytic" -> (hhtAnalytic _),
     "hht_ht" -> (hhtHt _),
+    "hht_nht_norm" -> (hhtNhtNorm _),
     "hht_nht" -> (hhtNht _),
     "gp_period_map" -> (gpPeriodMap _))
+
+  val oracles: Map[String, String] = Map(
+    "hht_ht" -> hhtHtSql,
+    "hht_nht" -> hhtNhtSql)
 }

@@ -441,17 +441,129 @@ object SeriesOps2 {
     }
   }
 
-  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, y0) =>
-      val (gt, gy) = resample(t0, y0, QDt)
-      if (gt.length < 40) Iterator.empty
-      else acfQuality(gt, gy, QSos, QPMax, QDt) match {
-        case None => Iterator.empty
-        case Some((bestPer, height, quality)) =>
-          Iterator.single((id, bestPer, math.rint(height * 1e6) / 1e6,
-            math.rint(quality * 1e3) / 1e3))
-      }
-    }.toDF("id", "best_period", "height", "quality")
+  // Round 7: acf_period_quality is now DECLARATIVE over the
+  // ts_butterworth dump (same order-5 [1 d, 5 d] band, same 6 h
+  // resample) — the IIR filter is the only sequential step, so
+  // everything after it (ACF, peak pick, exp-cos grid fit, quality)
+  // runs as relational algebra and replays in DuckDB as a
+  // DERIVED-INPUT oracle. Exactness strategy: y_filt is 1e-6-quantized
+  // at the dump, so the ACF's numerator/denominator aggregate EXACT
+  // integer-µ² products (decimal sum on the Spark side, hugeint in
+  // DuckDB) and acf itself is bit-identical on both engines — the
+  // peak pick and height need no rounding at all. Only the 40-term
+  // RSS sum is order-dependent + libm-bearing, so it rounds at 6 dp
+  // before the argmin (psd_curvefit precedent); ties break by
+  // (ai, ti) grid order like the kernel's strict-< scan.
+  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = QDt
+    val bf = SeriesOps.tsButterworth(spark, dir)
+    val w = Window.partitionBy("id").orderBy("t")
+    val base = bf.select(col("id"), col("t"),
+        round(col("y_filt") * 1e6, 0).cast("long").as("v"))
+      .withColumn("k", (row_number().over(w) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("n") >= 40)
+      .withColumn("ml", least(lit(40L), col("n")))
+    val num = base.as("a").join(base.as("b"),
+        col("a.id") === col("b.id") && col("b.k") >= col("a.k") &&
+          col("b.k") - col("a.k") < col("a.ml"))
+      .groupBy(col("a.id").as("id"), (col("b.k") - col("a.k")).as("lg"))
+      .agg(sum((col("a.v") * col("b.v")).cast("decimal(38,0)")).as("num"),
+        max(col("a.ml")).as("ml"))
+    val den = num.filter(col("lg") === 0)
+      .select(col("id").as("did"), col("num").as("den"))
+    val acf = num.join(den, col("id") === col("did"))
+      .select(col("id"), col("lg"), col("ml"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+    val wl = Window.partitionBy("id").orderBy("lg")
+    val best = acf
+      .withColumn("pv", lag("acf", 1).over(wl))
+      .withColumn("nx", lead("acf", 1).over(wl))
+      .filter(col("lg") >= 1 && col("lg") < col("ml") - 1 &&
+        col("acf") > col("pv") && col("acf") > col("nx"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("acf").desc, col("lg").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("bid"), (col("lg") * dt).as("best_period"),
+        col("acf").as("height"))
+    val grid = spark.range(-4, 5).select(col("id").as("ai"))
+      .crossJoin(spark.range(-4, 5).select(col("id").as("ti")))
+    val cells = best.crossJoin(broadcast(grid))
+      .select(col("bid"), col("best_period"), col("height"),
+        col("ai"), col("ti"),
+        exp(col("ai").cast("double") * 0.35).as("aa"),
+        (lit(2.0) * col("best_period") * exp(col("ti").cast("double") * 0.5))
+          .as("tau"))
+    val d = col("acf") - col("aa") * exp(-(col("lg") * dt) / col("tau")) *
+      cos((lit(6.283185307179586) * (col("lg") * dt)) / col("best_period"))
+    val rss = acf.join(cells, col("id") === col("bid"))
+      .groupBy(col("id"), col("ai"), col("ti"))
+      .agg(round(sum(d * d), 6).as("rss"),
+        max(col("best_period")).as("best_period"),
+        max(col("height")).as("height"), max(col("tau")).as("tau"),
+        max(col("ml")).as("ml"))
+    rss
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("rss").asc, col("ai").asc, col("ti").asc)))
+      .filter(col("rk2") === 1)
+      .select(col("id"), col("best_period"),
+        (round(col("height"), 6) + 0.0).as("height"),
+        (round((least(col("tau"), lit(20.0 * QPMax)) / col("best_period")) *
+          ((col("ml") * col("height")) / col("rss")), 3) + 0.0).as("quality"))
+  }
+
+  val acfPeriodQualitySql: String =
+    s"""WITH bf AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_butterworth/*.parquet')),
+       |base AS (SELECT id, t,
+       |  cast(round(y_filt * 1000000.0) AS BIGINT) AS v,
+       |  row_number() OVER (PARTITION BY id ORDER BY t) - 1 AS k,
+       |  count(*) OVER (PARTITION BY id) AS n
+       |  FROM bf),
+       |b2 AS (SELECT *, least(40, n) AS ml FROM base WHERE n >= 40),
+       |num AS (SELECT a.id, b.k - a.k AS lg,
+       |  sum(a.v * b.v) AS num, max(a.ml) AS ml
+       |  FROM b2 a JOIN b2 b
+       |    ON a.id = b.id AND b.k >= a.k AND b.k - a.k < a.ml
+       |  GROUP BY 1, 2),
+       |acf AS (SELECT n.id, n.lg, n.ml,
+       |  cast(n.num AS double) / cast(d.num AS double) AS acf
+       |  FROM num n JOIN (SELECT id, num FROM num WHERE lg = 0) d
+       |    ON n.id = d.id),
+       |pk AS (SELECT *, lag(acf) OVER win AS pv, lead(acf) OVER win AS nx
+       |  FROM acf WINDOW win AS (PARTITION BY id ORDER BY lg)),
+       |best AS (SELECT * FROM (
+       |  SELECT id, lg * $QDt AS best_period, acf AS height,
+       |    row_number() OVER (PARTITION BY id ORDER BY acf DESC, lg ASC)
+       |      AS rk
+       |  FROM pk
+       |  WHERE lg >= 1 AND lg < ml - 1 AND acf > pv AND acf > nx)
+       |  WHERE rk = 1),
+       |cells AS (SELECT b.id AS bid, b.best_period, b.height,
+       |  g1.ai, g2.ti,
+       |  exp(ai * 0.35) AS aa,
+       |  2.0 * b.best_period * exp(ti * 0.5) AS tau
+       |  FROM best b, generate_series(-4, 4) g1(ai),
+       |       generate_series(-4, 4) g2(ti)),
+       |rss AS (SELECT id, ai, ti, round(sum(d * d), 6) AS rss,
+       |  max(best_period) AS best_period, max(height) AS height,
+       |  max(tau) AS tau, max(ml) AS ml
+       |  FROM (SELECT f.id, c.ai, c.ti, c.best_period, c.height, c.tau,
+       |    f.ml,
+       |    f.acf - c.aa * exp(-(f.lg * $QDt) / c.tau)
+       |      * cos((6.283185307179586 * (f.lg * $QDt)) / c.best_period)
+       |      AS d
+       |    FROM acf f JOIN cells c ON f.id = c.bid)
+       |  GROUP BY 1, 2, 3),
+       |win AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY rss ASC, ai ASC, ti ASC) AS rk2 FROM rss)
+       |SELECT id, best_period,
+       |  round(height, 6) + 0.0 AS height,
+       |  round((least(tau, ${20.0 * QPMax}) / best_period)
+       |        * ((ml * height) / rss), 3) + 0.0 AS quality
+       |FROM win WHERE rk2 = 1""".stripMargin
 
   // -------------------------------------------------------------------
   // gaussian_prior — reference gp.py:69 (make_gaussian_prior): mixture
@@ -470,27 +582,69 @@ object SeriesOps2 {
     SeriesMath.butterBandpassSos(5, 1.0 / pmax, 2.0 / pmax, 1.0 / QDt))
   private val FundHeight = 0.8
 
-  def gaussianPrior(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, y0) =>
+  /** acf_band_quality — the per-BAND acf_harmonic_quality sweep the
+    * prior is built from (reference gp.py:125-141: for each band,
+    * filter + ACF + exp-cos fit). Emitted raw (unrounded period /
+    * quality) so gaussian_prior's mixture assembly is exactly
+    * replayable over this dump. Rows-only: the IIR+fit kernel itself
+    * is sequential per series. */
+  private val acfBandQualityFn
+      : (Long, Array[Double], Array[Double]) => Iterator[
+        (Long, Long, Double, Double, Double)] =
+    (id, t0, y0) => {
       val (gt, gy) = resample(t0, y0, QDt)
       if (gt.length < 40) Iterator.empty
-      else {
-        PriorBands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
-          acfQuality(gt, gy, PriorSos(bi), pmax, QDt) match {
-            case None => Iterator.empty
-            case Some((per, _, quality)) =>
-              val q = math.max(quality, 0.0)
-              Iterator(
-                (id, bi, 0, math.rint(math.log(per) * 1e6) / 1e6,
-                  math.rint(q * FundHeight * 1e6) / 1e6),
-                (id, bi, 1, math.rint(math.log(per / 2.0) * 1e6) / 1e6,
-                  math.rint(q * (1 - FundHeight) / 2 * 1e6) / 1e6),
-                (id, bi, 2, math.rint(math.log(per * 2.0) * 1e6) / 1e6,
-                  math.rint(q * (1 - FundHeight) / 2 * 1e6) / 1e6))
-          }
+      else PriorBands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
+        acfQuality(gt, gy, PriorSos(bi), pmax, QDt) match {
+          case None => Iterator.empty
+          case Some((per, height, quality)) =>
+            Iterator.single((id, bi.toLong, per, height, quality))
         }
       }
-    }.toDF("id", "band", "harmonic", "mu_logp", "weight")
+    }
+
+  def acfBandQuality(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(acfBandQualityFn)
+      .toDF("id", "band", "period", "height", "quality")
+
+  /** gaussian_prior — reference gp.py:142-149: the harmonic fan-out
+    * (fundamental 0.8, half/double 0.1 each) over the per-band
+    * qualities, now a pure relational compose over acf_band_quality —
+    * its DERIVED-INPUT oracle replays log/weight arithmetic in DuckDB
+    * over the acf_band_quality parquet Verify dumps. Rounding moved
+    * from math.rint (half-even) to round() (both engines half-up at
+    * irrational inputs — no representable 6 dp halves). */
+  def gaussianPrior(spark: SparkSession, dir: String): DataFrame = {
+    val q = greatest(col("quality"), lit(0.0))
+    acfBandQuality(spark, dir)
+      .select(col("id"), col("band"), explode(array(
+        struct(lit(0L).as("harmonic"), log(col("period")).as("mu_raw"),
+          (q * FundHeight).as("w_raw")),
+        struct(lit(1L).as("harmonic"), log(col("period") / 2.0).as("mu_raw"),
+          (q * ((1 - FundHeight) / 2)).as("w_raw")),
+        struct(lit(2L).as("harmonic"), log(col("period") * 2.0).as("mu_raw"),
+          (q * ((1 - FundHeight) / 2)).as("w_raw")))).as("h"))
+      .select(col("id"), col("band"), col("h.harmonic").as("harmonic"),
+        (round(col("h.mu_raw"), 6) + 0.0).as("mu_logp"),
+        (round(col("h.w_raw"), 6) + 0.0).as("weight"))
+  }
+
+  val gaussianPriorSql: String =
+    s"""WITH bq AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/acf_band_quality/*.parquet')),
+       |q AS (SELECT id, band, period, greatest(quality, 0.0) AS q FROM bq)
+       |SELECT id, band, harmonic,
+       |  round(mu_raw, 6) + 0.0 AS mu_logp,
+       |  round(w_raw, 6) + 0.0 AS weight
+       |FROM (
+       |  SELECT id, band, cast(0 AS BIGINT) AS harmonic,
+       |    ln(period) AS mu_raw, q * $FundHeight AS w_raw FROM q
+       |  UNION ALL
+       |  SELECT id, band, cast(1 AS BIGINT),
+       |    ln(period / 2.0), q * ${(1 - FundHeight) / 2} FROM q
+       |  UNION ALL
+       |  SELECT id, band, cast(2 AS BIGINT),
+       |    ln(period * 2.0), q * ${(1 - FundHeight) / 2} FROM q)""".stripMargin
 
   // -------------------------------------------------------------------
   // ts_denoise — reference timefrequency.py:151 (denoise, family
@@ -578,10 +732,13 @@ object SeriesOps2 {
     "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
     "ceemdan_c_orthogonality" -> (ceemdanCOrthogonality _),
     "acf_period_quality" -> (acfPeriodQuality _),
+    "acf_band_quality" -> (acfBandQuality _),
     "gaussian_prior" -> (gaussianPrior _),
     "ts_denoise" -> (tsDenoise _))
 
   val oracles: Map[String, String] = Map(
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
-    "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"))
+    "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"),
+    "gaussian_prior" -> gaussianPriorSql,
+    "acf_period_quality" -> acfPeriodQualitySql)
 }

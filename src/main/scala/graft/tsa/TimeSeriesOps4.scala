@@ -117,6 +117,119 @@ object TimeSeriesOps4 {
        |WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL""".stripMargin
 
   // -------------------------------------------------------------------
+  // ts_spline_coeffs + ts_interp_spline — the spline tier of
+  // TSeries.interp (reference core.py:655-658: method="spline" →
+  // splrep/splev; xarray kind="cubic" is the same cubic-interpolant
+  // family). Split in two so the evaluation stage sits under the hash
+  // gate: the tridiagonal solve is sequential per series (mapGroups,
+  // rows-only), but EVALUATING the piecewise cubic on the 5 h grid is
+  // pure relational arithmetic — ts_interp_spline composes the coeffs
+  // plan, and its DERIVED-INPUT oracle replays grid generation +
+  // segment as-of + polynomial evaluation in DuckDB over the
+  // ts_spline_coeffs parquet Verify dumps (__GRAFT_OUT__ substitution,
+  // hht_spectrogram precedent). Boundary: natural spline (M0=Mn-1=0,
+  // the EMD envelope kernel, SeriesMath.splineCoeffs) — scipy's
+  // splrep s=0 differs only in its boundary condition, i.e. in the two
+  // edge intervals. Duplicate-timestamp knots keep the FIRST sample by
+  // (t, eid) — the same deterministic tie-break as the window ops.
+  // -------------------------------------------------------------------
+  private val splineCoeffsFn
+      : (Long, Array[Double], Array[Double]) => Iterator[
+        (Long, Long, Double, Double, Double, Double, Double, Double)] =
+    (id, t, y) => {
+      // knots must be strictly increasing: first sample per timestamp
+      val nAll = t.length
+      val kt = new scala.collection.mutable.ArrayBuffer[Double](nAll)
+      val ky = new scala.collection.mutable.ArrayBuffer[Double](nAll)
+      var i = 0
+      while (i < nAll) {
+        if (kt.isEmpty || t(i) > kt.last) { kt += t(i); ky += y(i) }
+        i += 1
+      }
+      if (kt.length < 3) Iterator.empty
+      else {
+        val xs = kt.toArray; val ys = ky.toArray
+        val (b, c, d) = SeriesMath.splineCoeffs(xs, ys)
+        b.indices.iterator.map(s =>
+          (id, s.toLong, xs(s), xs(s + 1), ys(s), b(s), c(s), d(s)))
+      }
+    }
+
+  def tsSplineCoeffs(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.perSeries(spark, dir)(splineCoeffsFn)
+      .toDF("id", "seg", "t0", "t1", "a", "b", "c", "d")
+
+  def tsInterpSpline(spark: SparkSession, dir: String): DataFrame = {
+    val step = 18000.0
+    val sc = tsSplineCoeffs(spark, dir)
+    val bounds = sc.groupBy("id")
+      .agg(ceil(min("t0") / step).cast("long").as("k0"),
+        floor(max("t1") / step).cast("long").as("k1"))
+    val grid = bounds
+      .select(col("id"), explode(sequence(col("k0"), col("k1"))).as("k"))
+      .select(col("id"), (col("k") * step).as("t"), lit(1).as("is_grid"),
+        lit(null).cast("double").as("t0"), lit(null).cast("double").as("t1"),
+        lit(null).cast("double").as("a"), lit(null).cast("double").as("b"),
+        lit(null).cast("double").as("c"), lit(null).cast("double").as("d"))
+    val merged = sc.select(col("id"), col("t0").as("t"), lit(0).as("is_grid"),
+        col("t0"), col("t1"), col("a"), col("b"), col("c"), col("d"))
+      .unionByName(grid)
+    // segment as-of: carry the latest segment-start row forward; a
+    // coeff row at the same t as a grid point sorts first (is_grid),
+    // and the CURRENT ROW frame is safe because grid rows contribute
+    // only NULLs to the carry. Segments tile [t_first, t_last], so a
+    // carried segment always covers the grid point (t <= t1 guard for
+    // the degenerate sub-3-knot series whose coeffs are absent).
+    val wc = Window.partitionBy("id").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(cn: String) =
+      last(when(col("is_grid") === 0, col(cn)), ignoreNulls = true)
+        .over(wc).as("c" + cn)
+    val dt = col("t") - col("ct0")
+    merged
+      .select(col("id"), col("t"), col("is_grid"), carry("t0"), carry("t1"),
+        carry("a"), carry("b"), carry("c"), carry("d"))
+      .filter(col("is_grid") === 1 && col("ct0").isNotNull &&
+        col("t") <= col("ct1"))
+      .select(col("id"), col("t"),
+        // +0.0 normalizes a rounded -0.0 (sign-bit hash rule)
+        (round(col("ca") + col("cb") * dt + col("cc") * dt * dt +
+          col("cd") * dt * dt * dt, 6) + 0.0).as("y_spline"))
+  }
+
+  val tsInterpSplineSql: String =
+    s"""WITH sc AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_spline_coeffs/*.parquet')),
+       |bounds AS (SELECT id, cast(ceil(min(t0)/18000.0) AS bigint) AS k0,
+       |  cast(floor(max(t1)/18000.0) AS bigint) AS k1 FROM sc GROUP BY id),
+       |grid AS (SELECT id, k * 18000.0 AS t, 1 AS is_grid,
+       |  cast(NULL AS double) AS t0, cast(NULL AS double) AS t1,
+       |  cast(NULL AS double) AS a, cast(NULL AS double) AS b,
+       |  cast(NULL AS double) AS c, cast(NULL AS double) AS d
+       |  -- constant range + BETWEEN, as in ts_interp (5 h ticks,
+       |  -- epochs 2017..2031; OracleConstantsSpec guards the range)
+       |  FROM bounds, generate_series(84000, 108000) AS g(k)
+       |  WHERE g.k BETWEEN bounds.k0 AND bounds.k1),
+       |merged AS (
+       |  SELECT id, t0 AS t, 0 AS is_grid, t0, t1, a, b, c, d FROM sc
+       |  UNION ALL SELECT * FROM grid),
+       |fwd AS (SELECT id, t, is_grid,
+       |  last_value(CASE WHEN is_grid = 0 THEN t0 END IGNORE NULLS) OVER w AS ct0,
+       |  last_value(CASE WHEN is_grid = 0 THEN t1 END IGNORE NULLS) OVER w AS ct1,
+       |  last_value(CASE WHEN is_grid = 0 THEN a END IGNORE NULLS) OVER w AS ca,
+       |  last_value(CASE WHEN is_grid = 0 THEN b END IGNORE NULLS) OVER w AS cb,
+       |  last_value(CASE WHEN is_grid = 0 THEN c END IGNORE NULLS) OVER w AS cc,
+       |  last_value(CASE WHEN is_grid = 0 THEN d END IGNORE NULLS) OVER w AS cd
+       |  FROM merged
+       |  WINDOW w AS (PARTITION BY id ORDER BY t, is_grid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT id, t,
+       |  round(ca + cb*(t - ct0) + cc*(t - ct0)*(t - ct0)
+       |        + cd*(t - ct0)*(t - ct0)*(t - ct0), 6) + 0.0 AS y_spline
+       |FROM fwd
+       |WHERE is_grid = 1 AND ct0 IS NOT NULL AND t <= ct1""".stripMargin
+
+  // -------------------------------------------------------------------
   // ts_join — reference core.py:610-618 (TSeries.join): concatenate
   // two series over the time axis (used to stitch split segments back
   // together); overlapping timestamps keep BOTH samples, which the
@@ -223,12 +336,15 @@ object TimeSeriesOps4 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_interp" -> (tsInterp _),
+    "ts_spline_coeffs" -> (tsSplineCoeffs _),
+    "ts_interp_spline" -> (tsInterpSpline _),
     "ts_join" -> (tsJoin _),
     "ts_pad" -> (tsPad _),
     "ts_drop" -> (tsDrop _))
 
   val oracles: Map[String, String] = Map(
     "ts_interp" -> tsInterpSql,
+    "ts_interp_spline" -> tsInterpSplineSql,
     "ts_join" -> tsJoinSql,
     "ts_pad" -> tsPadSql,
     "ts_drop" -> tsDropSql)

@@ -45,4 +45,21 @@ class PlanReuseSpec extends AnyFunSuite {
         s"cache not substituted:\n$planStr")
     } finally cached.unpersist()
   }
+
+  test("two gp_harmonic_map invocations are canonically equal plans") {
+    // would fail if gridMapFn's closure were rebuilt per invocation
+    assert(same(tsa.GpOps.gpHarmonicMap(spark, dir),
+      tsa.GpOps.gpHarmonicMap(spark, dir)))
+  }
+
+  test("persisted gp_harmonic_map is substituted into gp_predict") {
+    val cached = tsa.GpOps.gpHarmonicMap(spark, dir).persist()
+    try {
+      cached.count()
+      val pred = tsa.GpOps.gpPredict(spark, dir)
+      val planStr = pred.queryExecution.executedPlan.toString
+      assert(planStr.contains("InMemoryTableScan"),
+        s"harmonic map cache not substituted into gp_predict:\n$planStr")
+    } finally cached.unpersist()
+  }
 }

@@ -102,4 +102,29 @@ class QueriesSpec extends AnyFunSuite {
     val df = tsa.SeriesOps.emdImfs(spark, dir)
     assert(df.filter(col("y").isNull || isnan(col("y"))).count() == 0)
   }
+
+  test("ts_interp_spline bit-matches the in-memory spline kernel") {
+    import org.apache.spark.sql.functions._
+    // end-to-end cross-check of the distributed pipeline (knot dedup,
+    // segment as-of, polynomial eval, 6 dp round) against
+    // SeriesMath.splineEval run driver-side on the same series
+    val id = Tables.series(spark, dir).agg(min("id")).collect()(0).getLong(0)
+    val samples = Tables.series(spark, dir).filter(col("id") === id)
+      .select("t", "y", "eid").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._3))
+    val kt = scala.collection.mutable.ArrayBuffer[Double]()
+    val ky = scala.collection.mutable.ArrayBuffer[Double]()
+    for ((t, y, _) <- samples if kt.isEmpty || t > kt.last) { kt += t; ky += y }
+    val got = tsa.TimeSeriesOps4.tsInterpSpline(spark, dir)
+      .filter(col("id") === id).select("t", "y_spline").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.nonEmpty, s"no spline grid rows for series $id")
+    val exp = tsa.SeriesMath.splineEval(kt.toArray, ky.toArray, got.map(_._1))
+      .map(v => BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    for (((t, g), e) <- got.zip(exp)) {
+      assert(g == e, s"spline mismatch at t=$t: query=$g kernel=$e")
+    }
+  }
 }
