@@ -40,8 +40,10 @@ object Bench {
     // pivot (relies on the perSeries lambda being a capture-free
     // cached instance, so the two plans stay canonically equal)
     graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count()
-    // hht_spectrogram is a declarative rebin of the hht_inst mapGroups
-    // output — persist one instance so both queries share the sift
+    // hht_inst is a DQ window compose over the hht_norm sift dump, and
+    // hht_spectrogram a declarative rebin over hht_inst — persist both
+    // layers so the three queries share one sift + one gradient pass
+    graft.tsa.SeriesOps.hhtNorm(spark, sfDir).persist().count()
     graft.tsa.SeriesOps.hhtInst(spark, sfDir).persist().count()
     // gp_predict consumes gp_harmonic_map's is_best row: persist the
     // map so the standalone query AND gp_predict's sub-plan both hit

@@ -126,40 +126,122 @@ object SeriesOps {
   // per-mode instantaneous amplitude (iterative spline-envelope
   // normalization, timefrequency.py:71) and frequency (direct
   // quadrature); rows (id, mode, t, freq, amp).
+  //
+  // Round 7 — split like hht_ht/hht_nht so the DQ arithmetic sits
+  // under the hash gate: only the sift + envelope normalization is
+  // non-relational, so `hht_norm` dumps the normalized FM signal and
+  // accumulated AM envelope per (mode, sample), and hht_inst is a
+  // window compose over it. The DQ phase is φ = atan2(√(1−c²), c)
+  // with c = clamp(f, ±1) (per-row), the sign correction flips φ
+  // where its local gradient is negative (lag/lead), and — as with
+  // the HT twins — the unwrap needs no prefix sum: the centered
+  // gradient of the unwrapped phase equals the sum of the two
+  // adjacent PRINCIPAL steps, each reduced into (−π, π] by
+  // d − 2π·ceil((d−π)/2π). DERIVED-INPUT oracle: DuckDB replays the
+  // identical window arithmetic over the hht_norm parquet dump.
+  // (The kernel's closed-interval [−π, π] wrap differed only at the
+  // measure-zero d = −π boundary; both engines now share the
+  // half-open convention, so the gate compares identical formulas.)
   // -------------------------------------------------------------------
-  def hhtInst(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t, y) =>
-      val modes = SeriesMath.emd(t, y)
-      modes.iterator.zipWithIndex.flatMap { case (m, k) =>
-        var f = m.clone()
-        val amp = Array.fill(m.length)(1.0)
-        var it = 0
-        var done = false
-        while (it < 10 && !done) {
-          val env = SeriesMath.envelopes(t, f.map(math.abs), 2)
-          if (env == null) done = true
-          else {
-            val upper = env._1
-            var i = 0
-            while (i < f.length) {
-              val e = if (math.abs(upper(i)) < 1e-12) 1e-12 else math.abs(upper(i))
-              f(i) /= e
-              amp(i) *= e
-              i += 1
+  private val hhtNormFn
+      : (Long, Array[Double], Array[Double]) => Iterator[
+        (Long, Int, Double, Double, Double)] =
+    (id, t, y) => {
+      if (t.length < 3) Iterator.empty
+      else {
+        val modes = SeriesMath.emd(t, y)
+        modes.iterator.zipWithIndex.flatMap { case (m, k) =>
+          val f = m.clone()
+          val amp = Array.fill(m.length)(1.0)
+          var it = 0
+          var done = false
+          while (it < 10 && !done) {
+            val env = SeriesMath.envelopes(t, f.map(math.abs), 2)
+            if (env == null) done = true
+            else {
+              val upper = env._1
+              var i = 0
+              while (i < f.length) {
+                val e = if (math.abs(upper(i)) < 1e-12) 1e-12 else math.abs(upper(i))
+                f(i) /= e
+                amp(i) *= e
+                i += 1
+              }
+              if (f.forall(v => math.abs(v) <= 1.0 + 1e-6)) done = true
             }
-            if (f.forall(v => math.abs(v) <= 1.0 + 1e-6)) done = true
+            it += 1
           }
-          it += 1
-        }
-        if (f.length < 3) Iterator.empty
-        else {
-          val freq = SeriesMath.dqInstantFreq(t, f)
-          t.indices.iterator.map(i =>
-            (id, k, t(i), math.rint(freq(i) * 1e12) / 1e12,
-              math.rint(amp(i) * 1e6) / 1e6))
+          t.indices.iterator.map(i => (id, k, t(i), f(i), amp(i)))
         }
       }
-    }.toDF("id", "mode", "t", "freq", "amp")
+    }
+
+  def hhtNorm(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(hhtNormFn).toDF("id", "mode", "t", "f", "amp")
+
+  private val Pi = 3.141592653589793 // same literals in the oracles
+  private val TwoPi = 6.283185307179586
+
+  def hhtInst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("id", "mode").orderBy("t")
+    val c = greatest(lit(-1.0), least(lit(1.0), col("f")))
+    val withPhi = hhtNorm(spark, dir)
+      .withColumn("phi", atan2(sqrt(lit(1.0) - c * c), c))
+    val g = when(lag("phi", 1).over(w).isNull,
+        lead("phi", 1).over(w) - col("phi"))
+      .otherwise(when(lead("phi", 1).over(w).isNull,
+        col("phi") - lag("phi", 1).over(w))
+        .otherwise((lead("phi", 1).over(w) - lag("phi", 1).over(w)) / 2.0))
+    val withSc = withPhi
+      .withColumn("sc", when(g < 0.0, -col("phi")).otherwise(col("phi")))
+    val rawd = col("sc") - lag("sc", 1).over(w)
+    val stepped = withSc
+      .withColumn("dp",
+        rawd - lit(TwoPi) * ceil((rawd - lit(Pi)) / lit(TwoPi)))
+      .withColumn("dn", lead("dp", 1).over(w))
+      .withColumn("tp", lag("t", 1).over(w))
+      .withColumn("tn", lead("t", 1).over(w))
+    stepped.select(col("id"), col("mode"), col("t"),
+      (round(
+        when(col("dp").isNull, col("dn") / (col("tn") - col("t")))
+          .otherwise(when(col("dn").isNull, col("dp") / (col("t") - col("tp")))
+            .otherwise((col("dp") + col("dn")) / (col("tn") - col("tp"))))
+          / TwoPi,
+        12) + 0.0).as("freq"),
+      (round(col("amp"), 6) + 0.0).as("amp"))
+  }
+
+  val hhtInstSql: String =
+    s"""WITH a AS (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/hht_norm/*.parquet')),
+       |p AS (SELECT id, mode, t, amp,
+       |  atan2(sqrt(1.0 - least(greatest(f, -1.0), 1.0)
+       |                 * least(greatest(f, -1.0), 1.0)),
+       |        least(greatest(f, -1.0), 1.0)) AS phi
+       |  FROM a),
+       |s AS (SELECT *, CASE WHEN
+       |    (CASE WHEN lag(phi) OVER w IS NULL
+       |            THEN lead(phi) OVER w - phi
+       |          WHEN lead(phi) OVER w IS NULL
+       |            THEN phi - lag(phi) OVER w
+       |          ELSE (lead(phi) OVER w - lag(phi) OVER w) / 2.0
+       |     END) < 0.0 THEN -phi ELSE phi END AS sc
+       |  FROM p WINDOW w AS (PARTITION BY id, mode ORDER BY t)),
+       |d0 AS (SELECT *, sc - lag(sc) OVER w AS rawd
+       |  FROM s WINDOW w AS (PARTITION BY id, mode ORDER BY t)),
+       |d1 AS (SELECT *,
+       |    rawd - $TwoPi * ceil((rawd - $Pi) / $TwoPi) AS dp
+       |  FROM d0),
+       |g AS (SELECT *,
+       |    lead(dp) OVER w AS dn, lag(t) OVER w AS tp, lead(t) OVER w AS tn
+       |  FROM d1 WINDOW w AS (PARTITION BY id, mode ORDER BY t))
+       |SELECT id, mode, t,
+       |  round((CASE WHEN dp IS NULL THEN dn / (tn - t)
+       |              WHEN dn IS NULL THEN dp / (t - tp)
+       |              ELSE (dp + dn) / (tn - tp) END) / $TwoPi, 12) + 0.0
+       |    AS freq,
+       |  round(amp, 6) + 0.0 AS amp
+       |FROM g""".stripMargin
 
   // -------------------------------------------------------------------
   // gp_period_map — reference gp.py (QuasiPeriodicGP): MAP period by
@@ -256,7 +338,6 @@ object SeriesOps {
   def hhtAnalytic(spark: SparkSession, dir: String): DataFrame =
     perSeries(spark, dir)(hhtAnalyticFn).toDF("id", "t", "re", "im")
 
-  private val TwoPi = 6.283185307179586 // same literal in the oracles
 
   /** Shared HT-gradient compose: principal phase steps via lag, the
     * centered/one-sided gradient via lead, amplitude from `ampCol`.
@@ -371,6 +452,7 @@ object SeriesOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_butterworth" -> (tsButterworth _),
     "emd_imfs" -> (emdImfs _),
+    "hht_norm" -> (hhtNorm _),
     "hht_inst" -> (hhtInst _),
     "hht_analytic" -> (hhtAnalytic _),
     "hht_ht" -> (hhtHt _),
@@ -379,6 +461,7 @@ object SeriesOps {
     "gp_period_map" -> (gpPeriodMap _))
 
   val oracles: Map[String, String] = Map(
+    "hht_inst" -> hhtInstSql,
     "hht_ht" -> hhtHtSql,
     "hht_nht" -> hhtNhtSql)
 }

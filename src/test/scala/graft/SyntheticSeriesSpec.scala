@@ -262,6 +262,40 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(band(binA) > 0.0 && band(binB) > 0.0,
       s"both tone bands must be populated (binA=${band(binA)}, binB=${band(binB)})")
   }
+
+  test("hht_inst window compose reproduces the sequential DQ kernel") {
+    // The declarative pipeline (sign-corrected phase, wrap-free
+    // centered gradient over the hht_norm dump) must agree with
+    // SeriesMath.dqInstantFreq on the dump it feeds from — the two
+    // differ only in FP association and the measure-zero d = −π wrap
+    // convention, so after the 1e-12 round they match to one quantum.
+    val norm = tsa.SeriesOps.hhtNorm(spark, synDir)
+      .filter(org.apache.spark.sql.functions.col("id") === 2L)
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1)
+    assert(norm.nonEmpty, "hht_norm returned no modes for series 2")
+    val expected = norm.toSeq.flatMap { case (mode, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val t = sorted.map(_._2)
+      val f = sorted.map(_._3)
+      tsa.SeriesMath.dqInstantFreq(t, f).zip(t).map { case (fr, ti) =>
+        (mode, ti) -> math.rint(fr * 1e12) / 1e12
+      }
+    }
+    val got = tsa.SeriesOps.hhtInst(spark, synDir)
+      .filter(org.apache.spark.sql.functions.col("id") === 2L)
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.size == expected.size,
+      s"row counts differ: pipeline ${got.size} vs kernel ${expected.size}")
+    expected.foreach { case (key, fr) =>
+      val pf = got(key)
+      assert(math.abs(pf - fr) <= 1.1e-12,
+        s"freq mismatch at $key: pipeline $pf vs kernel $fr")
+    }
+  }
 }
 
 /** Shared bin width so the spec stays in sync with GpOps. */
