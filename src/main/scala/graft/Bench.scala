@@ -11,6 +11,7 @@ object Bench {
       // it inside whole-stage codegen (default cutoff 100 fields). Set
       // at session construction so no operator mutates shared config.
       .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

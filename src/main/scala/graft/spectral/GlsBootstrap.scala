@@ -22,18 +22,30 @@ import org.apache.spark.sql.functions._
   * Cost shape (the part that matters at 100 TB): the naive plan
   * explodes series × (B+1) replicates × NF frequencies — a
   * rows×1300 intermediate whose row-handling overhead dominates
-  * everything else. Instead, the NF per-frequency trig sums are
-  * UNROLLED as 2·NF aggregate expressions in ONE groupBy(id, b) pass
-  * over the rows×(B+1) resampled values (the same shape as the
-  * simhash bit votes): the partial aggregate carries 2·NF+2 doubles
-  * per replicate through the shuffle and no wide intermediate ever
-  * materializes. The frequency axis is unpivoted AFTER aggregation
-  * (39k → 1.95M tiny rows) for the Zechmeister–Kürster closed form.
-  * Signal-independent moments (C/S/C2/S2) aggregate once per series —
-  * not per replicate — with the double-angle terms from the
-  * identities c2 = c²−s², s2 = 2sc; demeaning folds into the closed
-  * form (Ch = avg(y·c) − ȳ·C, YY = avg(y²) − ȳ²), so no demean pass
-  * over the fan-out either.
+  * everything else. Instead, ALL 2·NF per-frequency trig sums (plus
+  * the exact-cents mean and raw second moment) accumulate in ONE
+  * imperative primitive-array aggregate ([[graft.functions
+  * .GlsTrigSums]]) in a single groupBy(id, b) pass over the rows×(B+1)
+  * resampled values: one aggregate call per row, the cos/sin comb from
+  * the angle-addition recurrence (2 libm calls per row instead of
+  * 2·NF), and the partial shuffle carries one array<double> per
+  * replicate. No wide intermediate ever materializes; the frequency
+  * axis unpivots AFTER aggregation (39k → 1.95M tiny rows) for the
+  * Zechmeister–Kürster closed form. Signal-independent moments
+  * (C/S/C2/S2) aggregate once per series — not per replicate — from
+  * the same buffer (c2 = c²−s², s2 = 2sc); demeaning folds into the
+  * closed form (Ch = avg(y·c) − ȳ·C, YY = avg(y²) − ȳ²), so no demean
+  * pass over the fan-out either. The oracle replays the identical
+  * recurrence as chained CTE columns, so the trig values are
+  * bit-identical cross-engine and only the (already-rounded) sum
+  * order differs — the same tolerance the declarative avg had.
+  *
+  * Round-7 measurement (graft.Prof, sf0.1/local[32]): the declarative
+  * 104-expression formulation spent ~95 CPU-seconds of aggregate
+  * machinery on ~1 Gflop of arithmetic, and AQE's partition coalescing
+  * collapsed the tiny pre-fan-out shuffle to 1-2 partitions so that
+  * work also SERIALIZED (9-12 s wall). The pinned repartition plus the
+  * imperative aggregate take the query to <1 s wall at the same scale.
   */
 object GlsBootstrap {
   private val B = 25 // bootstrap replicates
@@ -42,21 +54,45 @@ object GlsBootstrap {
   // nearest-rank 95% quantile of B maxima, 1-based
   private val FalRank = math.ceil(0.95 * B).toInt
 
-  /** ω_k·tc with the literal structure shared by both engines:
-    * ((2·π·DF)·k)·tc evaluated in that order. */
-  private def om(k: Int): Column = lit(2.0 * math.Pi * DF * k) * col("tc")
-  private def omSql(k: Int, tc: String): String = s"(2*pi()*${DF}*$k*$tc)"
+  // base angular frequency ω = 2π·DF; harmonics k·ω come from the
+  // angle-addition recurrence inside GlsTrigSums (2 libm calls per
+  // ROW instead of 2·NF), identically on both engines
+  private val Om = 2.0 * math.Pi * DF
+  /** The same recurrence as chained CTE columns: `p1` carries
+    * (c1, s1) off `src`, then cₖ/sₖ build on cₖ₋₁/sₖ₋₁ — plain IEEE
+    * mul/add in GlsTrigSums' exact evaluation order. */
+  private def waveCtes(p: String, src: String, cols: String): String = {
+    val base = s"${p}1 AS (SELECT $cols, cos($Om * tc) AS c1, " +
+      s"sin($Om * tc) AS s1 FROM $src)"
+    val steps = (2 to NF).map { k =>
+      s"$p$k AS (SELECT *, c${k - 1}*c1 - s${k - 1}*s1 AS c$k, " +
+        s"s${k - 1}*c1 + c${k - 1}*s1 AS s$k FROM $p${k - 1})"
+    }
+    (base +: steps).mkString(",\n")
+  }
 
-  // NOTE: the trig-sum aggregate is 2·NF+2 ≈ 104 columns wide — above
-  // whole-stage codegen's default 100-field cutoff. The owning sessions
-  // (Bench/Verify and the specs) set spark.sql.codegen.maxFields=300 at
-  // construction; mutating it here would leak the setting to every
-  // query compiled afterwards in a caller-owned session. Without the
-  // setting the query still runs correctly, just outside codegen.
+  // NOTE: the trig sums run as ONE imperative primitive-array
+  // aggregate (GlsTrigSums → ObjectHashAggregateExec). The owning
+  // sessions raise spark.sql.objectHashAggregate.sortBased
+  // .fallbackThreshold (default 128 in-memory keys) so the ~1200
+  // (id, b) groups per partition stay hash-aggregated; with the
+  // default the op silently degrades to sort-based aggregation —
+  // correct, just slower.
   def glsFap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GlsTrigSums.register(spark, Om, NF)
     val wOrd = Window.partitionBy("id").orderBy("t", "eid")
     val wAll = Window.partitionBy("id")
+    // Explicit repartition-by-num, NOT a plain window shuffle: the
+    // pre-fan-out shuffle is tiny (the raw series), so AQE's partition
+    // coalescing folds it to 1-2 partitions — and then the ×(B+1)
+    // fan-out, resample hash, trig sums and replicate maxima all run
+    // fused in THAT stage, serializing ~95% of the query's CPU on 1-2
+    // threads (measured: 9.3 s wall with 30 idle cores). A
+    // REPARTITION_BY_NUM exchange is exempt from coalescing, so the
+    // expansion stage keeps full parallelism; the window's (id)
+    // clustering requirement is satisfied by it, no extra shuffle.
     val r = Tables.series(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
       .select(col("id"), col("t"), col("y"),
         (row_number().over(wOrd) - 1).cast("long").as("i"),
         count(lit(1)).over(wAll).as("n"),
@@ -73,28 +109,32 @@ object GlsBootstrap {
           .as("j"))
     val v = r.select(col("id"), col("i").as("j"), col("y"))
     val x = bs.join(v, Seq("id", "j")).select("id", "b", "tc", "y")
-    // one pass over the resampled rows: 2·NF trig sums + mean (exact
-    // cents => bit-identical to the oracle) + raw second moment
-    val yAggs: Seq[Column] = (1 to NF).flatMap { k =>
-      Seq(avg(col("y") * cos(om(k))).as(s"yc$k"),
-        avg(col("y") * sin(om(k))).as(s"ys$k"))
-    } ++ Seq(
-      (sum(round(col("y") * 100.0, 0).cast("long")).cast("double") /
-        count(lit(1)) / 100.0).as("ym"),
-      avg(col("y") * col("y")).as("y2"))
-    val a1 = x.groupBy("id", "b").agg(yAggs.head, yAggs.tail: _*)
-    val yk = a1.selectExpr("id", "b", "ym", "y2",
-      s"stack($NF, ${(1 to NF).map(k => s"$k, yc$k, ys$k").mkString(", ")}) AS (k, YCr, YSr)")
-    // signal-independent moments: once per series, not per replicate
-    val bAggs: Seq[Column] = (1 to NF).flatMap { k =>
-      Seq(avg(cos(om(k))).as(s"ca$k"), avg(sin(om(k))).as(s"sa$k"),
-        avg(cos(om(k)) * cos(om(k)) - sin(om(k)) * sin(om(k))).as(s"cb$k"),
-        avg(lit(2.0) * sin(om(k)) * cos(om(k))).as(s"sb$k"))
-    }
+    // one pass over the resampled rows: the whole moment vector —
+    // 2·NF trig sums + exact-cents mean + raw second moment — in ONE
+    // imperative primitive-array aggregate (GlsTrigSums), one call per
+    // row; the partial shuffle carries one array<double> per replicate
+    val a1 = x.groupBy("id", "b").agg(expr("gls_trig_y(tc, y)").as("ar"))
+    val yk = a1
+      .select(col("id"), col("b"), col("ar"),
+        explode(sequence(lit(1), lit(NF))).as("k"))
+      .select(col("id"), col("b"), col("k"),
+        element_at(col("ar"), col("k")).as("YCr"),
+        element_at(col("ar"), col("k") + NF).as("YSr"),
+        element_at(col("ar"), 2 * NF + 1).as("ym"),
+        element_at(col("ar"), 2 * NF + 2).as("y2"))
+    // signal-independent moments: once per series, not per replicate;
+    // double-angle terms accumulate in the same buffer (c2 = c²−s²,
+    // s2 = 2sc)
     val ab = r.select(col("id"), (col("t") - col("t0")).as("tc"))
-      .groupBy("id").agg(bAggs.head, bAggs.tail: _*)
-    val base = ab.selectExpr("id",
-      s"stack($NF, ${(1 to NF).map(k => s"$k, ca$k, sa$k, cb$k, sb$k").mkString(", ")}) AS (k, C, S, C2, S2)")
+      .groupBy("id").agg(expr("gls_trig_base(tc)").as("ar"))
+    val base = ab
+      .select(col("id"), col("ar"),
+        explode(sequence(lit(1), lit(NF))).as("k"))
+      .select(col("id"), col("k"),
+        element_at(col("ar"), col("k")).as("C"),
+        element_at(col("ar"), col("k") + NF).as("S"),
+        element_at(col("ar"), col("k") + 2 * NF).as("C2"),
+        element_at(col("ar"), col("k") + 3 * NF).as("S2"))
     val m = yk.join(broadcast(base), Seq("id", "k"))
       .select(col("id"), col("b"), col("k"),
         col("C"), col("S"), col("C2"), col("S2"),
@@ -144,13 +184,12 @@ object GlsBootstrap {
   val glsFapSql: String = {
     val h = Dedup.h60Sql("r.id || '_' || b.b || '_' || r.i")
     val yAggs = (1 to NF).map { k =>
-      s"avg(y*cos(${omSql(k, "tc")})) AS yc$k, avg(y*sin(${omSql(k, "tc")})) AS ys$k"
+      s"avg(y*c$k) AS yc$k, avg(y*s$k) AS ys$k"
     }.mkString(",\n       |  ")
     val bAggs = (1 to NF).map { k =>
-      val o = omSql(k, "tc")
-      s"avg(cos($o)) AS ca$k, avg(sin($o)) AS sa$k, " +
-        s"avg(cos($o)*cos($o) - sin($o)*sin($o)) AS cb$k, " +
-        s"avg(2.0*sin($o)*cos($o)) AS sb$k"
+      s"avg(c$k) AS ca$k, avg(s$k) AS sa$k, " +
+        s"avg(c$k*c$k - s$k*s$k) AS cb$k, " +
+        s"avg(2.0*s$k*c$k) AS sb$k"
     }.mkString(",\n       |  ")
     def lst(f: Int => String) = (1 to NF).map(f).mkString(", ")
     s"""WITH s AS (${Tables.seriesSql}),
@@ -165,20 +204,22 @@ object GlsBootstrap {
        |v AS (SELECT id, i AS j, y FROM r),
        |x AS (SELECT bs.id, bs.b, bs.tc, v.y
        |      FROM bs JOIN v ON bs.id = v.id AND bs.j = v.j),
+       |${waveCtes("xw", "x", "id, b, tc, y")},
        |a1 AS (SELECT id, b,
        |  $yAggs,
        |  cast(sum(cast(round(y*100.0) AS BIGINT)) AS double)
        |    / count(*) / 100.0 AS ym,
        |  avg(y*y) AS y2
-       |  FROM x GROUP BY 1, 2),
+       |  FROM xw$NF GROUP BY 1, 2),
        |yk AS (SELECT id, b, ym, y2,
        |  unnest(range(1, ${NF + 1})) AS k,
        |  unnest([${lst(k => s"yc$k")}]) AS YCr,
        |  unnest([${lst(k => s"ys$k")}]) AS YSr
        |  FROM a1),
+       |${waveCtes("uw", "(SELECT id, t - t0 AS tc FROM r)", "id, tc")},
        |ab AS (SELECT id,
        |  $bAggs
-       |  FROM (SELECT id, t - t0 AS tc FROM r) GROUP BY 1),
+       |  FROM uw$NF GROUP BY 1),
        |base AS (SELECT id,
        |  unnest(range(1, ${NF + 1})) AS k,
        |  unnest([${lst(k => s"ca$k")}]) AS C,

@@ -465,15 +465,25 @@ object SeriesOps2 {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .filter(col("n") >= 40)
       .withColumn("ml", least(lit(40L), col("n")))
-    val num = base.as("a").join(base.as("b"),
-        col("a.id") === col("b.id") && col("b.k") >= col("a.k") &&
-          col("b.k") - col("a.k") < col("a.ml"))
-      .groupBy(col("a.id").as("id"), (col("b.k") - col("a.k")).as("lg"))
-      .agg(sum((col("a.v") * col("b.v")).cast("decimal(38,0)")).as("num"),
-        max(col("a.ml")).as("ml"))
-    val den = num.filter(col("lg") === 0)
-      .select(col("id").as("did"), col("num").as("den"))
-    val acf = num.join(den, col("id") === col("did"))
+    // each sample joins its <=40 lag partners by EQUI key (id, k+lg):
+    // a raw band condition (b.k >= a.k AND b.k - a.k < ml) would plan
+    // as an id-only join with the band as a post-join filter — O(n²)
+    // intermediate pairs per series, quadratic in series length at
+    // scale, where the explode shape is exactly n×ml rows
+    val probes = base.select(col("id"), col("k"), col("v"), col("ml"),
+        explode(sequence(lit(0L), col("ml") - 1)).as("lg"))
+    val num = probes.join(
+        base.select(col("id").as("jid"), col("k").as("jk"),
+          col("v").as("bv")),
+        col("id") === col("jid") && col("jk") === col("k") + col("lg"))
+      .groupBy(col("id"), col("lg"))
+      .agg(sum((col("v") * col("bv")).cast("decimal(38,0)")).as("num"),
+        max(col("ml")).as("ml"))
+    // the lag-0 autocorrelation (the denominator) via first_value over
+    // the same (id)-keyed exchange instead of a separate self-join
+    val acf = num
+      .withColumn("den", first("num").over(
+        Window.partitionBy("id").orderBy("lg")))
       .select(col("id"), col("lg"), col("ml"),
         (col("num").cast("double") / col("den").cast("double")).as("acf"))
     val wl = Window.partitionBy("id").orderBy("lg")
