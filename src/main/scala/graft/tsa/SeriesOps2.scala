@@ -457,71 +457,86 @@ object SeriesOps2 {
   def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dt = QDt
+    val ML = 40
     val bf = SeriesOps.tsButterworth(spark, dir)
     val w = Window.partitionBy("id").orderBy("t")
-    val base = bf.select(col("id"), col("t"),
+    // Pin the post-IIR exchange width (gls_fap precedent): the
+    // butterworth output is ~2 MB at sf0.1, so AQE would coalesce the
+    // id exchange to 1-2 partitions and serialize everything below.
+    val base = bf
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
+      .select(col("id"), col("t"),
         round(col("y_filt") * 1e6, 0).cast("long").as("v"))
-      .withColumn("k", (row_number().over(w) - 1).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-      .filter(col("n") >= 40)
-      .withColumn("ml", least(lit(40L), col("n")))
-    // each sample joins its <=40 lag partners by EQUI key (id, k+lg):
-    // a raw band condition (b.k >= a.k AND b.k - a.k < ml) would plan
-    // as an id-only join with the band as a post-join filter — O(n²)
-    // intermediate pairs per series, quadratic in series length at
-    // scale, where the explode shape is exactly n×ml rows
-    val probes = base.select(col("id"), col("k"), col("v"), col("ml"),
-        explode(sequence(lit(0L), col("ml") - 1)).as("lg"))
-    val num = probes.join(
-        base.select(col("id").as("jid"), col("k").as("jk"),
-          col("v").as("bv")),
-        col("id") === col("jid") && col("jk") === col("k") + col("lg"))
-      .groupBy(col("id"), col("lg"))
-      .agg(sum((col("v") * col("bv")).cast("decimal(38,0)")).as("num"),
-        max(col("ml")).as("ml"))
+      .filter(col("n") >= ML)
+    // num(lg) = Σ_k v_k·v_{k+lg}: the ml lag products run as ml window
+    // leads + ml aggregate expressions in ONE groupBy(id) — the
+    // (id, lg) unpivot happens AFTER aggregation (series count × ml
+    // rows), so no n×ml row explosion and no self-join ever
+    // materializes. n >= ml is enforced above, so ml ≡ 40 for every
+    // surviving series (the reference's least(2·p_max/dt, n) cap).
+    val withLeads = base.select(
+      col("id") +: (0 until ML).map(i =>
+        (col("v") * lead(col("v"), i).over(w))
+          .cast("decimal(38,0)").as(s"p$i")): _*)
+    val sums = withLeads.groupBy("id")
+      .agg(sum(col("p0")).as("s0"),
+        (1 until ML).map(i => sum(col(s"p$i")).as(s"s$i")): _*)
+    val acfRows = sums.selectExpr("id",
+      s"stack($ML, ${(0 until ML).map(i => s"$i, s$i").mkString(", ")})" +
+        " as (lg, num)")
     // the lag-0 autocorrelation (the denominator) via first_value over
-    // the same (id)-keyed exchange instead of a separate self-join
-    val acf = num
-      .withColumn("den", first("num").over(
-        Window.partitionBy("id").orderBy("lg")))
-      .select(col("id"), col("lg"), col("ml"),
-        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+    // the (id)-keyed exchange instead of a separate self-join
     val wl = Window.partitionBy("id").orderBy("lg")
-    val best = acf
+    val acf = acfRows
+      .withColumn("den", first("num").over(wl))
+      .select(col("id"), col("lg"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+    // peak pick as a window max in the SAME pass (max struct = highest
+    // acf, ties to the smallest lag), so the ACF subtree is computed
+    // once instead of once per consumer
+    val flagged = acf
       .withColumn("pv", lag("acf", 1).over(wl))
       .withColumn("nx", lead("acf", 1).over(wl))
-      .filter(col("lg") >= 1 && col("lg") < col("ml") - 1 &&
-        col("acf") > col("pv") && col("acf") > col("nx"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("acf").desc, col("lg").asc)))
-      .filter(col("rk") === 1)
-      .select(col("id").as("bid"), (col("lg") * dt).as("best_period"),
-        col("acf").as("height"))
-    val grid = spark.range(-4, 5).select(col("id").as("ai"))
-      .crossJoin(spark.range(-4, 5).select(col("id").as("ti")))
-    val cells = best.crossJoin(broadcast(grid))
-      .select(col("bid"), col("best_period"), col("height"),
-        col("ai"), col("ti"),
-        exp(col("ai").cast("double") * 0.35).as("aa"),
-        (lit(2.0) * col("best_period") * exp(col("ti").cast("double") * 0.5))
-          .as("tau"))
-    val d = col("acf") - col("aa") * exp(-(col("lg") * dt) / col("tau")) *
-      cos((lit(6.283185307179586) * (col("lg") * dt)) / col("best_period"))
-    val rss = acf.join(cells, col("id") === col("bid"))
-      .groupBy(col("id"), col("ai"), col("ti"))
-      .agg(round(sum(d * d), 6).as("rss"),
-        max(col("best_period")).as("best_period"),
-        max(col("height")).as("height"), max(col("tau")).as("tau"),
-        max(col("ml")).as("ml"))
-    rss
-      .withColumn("rk2", row_number().over(
-        Window.partitionBy("id")
-          .orderBy(col("rss").asc, col("ai").asc, col("ti").asc)))
-      .filter(col("rk2") === 1)
+      .withColumn("pk", when(col("lg") >= 1 && col("lg") < ML - 1 &&
+        col("acf") > col("pv") && col("acf") > col("nx"),
+        struct(col("acf").as("h"), (-col("lg")).as("nlg"))))
+      .withColumn("bs", max(col("pk")).over(Window.partitionBy("id")))
+      .filter(col("bs").isNotNull)
+      .withColumn("best_period", (-col("bs.nlg")).cast("double") * dt)
+      .withColumn("height", col("bs.h"))
+    // The 9×9 (a, tau) grid runs as 81 RSS aggregate expressions over
+    // the SAME groupBy(id) instead of an 81× row fan-out: the exp(ai·
+    // 0.35) factor constant-folds per cell, and the argmin cell (rss
+    // asc, ai asc, ti asc — the kernel's strict-< scan order) is a
+    // horizontal least() over 81 (rss, ai, ti) structs, so no second
+    // shuffle, no 545 MB hash table, and no global-window pick remain.
+    val cellGrid = for { ai <- -4 to 4; ti <- -4 to 4 } yield (ai, ti)
+    val rssSums = cellGrid.zipWithIndex.map { case ((ai, ti), g) =>
+      val tau =
+        lit(2.0) * col("best_period") * exp(lit(ti.toDouble) * 0.5)
+      val m = exp(lit(ai.toDouble) * 0.35) *
+        exp(-(col("lg") * dt) / tau) *
+        cos((lit(6.283185307179586) * (col("lg") * dt)) /
+          col("best_period"))
+      val d = col("acf") - m
+      round(sum(d * d), 6).as(s"r$g")
+    }
+    val agg = flagged.groupBy("id").agg(
+      max(col("best_period")).as("best_period"),
+      rssSums :+ max(col("height")).as("height"): _*)
+    val cand = cellGrid.zipWithIndex.map { case ((ai, ti), g) =>
+      struct(col(s"r$g").as("rss"), lit(ai).as("ai"), lit(ti).as("ti"))
+    }
+    agg
+      .withColumn("bc", least(cand: _*))
+      .withColumn("tau", lit(2.0) * col("best_period") *
+        exp(col("bc.ti").cast("double") * 0.5))
       .select(col("id"), col("best_period"),
         (round(col("height"), 6) + 0.0).as("height"),
         (round((least(col("tau"), lit(20.0 * QPMax)) / col("best_period")) *
-          ((col("ml") * col("height")) / col("rss")), 3) + 0.0).as("quality"))
+          ((lit(ML.toLong) * col("height")) / col("bc.rss")), 3) + 0.0)
+          .as("quality"))
   }
 
   val acfPeriodQualitySql: String =
