@@ -43,7 +43,10 @@ class SyntheticSeriesSpec extends AnyFunSuite {
         (1L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P1)),
         (2L, (t: Double) => 10.0 + 2.0 * math.sin(2 * math.Pi * t / PA) +
           2.0 * math.sin(2 * math.Pi * t / PB)),
-        (5L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P5)))
+        (5L, (t: Double) => 10.0 + 3.0 * math.sin(2 * math.Pi * t / P5)),
+        // 7 = ZERO-MEAN unit sine: the TEO continuum identity
+        // TEO = A²ω² only holds without a DC offset (test_core.py:51)
+        (7L, (t: Double) => math.sin(2 * math.Pi * t / P1)))
       k <- 0 until 360
       t = T0 + k * 7200.0
     } yield (uid * 1000 + k, (t * 1e9).toLong, uid, "tick", gen(t), "{}")) ++
@@ -132,6 +135,35 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(row(0).getDouble(0) == expected && row(0).getDouble(1) == expected,
       s"coincident grid point must emit the sample value $expected, " +
         s"got ${row(0).getDouble(0)} / ${row(0).getDouble(1)}")
+  }
+
+  test("ts_teo of a zero-mean sine is ~A²ω² (ref test_core.py:51)") {
+    import org.apache.spark.sql.functions._
+    // reference: TEO of sin(t) is allclose(1.0) = A²ω²; on the 2 h
+    // grid the central differences carry a sinc³ attenuation of
+    // (sin(ωΔt)/ωΔt)³ ≈ 0.977 at 24 samples/cycle, so a 5% band
+    // holds uniformly over the interior (edge rows use one-sided
+    // gradients — excluded, as the reference excludes its last 2)
+    val omega2 = math.pow(2 * math.Pi / P1, 2)
+    val teos = tsa.TimeSeriesOps.tsTeo(spark, synDir)
+      .filter(col("id") === 7L &&
+        col("eid") >= 7003L && col("eid") <= 7356L)
+      .select("teo").collect().map(_.getDouble(0))
+    assert(teos.length == 354)
+    val worst = teos.map(v => math.abs(v / omega2 - 1.0)).max
+    assert(worst < 0.05,
+      s"interior TEO must sit within 5% of A²ω²=$omega2 (worst $worst)")
+  }
+
+  test("gls_best_period finds the injected period exactly " +
+      "(ref test_spectral.py:27)") {
+    import org.apache.spark.sql.functions._
+    // reference: a pure sine's period_at_highest_peak equals the true
+    // period EXACTLY when it sits on the frequency grid; P1 = 2 d is
+    // grid point k = 15 of the k/(30 d) grid
+    val p = spectral.Gls.glsBestPeriod(spark, synDir)
+      .filter(col("id") === 1L).select("best_period").head().getDouble(0)
+    assert(p == P1, s"grid-aligned sine must recover $P1 exactly, got $p")
   }
 
   test("acf_period_quality recovers the injected 2 d period") {
