@@ -12,6 +12,12 @@ object Bench {
       // at session construction so no operator mutates shared config.
       .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // AQE coalesces by BYTES, but per-series kernels (IIR/sift/
+      // Cholesky) are CPU-heavy at tiny byte sizes — the default 1 MB
+      // floor was serializing them onto 1-2 threads (gp_loocv 3.1 s →
+      // 0.4 s at 64 KB). At real scale partitions are byte-bound, so
+      // the lower floor is inert there.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,12 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // AQE sizes coalesced partitions by BYTES; per-series kernels
+      // (IIR/sift/Cholesky) are CPU-heavy at tiny byte sizes, so the
+      // default 1 MB floor serializes them onto 1-2 threads. 64 KB
+      // keeps parallelism-first targeting at full width (at real scale
+      // partitions are byte-bound anyway, so this floor is inert).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

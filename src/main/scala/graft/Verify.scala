@@ -14,6 +14,8 @@ object Verify {
       // keep gls_fap's 104-buffer aggregate inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // keep CPU-heavy small-byte stages at full width (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
