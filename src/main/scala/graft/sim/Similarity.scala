@@ -230,7 +230,11 @@ object Similarity {
   private val NC = 16
   private val NPROBE = 4
 
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** The quantizer pipeline (seed assign → Lloyd step → refined
+    * rank-vs-centroid frame), shared so Bench can persist ONE instance
+    * as a materialized view — the cluster analogue is writing the
+    * corpus bucketed by cell once and probing it from then on. */
+  private[graft] def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val emb = Tables.table(spark, dir, "embeddings")
     val seeds = emb.filter(col("vec_id") < NC)
@@ -261,7 +265,13 @@ object Similarity {
     val sims = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"),
         round(expr("cosine_sim(embedding, cemb)"), 6).as("csim"))
-    val ranked = sims.withColumn("crank", row_number().over(wv))
+    sims.withColumn("crank", row_number().over(wv))
+  }
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val ranked = ivfRanked(spark, dir)
     val cells = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("cell"))
     val probes = ranked.filter(col("vec_id") < NQ && col("crank") <= NPROBE)

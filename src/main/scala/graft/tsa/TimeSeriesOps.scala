@@ -338,13 +338,21 @@ object TimeSeriesOps {
   // series the direct estimator is a (bin+k) self-join — one shuffle,
   // and the lag grid broadcasts.
   // -------------------------------------------------------------------
-  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared 6h-binned, per-series-demeaned base of BOTH ACF estimators
+    * (biased `tsAcf` and pair-count-corrected `tsAcfUnbiased`): one
+    * canonical plan instance so a persisted copy substitutes into
+    * every consumer (Bench warms it as a materialized view). */
+  def acfDemeaned(spark: SparkSession, dir: String): DataFrame = {
     val binned = Tables.series(spark, dir)
       .groupBy(col("id"), floor(col("t") / lit(21600.0)).as("bin"))
       .agg(avg("y").as("v"))
     val mean = binned.groupBy("id").agg(avg("v").as("mu"))
-    val d = binned.join(mean, "id")
+    binned.join(mean, "id")
       .select(col("id"), col("bin"), (col("v") - col("mu")).as("v"))
+  }
+
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val d = acfDemeaned(spark, dir)
     val lags = spark.range(0, 25).toDF("k")
     val num = d.crossJoin(broadcast(lags))
       .withColumn("bin2", col("bin") + col("k"))

@@ -149,12 +149,7 @@ object TimeSeriesOps3 {
   // Same single-shuffle (bin+lag) self-join as ts_acf.
   // -------------------------------------------------------------------
   def tsAcfUnbiased(spark: SparkSession, dir: String): DataFrame = {
-    val binned = Tables.series(spark, dir)
-      .groupBy(col("id"), floor(col("t") / lit(21600.0)).as("bin"))
-      .agg(avg("y").as("v"))
-    val mean = binned.groupBy("id").agg(avg("v").as("mu"))
-    val d = binned.join(mean, "id")
-      .select(col("id"), col("bin"), (col("v") - col("mu")).as("v"))
+    val d = TimeSeriesOps.acfDemeaned(spark, dir)
     val lags = spark.range(0, 25).toDF("k")
     val num = d.crossJoin(broadcast(lags))
       .withColumn("bin2", col("bin") + col("k"))
