@@ -24,6 +24,7 @@ object SparkEntry {
       tsa.SeriesOps2.queries ++
       tsa.GpOps.queries ++
       spectral.Gls.queries ++
+      spectral.GlsAuto.queries ++
       spectral.FSeriesOps.queries ++
       spectral.PhaseFold.queries ++
       spectral.Wavelet.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       tsa.SeriesOps2.oracles ++
       tsa.GpOps.oracles ++
       spectral.Gls.oracles ++
+      spectral.GlsAuto.oracles ++
       spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++
       spectral.Wavelet.oracles ++
