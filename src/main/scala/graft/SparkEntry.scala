@@ -39,6 +39,7 @@ object SparkEntry {
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
       sources.SyntheticData.queries ++
+      sources.NpySource.queries ++
       relational.Tpch.queries
 
   def oracleSql: Map[String, String] =
@@ -65,5 +66,6 @@ object SparkEntry {
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++
       sources.SyntheticData.oracles ++
+      sources.NpySource.oracles ++
       relational.Tpch.oracles
 }

@@ -21,6 +21,28 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(errLo < 0.01, s"lower envelope err $errLo")
   }
 
+  test("envelope is insensitive to pad_width beyond the first extrema (ref test_core.py:44)") {
+    // reference: get_envelope(pad_width=2) and pad_width=10 are
+    // allclose — once the reflection covers the first/last extremum,
+    // more padding cannot move the interior spline
+    val t = Array.tabulate(1001)(i => i * 0.1)
+    val y = t.map(math.sin)
+    val (u2, l2) = SeriesMath.envelopes(t, y, padWidth = 2)
+    val (u10, l10) = SeriesMath.envelopes(t, y, padWidth = 10)
+    // full range: np.allclose order (rtol 1e-5); the natural-spline
+    // end condition sits 2 vs 10 reflected extrema out, and its
+    // influence decays geometrically toward the interior
+    val du = (0 until 1001).map(i => math.abs(u2(i) - u10(i))).max
+    val dl = (0 until 1001).map(i => math.abs(l2(i) - l10(i))).max
+    assert(du < 2e-5, s"upper envelope moved with pad_width: $du")
+    assert(dl < 2e-5, s"lower envelope moved with pad_width: $dl")
+    // deep interior (>6 extrema from either edge): the boundary
+    // influence of a cubic spline decays geometrically per knot
+    // interval — two orders down from the edge deviation here
+    val dui = (200 until 800).map(i => math.abs(u2(i) - u10(i))).max
+    assert(dui < 1e-6, s"interior envelope moved with pad_width: $dui")
+  }
+
   test("EMD separates two tones (ref test_decomposition.py shape)") {
     val n = 1000
     val t = Array.tabulate(n)(_.toDouble)
