@@ -5,9 +5,10 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,9 +46,13 @@ class NpyDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new NpyTable(properties.get("path"))
+    new NpyTable(properties.get("path"),
+      if (schema != null) schema else NpyDataSource.schema)
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** Writes carry the query's own schema (any row shape with a double
+    * `value` column persists); reads always use the inferred 4-col
+    * layout. */
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object NpyDataSource {
@@ -104,14 +109,17 @@ object NpyDataSource {
   }
 }
 
-class NpyTable(path: String) extends Table with SupportsRead {
+class NpyTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "npy source requires a path")
   override def name(): String = s"npy:$path"
-  override def schema(): StructType = NpyDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NpyScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NpyWriteBuilder(path, info.schema())
 }
 
 class NpyScanBuilder(path: String)
@@ -193,4 +201,87 @@ class NpyPartitionReader(p: NpyInputPartition, required: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------
+// Write path: each task streams its partition's `value` column as one
+// 1-D '<f8' part-file (values in partition row order), committed by
+// atomic rename — a directory of part .npy files round-trips through
+// the reader above. The element count isn't known up front, so the
+// NEP-1 header is written as a fixed-width 128-byte block and the
+// shape patched in at task commit.
+// ---------------------------------------------------------------------
+
+class NpyWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NpyBatchWrite(path, schema)
+  }
+}
+
+class NpyBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  private val valueOrdinal: Int = {
+    val i = schema.fieldIndex("value")
+    require(schema(i).dataType == DoubleType, "value must be double")
+    i
+  }
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = NpyWriterFactory(path, valueOrdinal)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    new java.io.File(path).mkdirs()
+    messages.foreach { case NpyCommit(tmp, name) =>
+      val dst = new java.io.File(path, name)
+      if (!new java.io.File(tmp).renameTo(dst))
+        sys.error(s"npy commit: rename $tmp -> $dst failed")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case NpyCommit(tmp, _) =>
+      new java.io.File(tmp).delete(); ()
+    }
+}
+
+case class NpyCommit(tmpPath: String, finalName: String)
+  extends WriterCommitMessage
+
+case class NpyWriterFactory(path: String, valueOrdinal: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new NpyDataWriter(path, partitionId, taskId, valueOrdinal)
+}
+
+class NpyDataWriter(path: String, partitionId: Int, taskId: Long,
+    valueOrdinal: Int) extends DataWriter[InternalRow] {
+  private val tmp = java.io.File.createTempFile(
+    f"npy-part-$partitionId%05d-$taskId", ".npy.tmp")
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(tmp), 1 << 16)
+  out.write(new Array[Byte](128)) // header placeholder, patched at commit
+  private val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+  private var n = 0L
+
+  override def write(record: InternalRow): Unit = {
+    buf.clear()
+    buf.putDouble(record.getDouble(valueOrdinal))
+    out.write(buf.array())
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': ($n,), }"
+    val hlen = 118 // 10 + 118 = 128, NEP-1 64-byte aligned
+    require(dict.length < hlen, s"npy header overflow at n=$n")
+    val full = dict + (" " * (hlen - dict.length - 1)) + "\n"
+    val hdr = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.put(0x93.toByte).put("NUMPY".getBytes("ASCII"))
+      .put(1.toByte).put(0.toByte)
+      .putShort(hlen.toShort).put(full.getBytes("ASCII"))
+    val raf = new java.io.RandomAccessFile(tmp, "rw")
+    try { raf.seek(0); raf.write(hdr.array()) } finally raf.close()
+    NpyCommit(tmp.getPath, f"part-$partitionId%05d-$taskId.npy")
+  }
+
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
+  override def close(): Unit = ()
 }

@@ -126,7 +126,7 @@ object GlsAuto {
         .as("power"))
   }
 
-  val glsAutogridSql: String =
+  private val glsAutogridCte: String =
     s"""WITH $gridSql,
        |mo AS (
        |  SELECT s.id, g.k, max(g.freq) AS freq,
@@ -149,14 +149,56 @@ object GlsAuto {
        |  Ch*Cw + Sh*Sw AS YC, Sh*Cw - Ch*Sw AS YS,
        |  0.5*(1.0 + C2*C2w + S2*S2w) - (C*Cw + S*Sw)*(C*Cw + S*Sw) AS CC,
        |  0.5*(1.0 - C2*C2w - S2*S2w) - (S*Cw - C*Sw)*(S*Cw - C*Sw) AS SS
-       |  FROM t3)
-       |SELECT id, k, round(freq * 1e6, 6) + 0.0 AS freq_uhz,
+       |  FROM t3),
+       |pg AS (SELECT id, k, round(freq * 1e6, 6) + 0.0 AS freq_uhz,
        |  round((YC*YC/CC + YS*YS/SS)/YY, 6) + 0.0 AS power
-       |FROM t4""".stripMargin
+       |  FROM t4)""".stripMargin
+
+  val glsAutogridSql: String =
+    s"""$glsAutogridCte
+       |SELECT id, k, freq_uhz, power FROM pg""".stripMargin
+
+  /** period_at_highest_peak over the auto grid — reference
+    * core.py:952 via the default-grid path the reference's own
+    * test_can_find_periods exercises: strict local max, best power,
+    * earliest k on ties; period = 1/freq in seconds. */
+  def glsAutogridBest(spark: SparkSession, dir: String): DataFrame = {
+    val pg = glsAutogrid(spark, dir)
+    val wk = Window.partitionBy("id").orderBy("k")
+    val peaks = pg
+      .withColumn("pm", lag("power", 1).over(wk))
+      .withColumn("pp", lead("power", 1).over(wk))
+      .filter(col("pm").isNotNull && col("pp").isNotNull &&
+        col("power") > col("pm") && col("power") > col("pp"))
+    val best = peaks.groupBy("id").agg(max("power").as("best_power"))
+    peaks.join(best, "id")
+      .filter(col("power") === col("best_power"))
+      .groupBy("id", "best_power")
+      .agg(round(min(lit(1e6) / col("freq_uhz")), 4).as("best_period"))
+      .select("id", "best_period", "best_power")
+  }
+
+  val glsAutogridBestSql: String =
+    s"""$glsAutogridCte,
+       |pk AS (SELECT id, k, freq_uhz, power,
+       |  lag(power,1)  OVER win AS pm, lead(power,1) OVER win AS pp
+       |  FROM pg WINDOW win AS (PARTITION BY id ORDER BY k)),
+       |peaks AS (SELECT id, k, freq_uhz, power FROM pk
+       |  WHERE pm IS NOT NULL AND pp IS NOT NULL
+       |    AND power > pm AND power > pp),
+       |best AS (SELECT id, max(power) AS best_power FROM peaks GROUP BY id)
+       |SELECT peaks.id,
+       |  round(min(1e6 / peaks.freq_uhz), 4) AS best_period,
+       |  best.best_power
+       |FROM peaks JOIN best ON peaks.id = best.id
+       |  AND peaks.power = best.best_power
+       |GROUP BY peaks.id, best.best_power""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gls_autogrid" -> (glsAutogrid _))
+    "gls_autogrid" -> (glsAutogrid _),
+    "gls_autogrid_best" -> (glsAutogridBest _))
 
   val oracles: Map[String, String] = Map(
-    "gls_autogrid" -> glsAutogridSql)
+    "gls_autogrid" -> glsAutogridSql,
+    "gls_autogrid_best" -> glsAutogridBestSql)
 }

@@ -80,4 +80,13 @@ class GlsAutoSpec extends AnyFunSuite {
     assert(math.abs(period - 10.0) < 1e-6,
       s"period_at_highest_peak == 10.0, got $period")
   }
+
+  test("gls_autogrid_best reports period_at_highest_peak == 10.0") {
+    import org.apache.spark.sql.functions._
+    val r = spectral.GlsAuto.glsAutogridBest(spark, dir)
+      .filter(col("id") === 22L).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(1) == 10.0,
+      s"best_period == 10.0, got ${r(0).getDouble(1)}")
+  }
 }

@@ -98,6 +98,22 @@ class NpySourceSpec extends AnyFunSuite {
       "y row sits 10 above t row in the fixture")
   }
 
+  test("write path round-trips through the reader (multi-partition)") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_npy_write").toString + "/sink"
+    val values = (0 until 10000).map(i => math.sin(i * 0.01))
+    values.toDF("value").repartition(3)
+      .write.format("graft.sources.NpyDataSource").mode("append").save(outDir)
+    val parts = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".npy"))
+    assert(parts.length == 3, s"one part file per partition: ${parts.length}")
+    val back = read(outDir).select("value").collect().map(_.getDouble(0))
+    assert(back.length == 10000)
+    assert(back.sorted.toSeq == values.sorted,
+      "round-tripped multiset differs")
+  }
+
   test("npy_source gate fixture is deterministic across reads") {
     val a = sources.NpySource.npySource(spark, "unused")
       .agg(sum(col("value") * col("idx"))).collect()(0).getDouble(0)
