@@ -73,6 +73,7 @@ object Bench {
     graft.tsa.SeriesOps2.acfBandQuality(spark, sfDir).persist().count()
     graft.tsa.GpOps.tsEnvelopeCoeffs(spark, sfDir).persist().count()
     graft.tsa.SeriesOps.tsButterworth(spark, sfDir).persist().count()
+    graft.tsa.SeriesOps2.tsDwtCoeffs(spark, sfDir).persist().count()
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

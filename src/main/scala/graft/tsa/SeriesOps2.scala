@@ -750,6 +750,82 @@ object SeriesOps2 {
       }
     }.toDF("id", "t", "y_denoised")
 
+  // -------------------------------------------------------------------
+  // ts_dwt_coeffs / ts_denoise_coeffs — the derived-input split of
+  // ts_denoise: the sequential kernel is ONLY the periodized db4
+  // pyramid; it dumps every coefficient (level 1 = finest detail band,
+  // increasing = coarser; kind 'a' = the final approximation band).
+  // The noise model — MAD sigma from the finest band, the universal
+  // threshold sigma·sqrt(2 ln n), and the soft shrinkage of every
+  // detail — is plain aggregation arithmetic, so it runs declaratively
+  // over the dump and DuckDB replays it under the hash gate
+  // (reference timefrequency.py:151-168). Only the transform itself
+  // remains rows-only.
+  // -------------------------------------------------------------------
+  def tsDwtCoeffs(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir) { (id, t0, y0) =>
+      val (_, gy) = resample(t0, y0, 21600.0)
+      val n0 = gy.length
+      if (n0 < 8) Iterator.empty
+      else {
+        val n = Integer.highestOneBit(n0)
+        var approx = gy.take(n).clone()
+        var out = List.empty[(Long, Int, Int, String, Double)]
+        var lv = 0
+        while (approx.length >= 8) {
+          lv += 1
+          val len = approx.length
+          val half = len / 2
+          val a = new Array[Double](half)
+          var k = 0
+          while (k < half) {
+            var sa = 0.0; var sd = 0.0; var m = 0
+            while (m < 4) {
+              val x = approx((2 * k + m) % len)
+              sa += Db4H(m) * x
+              sd += Db4G(m) * x
+              m += 1
+            }
+            a(k) = sa
+            out = (id, lv, k, "d", sd) :: out
+            k += 1
+          }
+          approx = a
+        }
+        val alv = lv
+        approx.indices.foreach(k => out = (id, alv, k, "a", approx(k)) :: out)
+        out.iterator
+      }
+    }.toDF("id", "level", "k", "kind", "c")
+
+  def tsDenoiseCoeffs(spark: SparkSession, dir: String): DataFrame = {
+    val dw = tsDwtCoeffs(spark, dir)
+    val th = dw.filter(col("kind") === "d" && col("level") === 1)
+      .groupBy("id")
+      .agg((expr("percentile(abs(c), 0.5)") / lit(0.6745)).as("sigma"),
+        (count(lit(1)) * 2).as("n"))
+      .select(col("id"),
+        (col("sigma") * sqrt(lit(2.0) * log(col("n")))).as("thr"))
+    dw.join(th, "id")
+      .select(col("id"), col("level"), col("k"), col("kind"),
+        (round(when(col("kind") === "d",
+          signum(col("c")) * greatest(abs(col("c")) - col("thr"), lit(0.0)))
+          .otherwise(col("c")), 6) + lit(0.0)).as("c"))
+  }
+
+  val tsDenoiseCoeffsSql: String =
+    """WITH dw AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_dwt_coeffs/*.parquet')),
+      |st AS (SELECT id, quantile_cont(abs(c), 0.5) / 0.6745 AS sigma,
+      |  count(*) * 2 AS n
+      |  FROM dw WHERE kind = 'd' AND level = 1 GROUP BY id),
+      |th AS (SELECT id, sigma * sqrt(2.0 * ln(n)) AS thr FROM st)
+      |SELECT dw.id, dw.level, dw.k, dw.kind,
+      |  round(CASE WHEN dw.kind = 'd'
+      |    THEN sign(c) * greatest(abs(c) - thr, 0.0) ELSE c END, 6)
+      |    + 0.0 AS c
+      |FROM dw JOIN th USING (id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lmd_modes" -> (lmdModes _),
     "ceemdan" -> (ceemdan _),
@@ -759,11 +835,14 @@ object SeriesOps2 {
     "acf_period_quality" -> (acfPeriodQuality _),
     "acf_band_quality" -> (acfBandQuality _),
     "gaussian_prior" -> (gaussianPrior _),
+    "ts_dwt_coeffs" -> (tsDwtCoeffs _),
+    "ts_denoise_coeffs" -> (tsDenoiseCoeffs _),
     "ts_denoise" -> (tsDenoise _))
 
   val oracles: Map[String, String] = Map(
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
     "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"),
     "gaussian_prior" -> gaussianPriorSql,
-    "acf_period_quality" -> acfPeriodQualitySql)
+    "acf_period_quality" -> acfPeriodQualitySql,
+    "ts_denoise_coeffs" -> tsDenoiseCoeffsSql)
 }

@@ -277,6 +277,42 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(corr > 0.85, s"correlation with the clean signal fell to $corr")
   }
 
+  test("ts_dwt_coeffs is an orthogonal transform (Parseval) and thresholds cut noise") {
+    import org.apache.spark.sql.functions._
+    // the db4 pyramid is orthogonal: Σc² over ALL dumped coefficients
+    // equals Σy² of the (truncated) resampled input — any indexing /
+    // periodization bug in the dump breaks the identity
+    val dw = tsa.SeriesOps2.tsDwtCoeffs(spark, synDir)
+      .filter(col("id") === 4L)
+    val coeffEnergy = dw.agg(sum(col("c") * col("c")))
+      .collect()(0).getDouble(0)
+    val nCoeffs = dw.count()
+    assert((nCoeffs & (nCoeffs - 1)) == 0,
+      s"pyramid coefficient count must be a power of two, got $nCoeffs")
+    // user 4 samples sit exactly on the 6 h resample grid, so the
+    // resample is the identity on the first 2^k samples
+    val y = (0 until nCoeffs.toInt).map(k =>
+      clean4(T0 + k * 21600.0) + noise4(k))
+    val sigEnergy = y.map(v => v * v).sum
+    assert(math.abs(coeffEnergy - sigEnergy) / sigEnergy < 1e-10,
+      s"Parseval violated: coeffs $coeffEnergy vs signal $sigEnergy")
+    // the declarative threshold stage: approx band passes through
+    // untouched, detail magnitudes never grow, and the unit-variance
+    // noise loses a visible share of finest-band coefficients
+    val thr = tsa.SeriesOps2.tsDenoiseCoeffs(spark, synDir)
+      .filter(col("id") === 4L)
+    val joined = dw.withColumnRenamed("c", "c0")
+      .join(thr, Seq("id", "level", "k", "kind"))
+    val bad = joined.filter(
+      (col("kind") === "a" && abs(col("c") - round(col("c0"), 6)) > 1e-9) ||
+        (col("kind") === "d" && abs(col("c")) > abs(col("c0")) + 1e-9))
+      .count()
+    assert(bad == 0, s"$bad coefficients violated the shrinkage contract")
+    val zeroed = joined.filter(col("kind") === "d" && col("level") === 1 &&
+      col("c") === 0.0 && col("c0") =!= 0.0).count()
+    assert(zeroed > 10, s"universal threshold zeroed only $zeroed finest coeffs")
+  }
+
   test("hht_spectrogram concentrates power at the two injected tones") {
     import org.apache.spark.sql.functions._
     val dfb = GpOpsBins.dfb
