@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet loaders for the driver-generated star schema + events /
   * documents / embeddings tables (see TESTDATA.md).
@@ -25,31 +26,57 @@ object Tables {
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // ts is parquet timestamp[ns] — see series()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
 
-  /** events as a many-series table: id=user_id, t=epoch secs, y=value.
+  /** Epoch-MICROSECONDS of an events frame's `ts` column, adaptive to
+    * whatever physical type the data generator shipped:
     *
-    * events.ts is parquet timestamp[ns]; Spark reads it as a raw
-    * nanosecond long (legacy.parquet.nanosAsLong) which we truncate to
-    * exact integer microseconds (`div 1000`) — the same truncation
-    * DuckDB applies reading ns into its µs timestamps — and then apply
-    * the identical `µs / 1e6` double division on both sides, so `t` is
-    * bit-identical to the oracle's. */
+    *  - parquet timestamp[ns] read under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (or a raw int64-ns
+    *    column, as the specs synthesize) resolves as LongType →
+    *    truncate ns → µs with integer `div 1000`, the same truncation
+    *    DuckDB applies reading ns into its µs timestamps;
+    *  - parquet timestamp[us] resolves as TIMESTAMP / TIMESTAMP_NTZ →
+    *    `unix_micros` (exact: Spark stores timestamps as µs-since-epoch
+    *    internally, and the session TZ is pinned to UTC in
+    *    Bench/Verify/specs so the NTZ→instant cast is the identity).
+    *
+    * Both branches land on the identical integer µs that DuckDB's
+    * `epoch_us(ts)` oracle twin produces, so `t = µs / 1e6` stays
+    * bit-identical on both sides regardless of how the testdata was
+    * generated. Hard-coding either branch is a data-contract bug: the
+    * round-7 testdata refresh flipped ns→µs and took out every
+    * series-based query at analysis time. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case TimestampType | TimestampNTZType =>
+      unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other — expected int64 (ns) " +
+        "or timestamp[us]/timestamp[ns]")
+  }
+
+  /** `ts` as epoch seconds (double) — the shared `µs / 1e6` division
+    * both engines apply, so the result is bit-identical to the
+    * oracle's `cast(epoch_us(ts) as double)/1e6`. */
+  def tSeconds(df: DataFrame): Column =
+    tsMicros(df).cast("double") / 1000000.0
+
+  /** events as a many-series table: id=user_id, t=epoch secs, y=value. */
   def series(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").select(
+    val ev = table(spark, dir, "events")
+    ev.select(
       col("user_id").as("id"),
-      (expr("ts div 1000").cast("double") / 1000000.0).as("t"),
+      tSeconds(ev).as("t"),
       col("value").as("y"),
       col("event_id").as("eid"))
   }
 
-  /** Oracle-side twin of [[series]]. */
+  /** Oracle-side twin of [[series]] (DuckDB `epoch_us` is already
+    * dtype-agnostic: µs timestamps pass through, ns truncate). */
   val seriesSql: String =
     "SELECT user_id AS id, cast(epoch_us(ts) AS double)/1000000.0 AS t, " +
       "value AS y, event_id AS eid FROM events"

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // if the testdata generator ships timestamp[ns] parquet again,
+      // read it as a raw ns long (Tables.tsMicros handles both dtypes)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep gls_fap's 104-buffer aggregate inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
@@ -27,11 +30,19 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Failures must be first-class: a query that throws used to leave
+    // only a stderr line, and the driver's correctness artifact then
+    // silently OMITTED it (round 7: 89 missing rows read as a short
+    // artifact, not 89 failures). Record query → message alongside the
+    // dumps so breakage surfaces as err rows.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +65,9 @@ object Verify {
         s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outDir))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

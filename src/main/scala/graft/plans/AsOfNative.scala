@@ -219,10 +219,11 @@ object AsOfNative {
     * each other. */
   def eventsAsofNative(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.series(spark, dir)
-    val purchases = Tables.table(spark, dir, "events")
+    val raw = Tables.table(spark, dir, "events")
+    val purchases = raw
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("id"),
-        (expr("ts div 1000").cast("double") / 1000000.0).as("t"),
+        Tables.tSeconds(raw).as("t"),
         col("value").as("purchase_value"))
     join(ev.select("id", "t", "eid"), purchases, "id", "t",
       Seq("purchase_value"))

@@ -50,11 +50,12 @@ object RangeJoin {
 
   def eventsWindowJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.series(spark, dir)
-    val purchases = Tables.table(spark, dir, "events")
+    val raw = Tables.table(spark, dir, "events")
+    val purchases = raw
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("id"),
         col("event_id").as("peid"),
-        (expr("ts div 1000").cast("double") / 1000000.0).as("lo"))
+        Tables.tSeconds(raw).as("lo"))
       .withColumn("hi", col("lo") + lit(WindowSecs))
     binned(ev.select("id", "t", "y"), purchases, "id", "t", "lo", "hi",
         bin = WindowSecs)

@@ -19,6 +19,27 @@ class OracleConstantsSpec extends AnyFunSuite {
 
   private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
+  test("testdata contract: Tables.series analyzes and t is finite " +
+    "(both ts dtypes: timestamp[us]/[ns] parquet and raw int64-ns)") {
+    // Round 7 postmortem: the generator flipped events.ts from
+    // timestamp[ns] to timestamp[us] and the hard-coded `ts div 1000`
+    // read path failed ANALYSIS on every series query — 113 tests went
+    // red with one cryptic shared error. This spec is the loud, named
+    // failure for the next refresh: if it fires, fix Tables.tsMicros.
+    import org.apache.spark.sql.functions._
+    for (dir <- dirs) {
+      val s = Tables.series(spark, dir) // throws here if ts dtype unhandled
+      val r = s.agg(count(when(col("t").isNull || col("t").isNaN, 1)),
+        min(col("t")), max(col("t"))).collect()(0)
+      assert(r.getLong(0) == 0L, s"$dir: null/NaN t values")
+      // epoch seconds must land in a sane era (2000..2100), i.e. the
+      // µs→s scaling is right — a ns-as-µs misread would be ~1e3 off
+      assert(r.getDouble(1) > 9.46e8 && r.getDouble(2) < 4.1e9,
+        s"$dir: t range [${r.getDouble(1)}, ${r.getDouble(2)}] not epoch " +
+          "seconds — Tables.tsMicros scaling is wrong for this dtype")
+    }
+  }
+
   test("events time range stays inside the fill_gaps grid constant") {
     import org.apache.spark.sql.functions._
     for (dir <- dirs) {
