@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // A timestamp[ns] parquet refresh must reach Tables.tsMicros'
+  // LongType branch, not die in the reader with "Illegal Parquet
+  // type" (inert for timestamp[us] data).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   // 16g default: the full 68-query bench in one JVM showed GC storms
   // at 8g (cache eviction attributed to whichever query was running).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

@@ -52,7 +52,15 @@ object Tables {
     * series-based query at analysis time. */
   def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts div 1000")
-    case TimestampType | TimestampNTZType =>
+    case TimestampType => unix_micros(col("ts"))
+    case TimestampNTZType =>
+      // The NTZ→instant cast goes through the session time zone; only
+      // UTC makes it the identity the oracle's epoch_us assumes. Fail
+      // loudly instead of silently shifting every epoch.
+      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ but spark.sql.session.timeZone=$tz " +
+          "— the NTZ→instant cast is only epoch-exact under UTC")
       unix_micros(col("ts").cast(TimestampType))
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other — expected int64 (ns) " +

@@ -385,6 +385,33 @@ object Dedup {
   val ClusterTau = 0.5
   val MaxCcRounds = 64
 
+  /** Config key: when "true", the propagation loop's lineage
+    * truncation uses RELIABLE `checkpoint` (requires
+    * `sparkContext.setCheckpointDir` to a fault-tolerant FS) instead
+    * of `localCheckpoint`. localCheckpoint blocks live on executors —
+    * on a 1000-executor cluster an executor loss mid-loop kills the
+    * job because truncated lineage cannot recompute. Reliable
+    * checkpoints survive executor loss at the cost of one HDFS/object
+    * -store round-trip per round; the snapshots are edge-incident-
+    * small (labels, not corpus), so the write is cheap relative to
+    * the round's shuffle. Default "false": right for local/bench
+    * runs; set true for long-running cluster jobs. */
+  val ReliableCcKey = "spark.graft.cc.reliableCheckpoint"
+
+  /** Lineage-truncating snapshot for the propagation loop, reliable or
+    * local per [[ReliableCcKey]]. */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableCcKey).exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCcKey=true requires sparkContext.setCheckpointDir " +
+          "(a fault-tolerant path) before running connectedComponents")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
   /** Min-label propagation over a SYMMETRIC edge set (src, dst).
     * Returns (doc_id, comp) for every edge-incident node; comp = min
     * reachable node id. Fails loudly (require) if the graph needs more
@@ -410,25 +437,23 @@ object Dedup {
     // once the round's references drop (next loop iteration). Every
     // frame is edge-incident-small (labels, not corpus), so only a
     // couple of tiny snapshots are ever live together.
-    val edges = edgesIn.localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id"))
+    val edges = snapshot(edgesIn)
+    var labels = snapshot(edges.select(col("src").as("doc_id"))
       .distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("doc_id").as("comp")))
     var frontier = labels // round 0: every node is "changed"
     var changed = labels.count()
     var rounds = 0
     while (changed > 0 && rounds < MaxCcRounds) {
       val nbrMin = edges.join(frontier, edges("src") === frontier("doc_id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      val next = labels
+      val next = snapshot(labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           // convergence folds into the SAME projection — counting the
           // snapshot's chg flags replaces the former full-labels join
-          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg"))
-        .localCheckpoint(true)
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.select("doc_id", "comp")
       frontier = next.filter(col("chg")).select("doc_id", "comp")

@@ -316,6 +316,64 @@ object GpOps {
     }.toDF("id", "period", "loocv", "is_best")
 
   // -------------------------------------------------------------------
+  // gp_posterior — the spirit of the reference's MCMC posterior over
+  // period (gp.py:257-296, 428-486) re-expressed Spark-first: the
+  // grid-MAP already computes log p(y | period) on the trial grid, so
+  // the normalized grid posterior is a per-series softmax over the
+  // EXISTING log-likelihoods — posterior, CDF, and the posterior-median
+  // flag (the uncertainty summary MCMC's trace median provides) as
+  // pure window arithmetic over gp_harmonic_map. No new Cholesky work:
+  // the map subplan is shared (plan-identity vals + Bench persist).
+  //
+  // DERIVED-INPUT oracle: DuckDB replays the softmax over the
+  // gp_harmonic_map parquet Verify dump — loglik is 1e-3-quantized at
+  // the dump, so exp() sees bit-identical inputs on both engines and
+  // the 6 dp round absorbs summation-order noise. Series whose whole
+  // grid failed Cholesky (all −∞) are dropped on both sides.
+  // -------------------------------------------------------------------
+  def gpPosterior(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id")
+    val wo = Window.partitionBy("id").orderBy("period")
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gpHarmonicMap(spark, dir)
+      .withColumn("mx", max("loglik").over(w))
+      .filter(col("mx") =!= lit(Double.NegativeInfinity))
+      .withColumn("e", exp(col("loglik") - col("mx")))
+      .withColumn("z", sum("e").over(w))
+      .withColumn("ce", sum("e").over(wc))
+      .withColumn("cdf_raw", col("ce") / col("z"))
+      .withColumn("pv",
+        lag(col("cdf_raw"), 1, 0.0).over(wo))
+      .select(col("id"), col("period"),
+        (round(col("e") / col("z"), 6) + 0.0).as("posterior"),
+        (round(col("cdf_raw"), 6) + 0.0).as("cdf"),
+        when(col("cdf_raw") >= 0.5 && col("pv") < 0.5, 1L).otherwise(0L)
+          .as("is_median"))
+  }
+
+  val gpPosteriorSql: String =
+    """WITH m AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/gp_harmonic_map/*.parquet')),
+      |s AS (SELECT id, period, loglik,
+      |  max(loglik) OVER (PARTITION BY id) AS mx FROM m),
+      |e AS (SELECT id, period, exp(loglik - mx) AS e FROM s
+      |  WHERE isfinite(mx)),
+      |z AS (SELECT id, period, e,
+      |  sum(e) OVER (PARTITION BY id) AS z,
+      |  sum(e) OVER (PARTITION BY id ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      |  FROM e)
+      |SELECT id, period,
+      |  round(e / z, 6) + 0.0 AS posterior,
+      |  round(ce / z, 6) + 0.0 AS cdf,
+      |  CAST(CASE WHEN ce / z >= 0.5 AND
+      |    coalesce(lag(ce / z) OVER (PARTITION BY id ORDER BY period),
+      |      0.0) < 0.5
+      |  THEN 1 ELSE 0 END AS BIGINT) AS is_median
+      |FROM z""".stripMargin
+
+  // -------------------------------------------------------------------
   // hht_spectrogram — reference timefrequency.py:91-99 (_spectrogram):
   // bin the per-sample (freq, amp) pairs emitted by hht_inst onto a
   // (freq_grid × time) power grid. Frequency axis: 32 linear bins up
@@ -562,12 +620,14 @@ object GpOps {
     "gp_psd" -> (gpPsd _),
     "gp_predict" -> (gpPredict _),
     "gp_loocv" -> (gpLoocv _),
+    "gp_posterior" -> (gpPosterior _),
     "hht_spectrogram" -> (hhtSpectrogram _),
     "ts_envelope_coeffs" -> (tsEnvelopeCoeffs _),
     "ts_envelope" -> (tsEnvelope _))
 
   val oracles: Map[String, String] = Map(
     "gp_psd" -> gpPsdSql,
+    "gp_posterior" -> gpPosteriorSql,
     "hht_spectrogram" -> hhtSpectrogramSql,
     "ts_envelope" -> tsEnvelopeSql)
 }

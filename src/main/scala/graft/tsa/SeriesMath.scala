@@ -269,9 +269,14 @@ object SeriesMath {
   }
 
   /** Digital Butterworth band-pass as cascaded biquads (poles via the
-    * analog prototype → lp2bp → bilinear transform, conjugate pairs per
-    * section; zeros at z=±1 per section; unit gain at the geometric
-    * center frequency). Order = 2·n poles. */
+    * analog prototype → lp2bp → bilinear transform; zeros at z=±1 per
+    * section; exact bilinear gain constant, so the response is the
+    * textbook maximally-flat |Ha(j·2fs·tan(πf/fs))| with −3 dB at both
+    * band edges). Order = 2·n poles: complex poles conjugate-paired
+    * per section, the two REAL band-pass poles an odd-order design
+    * produces paired together into one real-pole section (pairing
+    * each with itself would square them — 2n+2 poles and a sagging
+    * passband). */
   def butterBandpassSos(n: Int, fLo: Double, fHi: Double, fs: Double)
       : Array[Array[Double]] = {
     val w1 = 2.0 * fs * math.tan(math.Pi * fLo / fs)
@@ -298,34 +303,40 @@ object SeriesMath {
     }
     // bilinear: z = (2fs + s) / (2fs - s)
     val zPoles = bpPoles.map(p => (C(2.0 * fs, 0) + p) / (C(2.0 * fs, 0) - p))
-    // group into conjugate-pair sections (poles come in ± pairs per proto pole)
-    val upper = zPoles.filter(_.im >= 0).sortBy(p => -p.abs2)
-    val sos = upper.map { p =>
+    // sections: conjugate pairs for complex poles, the reals (exactly
+    // two for odd n, none for even) paired with EACH OTHER
+    val tol = 1e-9
+    val (reals, cplx) = zPoles.partition(p => math.abs(p.im) <= tol * math.hypot(p.re, p.im))
+    val upper = cplx.filter(_.im > 0).sortBy(p => -p.abs2)
+    val cplxSecs = upper.map { p =>
       // denominator (z - p)(z - conj(p)) = z^2 - 2Re(p) z + |p|^2
       Array(1.0, 0.0, -1.0, 1.0, -2.0 * p.re, p.abs2) // b0 b1 b2, a0 a1 a2
-    }.toArray
-    // normalize overall gain to 1 at center frequency
-    val wc = 2.0 * math.Pi * math.sqrt(fLo * fHi) / fs
-    val ejw = C(math.cos(wc), math.sin(wc))
-    val ej2w = ejw * ejw
-    var gain = C(1.0, 0.0)
-    sos.foreach { s =>
-      val num = C(s(0), 0) * ej2w + C(s(1), 0) * ejw + C(s(2), 0)
-      val den = C(s(3), 0) * ej2w + C(s(4), 0) * ejw + C(s(5), 0)
-      gain = gain * (num / den)
     }
-    val g = 1.0 / math.sqrt(gain.abs2)
+    val realSecs = reals.map(_.re).sorted.grouped(2).map { g =>
+      if (g.length == 2)
+        Array(1.0, 0.0, -1.0, 1.0, -(g(0) + g(1)), g(0) * g(1))
+      else Array(1.0, 0.0, -1.0, 1.0, -g(0), 0.0)
+    }.toSeq
+    val sos = (cplxSecs ++ realSecs).toArray
+    // exact bilinear gain: H(z) = k (z-1)^n (z+1)^n / Π(z - zp) with
+    // k = (bw·2fs)^n / Π(2fs - p_analog)  (real positive: poles are
+    // LHP and closed under conjugation)
+    var den = C(1.0, 0.0)
+    bpPoles.foreach(p => den = den * (C(2.0 * fs, 0) - p))
+    val g = math.pow(bw * 2.0 * fs, n) / math.sqrt(den.abs2)
     val gPer = math.pow(g, 1.0 / sos.length)
     sos.foreach { s => s(0) *= gPer; s(1) *= gPer; s(2) *= gPer }
     sos
   }
 
-  private def sosForward(sos: Array[Array[Double]], x: Array[Double])
-      : Array[Double] = {
+  private def sosForward(sos: Array[Array[Double]], x: Array[Double],
+      zi: Array[Array[Double]]): Array[Double] = {
     var cur = x
-    sos.foreach { s =>
+    var k = 0
+    while (k < sos.length) {
+      val s = sos(k)
       val out = new Array[Double](cur.length)
-      var w1 = 0.0; var w2 = 0.0
+      var w1 = zi(k)(0); var w2 = zi(k)(1)
       var i = 0
       while (i < cur.length) {
         // direct form II transposed
@@ -336,20 +347,43 @@ object SeriesMath {
         i += 1
       }
       cur = out
+      k += 1
     }
     cur
   }
 
-  /** Zero-phase filtering: odd-reflect pad both ends, forward pass,
-    * reverse, forward again, reverse, unpad (sosfiltfilt shape). */
+  /** scipy.signal.sosfilt_zi analog: per-section DF2T state whose
+    * response to a unit-step input is the steady-state output from the
+    * first sample, with the cumulative inter-section DC gain baked in.
+    * Without it, a signal with a DC offset hits the cascade as a step
+    * and the startup transient (far longer than the reflect padding
+    * for narrow bands) corrupts the filtered series. */
+  private def sosStepZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
+    var scale = 1.0
+    sos.map { s =>
+      val h = (s(0) + s(1) + s(2)) / (s(3) + s(4) + s(5))
+      val zi = Array(scale * (h - s(0)), scale * (s(2) - s(5) * h))
+      scale *= h
+      zi
+    }
+  }
+
+  /** Zero-phase filtering: odd-reflect pad both ends (scipy padlen
+    * 3·(2·sections+1)), forward pass from steady-state initial
+    * conditions scaled by the first padded sample, reverse, forward
+    * again (state scaled by the forward pass' last sample), reverse,
+    * unpad — the scipy.signal.sosfiltfilt shape. */
   def sosFiltFilt(sos: Array[Array[Double]], x: Array[Double]): Array[Double] = {
-    val pad = math.min(3 * 2 * (sos.length + 1), x.length - 1)
-    if (pad <= 0) return sosForward(sos, x)
+    val zi = sosStepZi(sos)
+    def scaled(v: Double) = zi.map(z => Array(z(0) * v, z(1) * v))
+    val pad = math.min(3 * (2 * sos.length + 1), x.length - 1)
+    if (pad <= 0) return sosForward(sos, x, scaled(if (x.isEmpty) 0.0 else x(0)))
     val left = (1 to pad).map(i => 2.0 * x(0) - x(i)).reverse
     val right = (1 to pad).map(i => 2.0 * x(x.length - 1) - x(x.length - 1 - i))
     val ext = (left ++ x ++ right).toArray
-    val fwd = sosForward(sos, ext)
-    val bwd = sosForward(sos, fwd.reverse).reverse
+    val fwd = sosForward(sos, ext, scaled(ext(0)))
+    val rev = fwd.reverse
+    val bwd = sosForward(sos, rev, scaled(rev(0))).reverse
     bwd.slice(pad, pad + x.length)
   }
 
@@ -462,6 +496,201 @@ object SeriesMath {
       i += 1
     }
     diag
+  }
+
+  /** Peak prominences (scipy.signal.peak_prominences analog, no wlen):
+    * for each peak, scan left/right until a STRICTLY higher sample or
+    * the signal edge, tracking the minimum over the traversed stretch;
+    * prominence = y[peak] − max(leftMin, rightMin). Used by the
+    * reference's acf_period_quality peak selection (core.py:835-837
+    * picks the peak with the LARGEST PROMINENCE, not the tallest). */
+  def peakProminences(y: Array[Double], peaks: Array[Int]): Array[Double] =
+    peaks.map { p =>
+      var leftMin = y(p)
+      var i = p - 1
+      while (i >= 0 && y(i) <= y(p)) {
+        if (y(i) < leftMin) leftMin = y(i)
+        i -= 1
+      }
+      var rightMin = y(p)
+      i = p + 1
+      while (i < y.length && y(i) <= y(p)) {
+        if (y(i) < rightMin) rightMin = y(i)
+        i += 1
+      }
+      y(p) - math.max(leftMin, rightMin)
+    }
+
+  /** Deterministic 2-D Nelder–Mead minimizer (standard ρ=1 χ=2 ψ=½ σ=½
+    * coefficients, scipy-style initial simplex: each coordinate
+    * perturbed by 5%, or 2.5e-4 when zero). Replaces
+    * scipy.optimize.minimize in the acf_period_quality exp-cos fit
+    * (reference core.py:849) — derivative-free and deterministic, so
+    * every executor converges identically. */
+  def nelderMead2(f: (Double, Double) => Double, x0: Double, y0: Double,
+      maxIter: Int = 400): (Double, Double) = {
+    def delta(v: Double) = if (v == 0.0) 2.5e-4 else v * 0.05
+    var simplex = Array(
+      Array(x0, y0),
+      Array(x0 + delta(x0), y0),
+      Array(x0, y0 + delta(y0)))
+    var fv = simplex.map(p => f(p(0), p(1)))
+    var it = 0
+    while (it < maxIter &&
+        (math.abs(fv(0) - fv(2)) > 1e-8 * (math.abs(fv(0)) + 1e-12) ||
+         math.abs(simplex(0)(0) - simplex(2)(0)) +
+           math.abs(simplex(0)(1) - simplex(2)(1)) > 1e-6)) {
+      // order ascending by f (stable on ties: keep index order)
+      val ord = fv.zipWithIndex.sortBy(_._1).map(_._2)
+      simplex = ord.map(simplex)
+      fv = ord.map(fv)
+      val cx = (simplex(0)(0) + simplex(1)(0)) / 2.0
+      val cy = (simplex(0)(1) + simplex(1)(1)) / 2.0
+      val rx = cx + (cx - simplex(2)(0)); val ry = cy + (cy - simplex(2)(1))
+      val fr = f(rx, ry)
+      if (fr < fv(0)) {
+        val ex = cx + 2.0 * (cx - simplex(2)(0))
+        val ey = cy + 2.0 * (cy - simplex(2)(1))
+        val fe = f(ex, ey)
+        if (fe < fr) { simplex(2) = Array(ex, ey); fv(2) = fe }
+        else { simplex(2) = Array(rx, ry); fv(2) = fr }
+      } else if (fr < fv(1)) {
+        simplex(2) = Array(rx, ry); fv(2) = fr
+      } else {
+        val (px, py, fBase) =
+          if (fr < fv(2)) (rx, ry, fr) else (simplex(2)(0), simplex(2)(1), fv(2))
+        val kx = cx + 0.5 * (px - cx); val ky = cy + 0.5 * (py - cy)
+        val fk = f(kx, ky)
+        if (fk < fBase) { simplex(2) = Array(kx, ky); fv(2) = fk }
+        else {
+          // shrink toward the best vertex
+          var i = 1
+          while (i < 3) {
+            simplex(i) = Array(
+              simplex(0)(0) + 0.5 * (simplex(i)(0) - simplex(0)(0)),
+              simplex(0)(1) + 0.5 * (simplex(i)(1) - simplex(0)(1)))
+            fv(i) = f(simplex(i)(0), simplex(i)(1))
+            i += 1
+          }
+        }
+      }
+      it += 1
+    }
+    val bi = fv.zipWithIndex.minBy(_._1)._2
+    (simplex(bi)(0), simplex(bi)(1))
+  }
+
+  /** np.median of consecutive diffs (even count → mean of middle two). */
+  def medianDt(t: Array[Double]): Double = {
+    val d = Array.tabulate(t.length - 1)(i => t(i + 1) - t(i)).sorted
+    val n = d.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) d(n / 2)
+    else (d(n / 2 - 1) + d(n / 2)) / 2.0
+  }
+
+  /** Boxcar smooth matching reference Signal.smooth(kernel="boxcar")
+    * (core.py:419-429) + ndimage.convolve(mode="mirror"): odd width →
+    * `width` unit taps / width; even width → `width+1` taps with
+    * half-weight edges / width; mirror boundary reflects about the
+    * edge SAMPLE (x[-1] = x[1], x[n] = x[n-2]). */
+  def boxcarMirror(x: Array[Double], width: Int): Array[Double] = {
+    val w: Array[Double] =
+      if (width % 2 == 1) Array.fill(width)(1.0 / width)
+      else {
+        val a = Array.fill(width + 1)(1.0 / width)
+        a(0) /= 2.0; a(width) /= 2.0
+        a
+      }
+    val half = w.length / 2
+    val n = x.length
+    Array.tabulate(n) { i =>
+      var s = 0.0
+      var m = 0
+      while (m < w.length) {
+        var j = i + m - half
+        while (j < 0 || j >= n) {
+          if (j < 0) j = -j
+          if (j >= n) j = 2 * (n - 1) - j
+        }
+        s += w(m) * x(j)
+        m += 1
+      }
+      s
+    }
+  }
+
+  /** Verbatim re-expression of reference TSeries.acf_period_quality
+    * (core.py:809-853) on ONE raw (possibly non-uniformly sampled)
+    * series — the reference never resamples: sosfiltfilt runs on the
+    * value array as-is, the FFT-ACF (zero-padded 2×, so circular ≡
+    * linear) reduces to the direct lag-product sum, and lag k maps to
+    * the ORIGINAL timestamp offset t[k] − t[0]. Time unit must match
+    * pMin/pMax (the p_max ≥ 20 smoothing threshold is unit-bearing —
+    * day-scale in the reference's own tests).
+    *
+    * Returns (best_period, height = max peak PROMINENCE, quality). */
+  def acfPeriodQualityRef(t: Array[Double], y: Array[Double],
+      pMin: Double, pMax: Double): Option[(Double, Double, Double)] = {
+    val n = t.length
+    if (n < 8) return None
+    val mdt = medianDt(t)
+    if (!(mdt > 0)) return None
+    // ml = np.searchsorted(t - t0, 2*p_max): count of lags < 2·p_max
+    var ml = 0
+    while (ml < n && t(ml) - t(0) < 2.0 * pMax) ml += 1
+    if (ml < 3) return None
+    val sos = butterBandpassSos(5, 1.0 / pMax, 1.0 / pMin, 1.0 / mdt)
+    val filt = sosFiltFilt(sos, y)
+    val mean = filt.sum / n
+    val x = filt.map(_ - mean)
+    var denom = 0.0
+    var i = 0
+    while (i < n) { denom += x(i) * x(i); i += 1 }
+    if (!(denom > 0)) return None
+    var acf = Array.tabulate(ml) { k =>
+      var s = 0.0
+      var j = 0
+      while (j + k < n) { s += x(j) * x(j + k); j += 1 }
+      s / denom
+    }
+    val lags = Array.tabulate(ml)(k => t(k) - t(0))
+    if (pMax >= 20.0) { // core.py:831-834 (day-scale constant)
+      val width = (pMax / 10.0).toInt
+      if (width >= 1) {
+        acf = boxcarMirror(acf, width)
+        val mx = acf.max
+        if (mx != 0.0) acf = acf.map(_ / mx)
+      }
+    }
+    val peaks = findPeaks(acf, includeEdges = false)
+    if (peaks.isEmpty) return None
+    val proms = peakProminences(acf, peaks)
+    var bi = 0
+    i = 1
+    while (i < proms.length) { if (proms(i) > proms(bi)) bi = i; i += 1 }
+    val bestPer = lags(peaks(bi))
+    val height = proms(bi)
+    if (!(bestPer > 0)) return None
+    val tauMax = 20.0 * pMax / bestPer
+    def rss(logA: Double, logT: Double): Double = {
+      val a = math.exp(logA)
+      val tt = math.exp(logT)
+      var s = 0.0
+      var j = 0
+      while (j < ml) {
+        val m = a * math.exp(-lags(j) / tt) *
+          math.cos(2.0 * math.Pi * lags(j) / bestPer)
+        val d = acf(j) - m
+        s += d * d
+        j += 1
+      }
+      s
+    }
+    val (logAmp, logTau) = nelderMead2(rss, 0.0, math.log(bestPer * 2.0))
+    val tau = math.min(math.exp(logTau), tauMax)
+    val quality = (tau / bestPer) * (ml * height / rss(logAmp, math.log(tau)))
+    Some((bestPer, height, quality))
   }
 
   /** Solve L Lᵀ x = b given lower-triangular L. */

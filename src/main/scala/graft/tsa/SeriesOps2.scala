@@ -632,6 +632,43 @@ object SeriesOps2 {
     perSeries(spark, dir)(acfBandQualityFn)
       .toDF("id", "band", "period", "height", "quality")
 
+  /** Band-grid-parameterized sweep with the REFERENCE's semantics
+    * (gp.py:125-141): a shared per-series p_min = max(min(bands)/10,
+    * 3·median_dt), bands filtered to p_min < p < baseline/2, and
+    * the verbatim acf_period_quality chain on the RAW sampling
+    * (SeriesMath.acfPeriodQualityRef — no resample, prominence-based
+    * peak pick, boxcar smoothing for p_max ≥ 20). Band unit must match
+    * the series' time unit (the reference's own grid a·bᵏ k<8 is in
+    * DAYS). The zero-arg overload keeps the events-tuned fixed-band
+    * kernel (hash-gated dump contract) unchanged.
+    *
+    * Structural case class → repeated invocations with equal grids are
+    * `sameResult` plans (SeriesOps.SeriesFunc discipline). */
+  final case class RefBandSweepFn(bands: List[Double])
+      extends ((Long, Array[Double], Array[Double]) =>
+        Iterator[(Long, Long, Double, Double, Double)]) with Serializable {
+    def apply(id: Long, t: Array[Double], y: Array[Double])
+        : Iterator[(Long, Long, Double, Double, Double)] = {
+      if (t.length < 2) return Iterator.empty
+      val mdt = SeriesMath.medianDt(t)
+      val baseline = t(t.length - 1) - t(0)
+      val pMin = math.max(bands.min / 10.0, 3.0 * mdt) // gp.py:133
+      bands.iterator.zipWithIndex
+        .filter { case (p, _) => pMin < p && p < baseline / 2.0 }
+        .flatMap { case (pmax, k) =>
+          SeriesMath.acfPeriodQualityRef(t, y, pMin, pmax).map {
+            case (per, height, quality) =>
+              (id, k.toLong, per, height, quality)
+          }.iterator
+        }
+    }
+  }
+
+  def acfBandQuality(spark: SparkSession, dir: String,
+      bands: Seq[Double]): DataFrame =
+    perSeries(spark, dir)(RefBandSweepFn(bands.toList))
+      .toDF("id", "band", "period", "height", "quality")
+
   /** gaussian_prior — reference gp.py:142-149: the harmonic fan-out
     * (fundamental 0.8, half/double 0.1 each) over the per-band
     * qualities, now a pure relational compose over acf_band_quality —
@@ -639,9 +676,19 @@ object SeriesOps2 {
     * over the acf_band_quality parquet Verify dumps. Rounding moved
     * from math.rint (half-even) to round() (both engines half-up at
     * irrational inputs — no representable 6 dp halves). */
-  def gaussianPrior(spark: SparkSession, dir: String): DataFrame = {
+  def gaussianPrior(spark: SparkSession, dir: String): DataFrame =
+    priorComponents(acfBandQuality(spark, dir))
+
+  /** The reference-parameterized twin: mixture components over the
+    * [[RefBandSweepFn]] sweep (a·bᵏ day-scale grids, gp.py defaults
+    * a=1 b=2 n=8). */
+  def gaussianPrior(spark: SparkSession, dir: String,
+      bands: Seq[Double]): DataFrame =
+    priorComponents(acfBandQuality(spark, dir, bands))
+
+  private def priorComponents(bq: DataFrame): DataFrame = {
     val q = greatest(col("quality"), lit(0.0))
-    acfBandQuality(spark, dir)
+    bq
       .select(col("id"), col("band"), explode(array(
         struct(lit(0L).as("harmonic"), log(col("period")).as("mu_raw"),
           (q * FundHeight).as("w_raw")),

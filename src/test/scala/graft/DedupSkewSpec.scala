@@ -88,6 +88,46 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(rounds <= dedup.Dedup.MaxCcRounds)
   }
 
+  test("connectedComponents reliable path without a checkpoint dir " +
+    "fails loudly") {
+    // a misconfigured cluster job must not silently fall back to
+    // executor-local blocks. Registered BEFORE the reliable-path test:
+    // ScalaTest runs suite tests in registration order and that test
+    // sets the shared context's checkpoint dir.
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "checkpoint dir already set in this context")
+    spark.conf.set(dedup.Dedup.ReliableCcKey, "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        dedup.Dedup.connectedComponents(edgesOf(Seq((1L, 2L))))
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset(dedup.Dedup.ReliableCcKey)
+  }
+
+  test("connectedComponents reliable-checkpoint path (cluster durability " +
+    "config) matches the localCheckpoint default") {
+    // spark.graft.cc.reliableCheckpoint=true swaps the loop's lineage
+    // truncation to reliable checkpoint (survives executor loss at
+    // cluster scale); same labels must come out, and checkpoint files
+    // must actually land in the checkpoint dir.
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ck").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val expected = dedup.Dedup.connectedComponents(edgesOf(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(dedup.Dedup.ReliableCcKey, "true")
+    try {
+      val reliable = dedup.Dedup.connectedComponents(edgesOf(edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliable == expected)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.toFile.isFile).count()
+      assert(wrote > 0, "no reliable checkpoint files were written")
+    } finally spark.conf.unset(dedup.Dedup.ReliableCcKey)
+  }
+
   test("connectedComponents frontier propagation converges in O(1) on a star") {
     // hub 0 with 20 leaves: leaves adopt label 0 in round 1, round 2
     // finds an empty frontier — the changed-only message send must not

@@ -21,10 +21,11 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private def bruteForce() = {
     val ev = Tables.series(spark, dir).select("id", "t", "y")
-    val p = Tables.table(spark, dir, "events")
+    val raw = Tables.table(spark, dir, "events")
+    val p = raw
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("pid"), col("event_id").as("peid"),
-        (expr("ts div 1000").cast("double") / 1000000.0).as("lo"))
+        Tables.tSeconds(raw).as("lo"))
       .withColumn("hi", col("lo") + lit(RangeJoin.WindowSecs))
     ev.join(p, col("id") === col("pid") &&
         col("t") >= col("lo") && col("t") <= col("hi"))

@@ -28,15 +28,18 @@ class RefDataParitySpec extends AnyFunSuite {
     .getOrCreate()
 
   /** spotted_star.npy is (3, 2148): rows t [days], y, dy. Pivot to
-    * samples and write a temp events.parquet (t in epoch seconds). */
-  private lazy val dir: String = {
+    * samples and write a temp events.parquet with ts = t·tsScale ns —
+    * 86400·1e9 makes `Tables.series` t epoch SECONDS; 1e9 keeps t in
+    * DAYS (the reference's unit, needed by the day-scale band sweep
+    * whose p_max ≥ 20 smoothing threshold is unit-bearing). */
+  private def buildDir(tsScale: Double): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_refdata").toString
     val raw = spark.read.format("graft.sources.NpyDataSource").load(npyPath)
     val byRow = raw.groupBy("idx").pivot("row", Seq(0L, 1L)).sum("value")
       .withColumnRenamed("0", "t_days").withColumnRenamed("1", "y")
     byRow.select(
         col("idx").cast("long").as("event_id"),
-        (col("t_days") * 86400.0 * 1e9).cast("long").as("ts"),
+        (col("t_days") * tsScale).cast("long").as("ts"),
         lit(31L).as("user_id"), lit("lc").as("event_type"),
         col("y").as("value"), lit("{}").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/ev")
@@ -47,6 +50,9 @@ class RefDataParitySpec extends AnyFunSuite {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     d
   }
+
+  private lazy val dir: String = buildDir(86400.0 * 1e9)
+  private lazy val dayDir: String = buildDir(1e9)
 
   test("recovers KIC 9655172's ~11 d rotation period on the auto grid") {
     assume(new java.io.File(npyPath).exists(), "reference data not present")
@@ -59,6 +65,36 @@ class RefDataParitySpec extends AnyFunSuite {
     assert(periodDays > 10.0 && periodDays < 12.0,
       s"expected the ~11 d rotation period, got $periodDays d")
     assert(power > 0.5, s"rotation peak should dominate, power=$power")
+  }
+
+  test("make_gaussian_prior(spotted lc): argmax at grid index 671 " +
+    "(~10.7 d) with exactly 7 peaks — tests/test_gp.py:8-21 verbatim") {
+    assume(new java.io.File(npyPath).exists(), "reference data not present")
+    // the reference's default band grid: periods = a·bᵏ, a=1, b=2, n=8
+    // (gp.py:125-127), in DAYS; p_min and the baseline/2 cutoff are
+    // derived per series inside the sweep (gp.py:133-134)
+    val bands = (0 until 8).map(k => math.pow(2.0, k))
+    val comps = tsa.SeriesOps2.gaussianPrior(spark, dayDir, bands)
+      .select("mu_logp", "weight").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(comps.nonEmpty, "band sweep produced no components")
+    // prior(log_p) = Σ w·N(mu, 0.1)(log_p) / Σq — the normalization is
+    // a positive scalar, so argmax and the peak count ignore it
+    val logPs = Array.tabulate(1000)(i => -3.0 + 8.0 * i / 999.0)
+    val pp = logPs.map { x =>
+      comps.map { case (mu, w) =>
+        val z = (x - mu) / 0.1
+        w * math.exp(-z * z / 2.0) / (math.sqrt(2.0 * math.Pi) * 0.1)
+      }.sum
+    }
+    val am = pp.indices.maxBy(pp)
+    // reference: prior has a maximum at approx 10.7 days (index 671)
+    assert(am == 671, s"prior argmax at $am (${math.exp(logPs(am))} d), " +
+      "expected 671 (~10.7 d)")
+    // reference: peaks at 0.4, 0.8, 1.7, 3.5, 5.6, 10.7 and 21.5 days
+    val peaks = (1 until 999).filter(i => pp(i - 1) < pp(i) && pp(i + 1) < pp(i))
+    assert(peaks.length == 7,
+      s"expected 7 prior peaks, got ${peaks.map(i => f"${math.exp(logPs(i))}%.2f")}")
   }
 
   test("the P/2 spot harmonic is a secondary peak (prior peak at 5.6 d)") {

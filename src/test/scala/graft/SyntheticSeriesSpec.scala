@@ -120,6 +120,25 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(math.abs(p - P1) <= 43200.0, s"LOO-best period $p, expected ~$P1")
   }
 
+  test("gp_posterior is a proper distribution whose median sits at the " +
+    "injected 2 d period") {
+    import org.apache.spark.sql.functions._
+    val post = tsa.GpOps.gpPosterior(spark, synDir)
+      .filter(col("id") === 1L).orderBy("period").collect()
+    assert(post.length == 20, s"expected the 20-period grid, got ${post.length}")
+    val mass = post.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"posterior mass $mass")
+    val cdf = post.map(_.getDouble(3))
+    assert(cdf.zip(cdf.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "CDF not monotone")
+    assert(math.abs(cdf.last - 1.0) < 1e-4, s"CDF tail ${cdf.last}")
+    val medians = post.filter(_.getLong(4) == 1L)
+    assert(medians.length == 1, s"${medians.length} median rows")
+    val p = medians(0).getDouble(1)
+    assert(math.abs(p - P1) <= 43200.0,
+      s"posterior median $p, expected ~$P1")
+  }
+
   test("ts_interp keeps a grid point coinciding with the series' last sample") {
     import org.apache.spark.sql.functions._
     // series 1 samples t = T0 + k·7200, k < 360: the last sample
