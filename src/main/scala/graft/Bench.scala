@@ -87,6 +87,16 @@ object Bench {
     warm("envelope_coeffs") { graft.tsa.GpOps.tsEnvelopeCoeffs(spark, sfDir).persist().count() }
     warm("butterworth") { graft.tsa.SeriesOps.tsButterworth(spark, sfDir).persist().count() }
     warm("dwt_coeffs") { graft.tsa.SeriesOps2.tsDwtCoeffs(spark, sfDir).persist().count() }
+    // round-9 derived-input promotions: the summary twins
+    // (lmd_energy / gp_model_compare / gp_predict_fit) re-derive the
+    // kernel dumps they gate — persist the dump outputs, which are
+    // KB-sized but compute-heavy (sift / 20-period Cholesky scans), so
+    // each kernel runs once for its standalone query AND its twin
+    warm("lmd_modes") { graft.tsa.SeriesOps2.lmdModes(spark, sfDir).persist().count() }
+    warm("gp_brownian_map") { graft.tsa.GpOps.gpBrownianMap(spark, sfDir).persist().count() }
+    warm("gp_period_map") { graft.tsa.SeriesOps.gpPeriodMap(spark, sfDir).persist().count() }
+    warm("gp_loocv") { graft.tsa.GpOps.gpLoocv(spark, sfDir).persist().count() }
+    warm("gp_predict") { graft.tsa.GpOps.gpPredict(spark, sfDir).persist().count() }
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

@@ -106,10 +106,32 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "width", "height", "batch_size")
   }
 
+  // -------------------------------------------------------------------
+  // multimodal_batch_meta — the batch tier's deterministic output
+  // under the driver hash gate: batch_size depends on partition layout
+  // (how many rows a split feeds each 64-row batch), so the full
+  // multimodal_batch stays rows-only — but everything else the codec
+  // emits is deterministic, and this projection hash-checks the
+  // mapPartitions path itself against the same md5-metadata SQL the
+  // expression tier is gated by (previously spec cross-check only).
+  // -------------------------------------------------------------------
+  def multimodalBatchMeta(spark: SparkSession, dir: String): DataFrame =
+    multimodalBatch(spark, dir)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+
+  val multimodalBatchMetaSql: String =
+    s"""SELECT cast(doc_id AS BIGINT) AS doc_id,
+       |  cast(octet_length(encode(text)) AS int) AS n_bytes,
+       |  ${h60Sql("text")} % 512 + 64 AS width,
+       |  (${h60Sql("text")} >> 20) % 512 + 64 AS height
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_batch" -> (multimodalBatch _))
+    "multimodal_batch" -> (multimodalBatch _),
+    "multimodal_batch_meta" -> (multimodalBatchMeta _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_batch_meta" -> multimodalBatchMetaSql)
 }

@@ -614,6 +614,96 @@ object GpOps {
        |  2.0*pi()/(cast(j AS double)*43200.0) AS om FROM grid) grid
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // gp_model_compare — the reference's modeler-selection theme
+  // (gp.py: QuasiPeriodicGP vs BrownianGP vs HarmonicGP, each with its
+  // own MAP; CeleriteModeler.loocv as the CV alternative) as one
+  // model-comparison table: per series, the MAP period of each kernel
+  // plus the LOOCV-selected period, their (already 1e-3-quantized)
+  // scores, and agreement flags. Four id-equi joins of one-row-per-
+  // series frames — at cluster scale each side is the tiny output of
+  // its grid map, so AQE broadcasts every join; no extra Cholesky work
+  // beyond the maps themselves (shared sub-plans, persisted in Bench).
+  //
+  // DERIVED-INPUT oracle: DuckDB replays the is_best filter + joins
+  // over the four Verify dumps — this puts the gp_period_map /
+  // gp_brownian_map / gp_loocv kernel dumps (plus gp_harmonic_map,
+  // already gated via gp_posterior) under the driver hash gate: any
+  // drift in their is_best selection or quantized scores changes this
+  // query's hash.
+  // -------------------------------------------------------------------
+  def gpModelCompare(spark: SparkSession, dir: String): DataFrame = {
+    def best(df: DataFrame, p: String, s: String, score: String) =
+      df.filter(col("is_best") === 1)
+        .select(col("id"), col("period").as(p), col(score).as(s))
+    val h = best(gpHarmonicMap(spark, dir), "harmonic_p", "harmonic_ll", "loglik")
+    val b = best(gpBrownianMap(spark, dir), "brownian_p", "brownian_ll", "loglik")
+    val q = best(SeriesOps.gpPeriodMap(spark, dir), "qp_p", "qp_ll", "loglik")
+    val l = best(gpLoocv(spark, dir), "loocv_p", "loocv_score", "loocv")
+    h.join(b, "id").join(q, "id").join(l, "id")
+      .select(col("id"), col("harmonic_p"), col("brownian_p"), col("qp_p"),
+        col("loocv_p"), col("harmonic_ll"), col("brownian_ll"), col("qp_ll"),
+        col("loocv_score"),
+        when(col("harmonic_p") === col("brownian_p"), 1L).otherwise(0L)
+          .as("agree_hb"),
+        when(col("harmonic_p") === col("loocv_p"), 1L).otherwise(0L)
+          .as("agree_hl"))
+  }
+
+  val gpModelCompareSql: String =
+    """WITH h AS (SELECT id, period AS harmonic_p, loglik AS harmonic_ll
+      |  FROM read_parquet('__GRAFT_OUT__/gp_harmonic_map/*.parquet')
+      |  WHERE is_best = 1),
+      |b AS (SELECT id, period AS brownian_p, loglik AS brownian_ll
+      |  FROM read_parquet('__GRAFT_OUT__/gp_brownian_map/*.parquet')
+      |  WHERE is_best = 1),
+      |q AS (SELECT id, period AS qp_p, loglik AS qp_ll
+      |  FROM read_parquet('__GRAFT_OUT__/gp_period_map/*.parquet')
+      |  WHERE is_best = 1),
+      |l AS (SELECT id, period AS loocv_p, loocv AS loocv_score
+      |  FROM read_parquet('__GRAFT_OUT__/gp_loocv/*.parquet')
+      |  WHERE is_best = 1)
+      |SELECT id, harmonic_p, brownian_p, qp_p, loocv_p,
+      |  harmonic_ll, brownian_ll, qp_ll, loocv_score,
+      |  CAST(CASE WHEN harmonic_p = brownian_p THEN 1 ELSE 0 END
+      |    AS BIGINT) AS agree_hb,
+      |  CAST(CASE WHEN harmonic_p = loocv_p THEN 1 ELSE 0 END
+      |    AS BIGINT) AS agree_hl
+      |FROM h JOIN b USING (id) JOIN q USING (id) JOIN l USING (id)
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // gp_predict_fit — fit quality of the GP posterior mean (the check
+  // the reference's prediction plots do by eye, gp.py:379-383): per
+  // series, the residual y − μ summarized as exact integer 1e-4-unit
+  // sums, so the aggregation is order-independent (long adds commute;
+  // a double Σ(y−μ)² would hash-differ between Spark's and DuckDB's
+  // partial-agg orders). μ is 1e-4-quantized at the gp_predict emit,
+  // so round((y−μ)·1e4) sees bit-identical doubles on both engines.
+  // One map-side-combined groupBy over gp_predict's output.
+  //
+  // DERIVED-INPUT oracle: DuckDB replays the rounding + sums over the
+  // gp_predict Verify dump — gp_predict's (t, y, mu, map_period)
+  // values enter the driver hash gate.
+  // -------------------------------------------------------------------
+  def gpPredictFit(spark: SparkSession, dir: String): DataFrame = {
+    val r = round((col("y") - col("mu")) * lit(10000.0), 0).cast("long")
+    gpPredict(spark, dir)
+      .groupBy(col("id"), col("map_period"))
+      .agg(count(lit(1)).as("n"),
+        sum(r).as("resid_sum_u"),
+        sum(r * r).as("sse_u"))
+  }
+
+  val gpPredictFitSql: String =
+    """WITH p AS (SELECT id, map_period,
+      |    cast(round((y - mu) * 10000.0) AS BIGINT) AS r
+      |  FROM read_parquet('__GRAFT_OUT__/gp_predict/*.parquet'))
+      |SELECT id, map_period, count(*) AS n,
+      |  cast(sum(r) AS BIGINT) AS resid_sum_u,
+      |  cast(sum(r * r) AS BIGINT) AS sse_u
+      |FROM p GROUP BY id, map_period""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gp_brownian_map" -> (gpBrownianMap _),
     "gp_harmonic_map" -> (gpHarmonicMap _),
@@ -621,6 +711,8 @@ object GpOps {
     "gp_predict" -> (gpPredict _),
     "gp_loocv" -> (gpLoocv _),
     "gp_posterior" -> (gpPosterior _),
+    "gp_model_compare" -> (gpModelCompare _),
+    "gp_predict_fit" -> (gpPredictFit _),
     "hht_spectrogram" -> (hhtSpectrogram _),
     "ts_envelope_coeffs" -> (tsEnvelopeCoeffs _),
     "ts_envelope" -> (tsEnvelope _))
@@ -628,6 +720,8 @@ object GpOps {
   val oracles: Map[String, String] = Map(
     "gp_psd" -> gpPsdSql,
     "gp_posterior" -> gpPosteriorSql,
+    "gp_model_compare" -> gpModelCompareSql,
+    "gp_predict_fit" -> gpPredictFitSql,
     "hht_spectrogram" -> hhtSpectrogramSql,
     "ts_envelope" -> tsEnvelopeSql)
 }

@@ -873,8 +873,46 @@ object SeriesOps2 {
       |    + 0.0 AS c
       |FROM dw JOIN th USING (id)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // lmd_energy — per-(series, mode) summary of the LMD product
+  // functions (reference decomposition.py:120): sample count, the
+  // amplitude-envelope mass and the reconstructed-signal mass a(t)·f(t)
+  // as exact integer 1e-6-unit sums (order-independent long adds; amp
+  // and fm are 1e-6-quantized at the lmd_modes emit so the rounding
+  // sees bit-identical doubles on both engines), plus max |f| — the FM
+  // part must stay inside [-1, 1] by construction. One map-side-
+  // combined groupBy over lmd_modes' output.
+  //
+  // DERIVED-INPUT oracle: DuckDB replays the sums over the lmd_modes
+  // Verify dump — the LMD sift's (amp, fm) values enter the driver
+  // hash gate (previously lmd_modes was spec-only).
+  // -------------------------------------------------------------------
+  def lmdEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val a = round(col("amp") * lit(1000000.0), 0).cast("long")
+    val s = round(col("amp") * col("fm") * lit(1000000.0), 0).cast("long")
+    lmdModes(spark, dir)
+      .groupBy(col("id"), col("mode"))
+      .agg(count(lit(1)).as("n"),
+        sum(a).as("amp_sum_u"),
+        sum(s).as("sig_sum_u"),
+        max(abs(col("fm"))).as("fm_max"))
+  }
+
+  val lmdEnergySql: String =
+    """WITH m AS (SELECT id, mode,
+      |    cast(round(amp * 1000000.0) AS BIGINT) AS a,
+      |    cast(round(amp * fm * 1000000.0) AS BIGINT) AS s,
+      |    abs(fm) AS af
+      |  FROM read_parquet('__GRAFT_OUT__/lmd_modes/*.parquet'))
+      |SELECT id, mode, count(*) AS n,
+      |  cast(sum(a) AS BIGINT) AS amp_sum_u,
+      |  cast(sum(s) AS BIGINT) AS sig_sum_u,
+      |  max(af) AS fm_max
+      |FROM m GROUP BY id, mode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lmd_modes" -> (lmdModes _),
+    "lmd_energy" -> (lmdEnergy _),
     "ceemdan" -> (ceemdan _),
     "ceemdan_post" -> (ceemdanPost _),
     "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
@@ -887,6 +925,7 @@ object SeriesOps2 {
     "ts_denoise" -> (tsDenoise _))
 
   val oracles: Map[String, String] = Map(
+    "lmd_energy" -> lmdEnergySql,
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
     "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"),
     "gaussian_prior" -> gaussianPriorSql,

@@ -264,6 +264,48 @@ class SyntheticSeriesSpec extends AnyFunSuite {
       s"${stats.getDouble(3) * 100}% of rows have zero envelope")
   }
 
+  test("lmd_energy summarizes each emitted mode with a bounded FM max") {
+    import org.apache.spark.sql.functions._
+    val e = tsa.SeriesOps2.lmdEnergy(spark, synDir)
+      .filter(col("id") === 2L).collect()
+    val nModes = tsa.SeriesOps2.lmdModes(spark, synDir)
+      .filter(col("id") === 2L).select("mode").distinct().count()
+    assert(e.length == nModes, s"${e.length} summary rows for $nModes modes")
+    e.foreach { r =>
+      assert(r.getLong(2) > 0, s"mode ${r.getInt(1)}: empty")
+      // amp ≥ 0 per lmd_modes' invariant, so the integer-unit sum is too
+      assert(r.getLong(3) >= 0L, s"mode ${r.getInt(1)}: negative amp mass")
+      assert(r.getDouble(5) <= 1.0 + 1e-9,
+        s"mode ${r.getInt(1)}: |fm| max ${r.getDouble(5)}")
+    }
+  }
+
+  test("gp_model_compare: harmonic and LOOCV selections agree on the " +
+    "injected 2 d period") {
+    import org.apache.spark.sql.functions._
+    val row = tsa.GpOps.gpModelCompare(spark, synDir)
+      .filter(col("id") === 1L).head()
+    val harmonicP = row.getDouble(row.fieldIndex("harmonic_p"))
+    val loocvP = row.getDouble(row.fieldIndex("loocv_p"))
+    assert(math.abs(harmonicP - P1) <= 43200.0, s"harmonic MAP $harmonicP")
+    assert(math.abs(loocvP - P1) <= 43200.0, s"LOOCV pick $loocvP")
+    assert(row.getLong(row.fieldIndex("agree_hl")) == 1L,
+      "agree_hl flag must reflect the equal picks")
+  }
+
+  test("gp_predict_fit: integer-unit residual sums match gp_predict's R²") {
+    import org.apache.spark.sql.functions._
+    val row = tsa.GpOps.gpPredictFit(spark, synDir)
+      .filter(col("id") === 1L).head()
+    val n = row.getLong(row.fieldIndex("n"))
+    val sse = row.getLong(row.fieldIndex("sse_u"))
+    assert(n >= 150, s"only $n prediction rows summarized")
+    // rms residual in original units; the 3-amp sinusoid fit passes
+    // R² > 0.8 (gp_predict spec), i.e. rms ≲ 0.95 — allow headroom
+    val rms = math.sqrt(sse.toDouble / n) / 1e4
+    assert(rms < 1.5, s"posterior-mean rms residual $rms")
+  }
+
   test("ts_denoise (db4) smooths a noisy signal without losing it") {
     import org.apache.spark.sql.functions._
     // The denoiser's contract: strip the white-noise roughness while
