@@ -146,15 +146,23 @@ object GpOps {
     ll
   }
 
+  /** The default trial grid: 12 h .. 10 d in half-day steps — the
+    * events-table rotation range. */
+  val DefaultPeriodGrid: Array[Double] = (1 to 20).map(_ * 43200.0).toArray
+
   /** Shared grid-MAP harness: subsample to ≤200 points, demean, scan
-    * the 12 h..10 d period grid, Cholesky log-marginal per period.
+    * the trial period grid, Cholesky log-marginal per period.
     * The per-kernel merge step is built ONCE and stored in a val
     * (below): a closure constructed per invocation would capture a
     * fresh kernel eta-expansion, making two calls of the same map
     * canonically different plans — which defeats the CacheManager
     * substitution gp_predict's compose (and Bench's persisted
-    * harmonic map) relies on. */
-  private def gridMapFn(kernel: (Double, Double) => Double => Double)
+    * harmonic map) relies on. The grid is a parameter so reference
+    * parity tests can scan the spotted star's day-scale range
+    * (tests/test_gp.py MCMC medians at 10-11 d, beyond the default
+    * grid's edge); registered queries always use the default. */
+  private def gridMapFn(kernel: (Double, Double) => Double => Double,
+      grid: Array[Double])
       : (Long, Array[Double], Array[Double]) => Iterator[(Long, Double, Double, Int)] =
     (id, t0, y0) => {
       val stride = (t0.length + 199) / 200
@@ -168,8 +176,7 @@ object GpOps {
         val y = yRaw.map(_ - mean)
         val varY = math.max(y.map(v => v * v).sum / n, 1e-12)
         val noise = 0.2 * varY
-        val results = (1 to 20).map { j =>
-          val p = j * 43200.0 // 12 h .. 10 d
+        val results = grid.toSeq.map { p =>
           val l = noisyCholesky(kernelMatrix(kernel(varY, p), t),
             noise + 1e-9 * varY)
           if (l == null) (p, Double.NegativeInfinity)
@@ -182,8 +189,8 @@ object GpOps {
       }
     }
 
-  private val brownianMapFn = gridMapFn(brownianKernel)
-  private val harmonicMapFn = gridMapFn(harmonicKernel)
+  private val brownianMapFn = gridMapFn(brownianKernel, DefaultPeriodGrid)
+  private val harmonicMapFn = gridMapFn(harmonicKernel, DefaultPeriodGrid)
 
   def gpBrownianMap(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.perSeries(spark, dir)(brownianMapFn)
@@ -191,6 +198,18 @@ object GpOps {
 
   def gpHarmonicMap(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.perSeries(spark, dir)(harmonicMapFn)
+      .toDF("id", "period", "loglik", "is_best")
+
+  /** Custom-grid overloads (reference parity / exploration — fresh
+    * closures, so no CacheManager substitution across calls). */
+  def gpBrownianMap(spark: SparkSession, dir: String,
+      grid: Array[Double]): DataFrame =
+    SeriesOps.perSeries(spark, dir)(gridMapFn(brownianKernel, grid))
+      .toDF("id", "period", "loglik", "is_best")
+
+  def gpHarmonicMap(spark: SparkSession, dir: String,
+      grid: Array[Double]): DataFrame =
+    SeriesOps.perSeries(spark, dir)(gridMapFn(harmonicKernel, grid))
       .toDF("id", "period", "loglik", "is_best")
 
   /** The gp_predict merge step as a case class (SeriesOps.SeriesFunc
@@ -331,12 +350,18 @@ object GpOps {
   // the 6 dp round absorbs summation-order noise. Series whose whole
   // grid failed Cholesky (all −∞) are dropped on both sides.
   // -------------------------------------------------------------------
-  def gpPosterior(spark: SparkSession, dir: String): DataFrame = {
+  def gpPosterior(spark: SparkSession, dir: String): DataFrame =
+    posteriorOver(gpHarmonicMap(spark, dir))
+
+  /** The softmax/CDF/median transform over any (id, period, loglik)
+    * grid map — shared by gp_posterior and the reference-parity
+    * posterior-median checks on custom grids. */
+  def posteriorOver(map: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id")
     val wo = Window.partitionBy("id").orderBy("period")
     val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gpHarmonicMap(spark, dir)
+    map
       .withColumn("mx", max("loglik").over(w))
       .filter(col("mx") =!= lit(Double.NegativeInfinity))
       .withColumn("e", exp(col("loglik") - col("mx")))

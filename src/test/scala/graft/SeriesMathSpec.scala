@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * (reference tests/test_core.py, tests/test_decomposition.py). */
 class SeriesMathSpec extends AnyFunSuite {
 
+  test("median_dt of nonuniform samples is the median gap (ref test_core.py:18)") {
+    // reference: TSeries([1, 3, 4]).median_dt == 1.5 — gaps (2, 1),
+    // even count, mean of the middle pair
+    assert(SeriesMath.medianDt(Array(1.0, 3.0, 4.0)) == 1.5)
+    // odd gap count takes the middle gap exactly
+    assert(SeriesMath.medianDt(Array(0.0, 1.0, 3.0, 6.0)) == 2.0)
+  }
+
   test("spline envelope of a sine is ~constant 1 (ref test_core.py:36)") {
     val t = Array.tabulate(1001)(i => i * 0.1)
     val y = t.map(math.sin)
