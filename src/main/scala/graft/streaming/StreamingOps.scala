@@ -142,4 +142,75 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming GLS periodogram — the Zechmeister–Kürster power
+    * (reference spectral.py:109-132, the same closed form as the batch
+    * `gls_periodogram` query) per watermarked tumbling window and
+    * user, over an nf-frequency literal grid (k cycles per window
+    * duration when df0 = 1/window).
+    *
+    * The batch query pre-centers y and t in a first pass; a stream
+    * gets ONE pass, so this twin restructures the computation to be
+    * fully incremental: the per-(window, user, k) aggregation carries
+    * only RAW moment averages (cos/sin, y, y², y·cos, y·sin — all
+    * associative, so Spark's stateful partial aggregation applies),
+    * and centering happens algebraically after aggregation
+    * (Ch = avg(y·cos) − ȳ·avg(cos), YY = avg(y²) − ȳ²). The phase
+    * reference is the WINDOW START rather than the series' min(t) —
+    * legal because GLS power is invariant under time translation (the
+    * tau rotation absorbs any global phase). State per key is the
+    * fixed-width moment vector, never the samples: O(windows × users
+    * × nf) rows regardless of event volume, the same "sums not
+    * samples" scale posture as the batch gls_fap aggregate. */
+  def streamingGls(events: Dataset[Event], nf: Int = 24,
+      windowDur: String = "1 day"): DataFrame = {
+    val df0 = 1.0 / 86400.0 // frequency step: 1 cycle per day (Hz)
+    val ks = array((1 to nf).map(lit): _*)
+    val omega = lit(2.0 * math.Pi * df0) * col("k") * col("tc")
+    val m = events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("w", window(col("ts"), windowDur))
+      .withColumn("k", explode(ks))
+      .withColumn("tc",
+        col("ts").cast("double") - col("w.start").cast("double"))
+      .select(col("w"), col("user_id"), col("k"),
+        cos(omega).as("cw"), sin(omega).as("sw"),
+        cos(omega * 2.0).as("c2w"), sin(omega * 2.0).as("s2w"),
+        col("value").as("y"))
+      .groupBy(col("w"), col("user_id"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        avg("cw").as("C"), avg("sw").as("S"),
+        avg("c2w").as("C2"), avg("s2w").as("S2"),
+        avg("y").as("ym"), avg(col("y") * col("y")).as("y2"),
+        avg(col("y") * col("cw")).as("ycw"),
+        avg(col("y") * col("sw")).as("ysw"))
+      // algebraic centering: identical to pre-centered moments
+      .withColumn("Ch", col("ycw") - col("ym") * col("C"))
+      .withColumn("Sh", col("ysw") - col("ym") * col("S"))
+      .withColumn("YY", col("y2") - col("ym") * col("ym"))
+    // the batch query's tau rotation + power, verbatim
+    val withTau = m
+      .withColumn("tan2", (col("S2") - lit(2.0) * col("S") * col("C")) /
+        (col("C2") - (col("C") * col("C") - col("S") * col("S"))))
+      .withColumn("C2w", lit(1.0) / sqrt(lit(1.0) + col("tan2") * col("tan2")))
+      .withColumn("S2w", col("tan2") * col("C2w"))
+      .withColumn("Cw", sqrt(lit(0.5)) * sqrt(lit(1.0) + col("C2w")))
+      .withColumn("Sw", sqrt(lit(0.5)) * signum(col("S2w")) *
+        sqrt(lit(1.0) - col("C2w")))
+    withTau
+      .withColumn("YC", col("Ch") * col("Cw") + col("Sh") * col("Sw"))
+      .withColumn("YS", col("Sh") * col("Cw") - col("Ch") * col("Sw"))
+      .withColumn("CC",
+        lit(0.5) * (lit(1.0) + col("C2") * col("C2w") + col("S2") * col("S2w")) -
+          (col("C") * col("Cw") + col("S") * col("Sw")) *
+          (col("C") * col("Cw") + col("S") * col("Sw")))
+      .withColumn("SS",
+        lit(0.5) * (lit(1.0) - col("C2") * col("C2w") - col("S2") * col("S2w")) -
+          (col("S") * col("Cw") - col("C") * col("Sw")) *
+          (col("S") * col("Cw") - col("C") * col("Sw")))
+      .select(col("w.start").as("window_start"), col("user_id"), col("k"),
+        col("n"),
+        round((col("YC") * col("YC") / col("CC") +
+          col("YS") * col("YS") / col("SS")) / col("YY"), 6).as("power"))
+  }
 }

@@ -144,4 +144,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2).getAs[Double]("asof_value") == 9.99)
     assert(rows(3).getAs[Double]("asof_value") == 19.99)
   }
+
+  test("streaming GLS periodogram recovers an injected 6 cycles/day tone " +
+    "and matches the closed form exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // one user, one 1-day window starting 2024-01-01: a 2-minute
+    // cadence sinusoid at 6 cycles/day with a DC offset (the single-
+    // pass algebraic centering must remove it)
+    val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 720).map { i =>
+      val sec = i * 120L
+      Event(i.toLong, new java.sql.Timestamp(t0ms + sec * 1000L), 1L,
+        "lc", 5.0 + 2.0 * math.sin(2.0 * math.Pi * 6.0 * sec / 86400.0))
+    }
+    input.addData(events: _*)
+    val q = StreamingOps.streamingGls(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gls_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT k, n, power FROM gls_out ORDER BY k").collect()
+    assert(rows.length == 24, s"expected the 24-frequency grid, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 720L))
+    val power = rows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(power.maxBy(_._2)._1 == 6,
+      s"argmax at k=${power.maxBy(_._2)._1}, expected the injected k=6")
+    assert(power(6) > 0.99, s"clean sinusoid should have power ~1: ${power(6)}")
+    // exact cross-check against a direct Zechmeister-Kurster
+    // computation with the same window-start phase reference
+    val tc = (0 until 720).map(i => (i * 120).toDouble)
+    val y = tc.map(s => 5.0 + 2.0 * math.sin(2.0 * math.Pi * 6.0 * s / 86400.0))
+    val ym = y.sum / y.length
+    val yc = y.map(_ - ym)
+    val yy = yc.map(v => v * v).sum / y.length
+    (1 to 24).foreach { k =>
+      val om = 2.0 * math.Pi * k / 86400.0
+      val (cw, sw) = (tc.map(s => math.cos(om * s)), tc.map(s => math.sin(om * s)))
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      val (cM, sM) = (mean(cw), mean(sw))
+      val c2 = mean(tc.map(s => math.cos(2 * om * s)))
+      val s2 = mean(tc.map(s => math.sin(2 * om * s)))
+      val ch = mean(yc.zip(cw).map(p => p._1 * p._2))
+      val sh = mean(yc.zip(sw).map(p => p._1 * p._2))
+      val tan2 = (s2 - 2 * sM * cM) / (c2 - (cM * cM - sM * sM))
+      val c2w = 1.0 / math.sqrt(1.0 + tan2 * tan2)
+      val s2w = tan2 * c2w
+      val cwv = math.sqrt(0.5) * math.sqrt(1.0 + c2w)
+      val swv = math.sqrt(0.5) * math.signum(s2w) * math.sqrt(1.0 - c2w)
+      val ycp = ch * cwv + sh * swv
+      val ysp = sh * cwv - ch * swv
+      val cc = 0.5 * (1.0 + c2 * c2w + s2 * s2w) -
+        (cM * cwv + sM * swv) * (cM * cwv + sM * swv)
+      val ss = 0.5 * (1.0 - c2 * c2w - s2 * s2w) -
+        (sM * cwv - cM * swv) * (sM * cwv - cM * swv)
+      val expect = (ycp * ycp / cc + ysp * ysp / ss) / yy
+      assert(math.abs(power(k) - expect) < 2e-6,
+        s"k=$k: streaming ${power(k)} vs direct $expect")
+    }
+  }
 }
