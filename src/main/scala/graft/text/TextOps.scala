@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.dedup.Dedup.{h60, h60Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the
@@ -201,11 +202,95 @@ object TextOps {
        |  (${h60Sql("text")} >> 20) % 512 + 64 AS height
        |FROM documents""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_tfidf_top — per-document top-5 terms by smooth TF-IDF
+  // (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing): the standard
+  // keyword-extraction / quality-signal pass of a pretraining pipeline.
+  //
+  // 100 TB shape: tf is ONE shuffle on (doc_id, tok); df is derived
+  // FROM tf (vocab-sized, no second pass over tokens); the tf⋈df join
+  // keys on tok with AQE free to broadcast the vocab side; the corpus
+  // size N is a broadcast 1-row scalar; per-doc top-5 is a window over
+  // doc_id (small groups). Ordering is by the ROUNDED score so the
+  // engines' row_number picks are identical, with tok as tiebreak.
+  // -------------------------------------------------------------------
+  def textTfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tok(spark, dir).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = Tables.table(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val sc = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + lit(1L)).cast("double") /
+            (col("df") + lit(1L)).cast("double")) + lit(1.0)), 6))
+    val wr = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    sc.withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "tok", "tf", "df", "score", "rn")
+  }
+
+  val textTfidfTopSql: String =
+    s"""WITH $tokSql,
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |  round(cast(tf.tf AS double) *
+       |    (ln(cast(n_docs + 1 AS double) / cast(df.df + 1 AS double))
+       |     + 1.0), 6) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |rk AS (SELECT doc_id, tok, tf, df, score,
+       |  row_number() OVER (PARTITION BY doc_id
+       |                     ORDER BY score DESC, tok ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, tok, tf, df, score, rn FROM rk WHERE rn <= 5""".stripMargin
+
+  // -------------------------------------------------------------------
+  // corpus_sample — deterministic language-stratified rate sampling
+  // (the data-mixing pass of a pretraining pipeline: downsample the
+  // dominant language, keep more of the rest). The keep/drop decision
+  // is a pure hash of doc_id — stable under task retries and
+  // recomputation, where rand()-based sampling silently changes the
+  // sample per attempt; and it needs NO extra shuffle beyond langid's
+  // own token groupBy (the filter is per-row). Rates are per-language
+  // percent buckets: en 10%, everything else 50%.
+  // -------------------------------------------------------------------
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    textLangid(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+      .withColumn("bucket", pmod(h60(col("doc_id").cast("string")), lit(100L)))
+      .filter(col("bucket") <
+        when(col("pred_lang") === "en", 10).otherwise(50))
+
+  val corpusSampleSql: String =
+    s"""WITH $tokSql,
+       |r AS (SELECT doc_id,
+       |  ${ratioSql(stopEn)} AS r_en, ${ratioSql(stopDe)} AS r_de,
+       |  ${ratioSql(stopFr)} AS r_fr, ${ratioSql(stopEs)} AS r_es
+       |  FROM tk GROUP BY 1),
+       |lid AS (SELECT doc_id,
+       |  CASE WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
+       |       WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
+       |       WHEN r_fr >= r_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |  FROM r)
+       |SELECT doc_id, pred_lang,
+       |  ${h60Sql("cast(doc_id AS VARCHAR)")} % 100 AS bucket
+       |FROM lid
+       |WHERE ${h60Sql("cast(doc_id AS VARCHAR)")} % 100 <
+       |  CASE WHEN pred_lang = 'en' THEN 10 ELSE 50 END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (textTokenCount _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_tfidf_top" -> (textTfidfTop _),
+    "corpus_sample" -> (corpusSample _),
     "multimodal_extract" -> (multimodalExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +298,7 @@ object TextOps {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_tfidf_top" -> textTfidfTopSql,
+    "corpus_sample" -> corpusSampleSql,
     "multimodal_extract" -> multimodalExtractSql)
 }

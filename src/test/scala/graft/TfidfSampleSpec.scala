@@ -1,0 +1,71 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural properties of the TF-IDF top-terms and stratified-sample
+  * operators, beyond the DuckDB hash gate. */
+class TfidfSampleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tfidf: at most 5 terms per doc, rn contiguous, scores non-increasing") {
+    val r = TextOps.textTfidfTop(spark, dir)
+    // rn follows the (score desc, tok asc) window order, so score must
+    // be non-increasing in rn within every doc
+    val next = r.withColumn("next_score", lead("score", 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("rn")))
+    assert(next.filter(col("score") < col("next_score")).count() == 0)
+    val perDoc = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+    assert(perDoc.filter(col("n") > 5 || col("mx") =!= col("n") ||
+      col("mn") =!= 1).count() == 0)
+  }
+
+  test("tfidf: a term present in every doc scores tf (idf = 1 exactly)") {
+    // smooth idf: df = N -> ln((1+N)/(1+N)) + 1 = 1, so score == tf.
+    val n = Tables.table(spark, dir, "documents").count()
+    val everywhere = TextOps.textTfidfTop(spark, dir)
+      .filter(col("df") === n)
+    val bad = everywhere
+      .filter(abs(col("score") - col("tf").cast("double")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("sample is deterministic and respects per-language rate buckets") {
+    val a = TextOps.corpusSample(spark, dir)
+    val b = TextOps.corpusSample(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // every kept row's bucket is under its language's rate
+    val overCap = a.filter(col("bucket") >=
+      when(col("pred_lang") === "en", 10).otherwise(50)).count()
+    assert(overCap == 0)
+  }
+
+  test("sample rate lands near the configured percentages") {
+    val lid = TextOps.textLangid(spark, dir)
+      .groupBy("pred_lang").agg(count(lit(1)).as("total"))
+    val kept = TextOps.corpusSample(spark, dir)
+      .groupBy("pred_lang").agg(count(lit(1)).as("kept"))
+    val rates = lid.join(kept, "pred_lang")
+      .select(col("pred_lang"),
+        (col("kept").cast("double") / col("total")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // h60 buckets are uniform; with a few hundred docs per stratum the
+    // observed rate should be within ±8 points of the target
+    rates.foreach { case (lang, r) =>
+      val target = if (lang == "en") 0.10 else 0.50
+      assert(math.abs(r - target) < 0.12, s"$lang rate $r vs $target")
+    }
+  }
+}
