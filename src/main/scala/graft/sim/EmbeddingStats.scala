@@ -81,15 +81,28 @@ object EmbeddingStats {
   // Output stays exact integers — no rounding anywhere in the gate.
   // -------------------------------------------------------------------
   /** Canonical Gram plan (shared by emb_gram and the power iteration;
-    * Bench persists one instance). */
+    * Bench persists one instance).
+    *
+    * The d(d+1)/2 upper-triangle products are generated IN-ROW from
+    * the embedding array (nested `transform` + `slice` over the
+    * quantized components), so nothing crosses the wire until the
+    * partial aggregate reduces each task to its ≤d²/2-key hash table.
+    * The naive formulation (explode + self-join on vec_id) needs the
+    * whole corpus co-located by vec_id first — locally AQE rescues it
+    * by broadcasting the corpus, which is exactly the move that
+    * doesn't exist at 100 TB; this one is shuffle-free by
+    * construction (the rows of one vector are already one row). */
   def gram(spark: SparkSession, dir: String): DataFrame = {
-    val a = comps(spark, dir).select(col("vec_id"),
-      col("i").as("ai"), col("rc").as("arc"))
-    val b = comps(spark, dir).select(col("vec_id"),
-      col("i").as("bi"), col("rc").as("brc"))
-    a.join(b, Seq("vec_id")).filter(col("bi") >= col("ai"))
-      .groupBy(col("ai").as("i"), col("bi").as("j"))
-      .agg(sum(col("arc") * col("brc")).as("g"))
+    val rc = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000.0, 0).cast("long"))
+    Tables.table(spark, dir, "embeddings")
+      .select(rc.as("rc"))
+      .select(explode(flatten(transform(col("rc"), (x, i) =>
+        transform(slice(col("rc"), i + lit(1), size(col("rc")) - i),
+          (y, k) => struct(i.as("i"), (i + k).as("j"),
+            (x * y).as("p")))))).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(sum(col("pr.p")).as("g"))
   }
 
   def embGram(spark: SparkSession, dir: String): DataFrame =
@@ -178,13 +191,69 @@ object EmbeddingStats {
        |SELECT i, round(u / nrm, 6) AS pc1 FROM w CROSS JOIN nw""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // emb_abtt — the "all-but-the-top" correction itself (Mu & Viswanath
+  // 2018): project each embedding onto pc1 and report the projection
+  // coefficient and the residual (corrected) norm. pc1 collapses to
+  // ONE broadcast row holding the i-ordered µ-quantized array, and
+  // every per-vector quantity is then row-local `zip_with`/`aggregate`
+  // arithmetic — zero shuffle of the corpus, output one row per
+  // vector in place. Per-vector sums are exact integers (components
+  // AND pc1 re-quantized to µ units), so both engines derive
+  // identical doubles: proj = (x·v)/1e12,
+  // resid² = (Σx² − (x·v)²/(v·v))/1e12.
+  // DERIVED-INPUT oracle: replays over the emb_pc1 Verify dump.
+  // -------------------------------------------------------------------
+  def embAbtt(spark: SparkSession, dir: String): DataFrame = {
+    val pvRow = embPc1(spark, dir)
+      .select(struct(col("i"),
+        round(col("pc1") * 1000000.0, 0).cast("long").as("pv")).as("s"))
+      .agg(transform(array_sort(collect_list(col("s"))),
+        s => s.getField("pv")).as("pvarr"))
+    val rc = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000.0, 0).cast("long"))
+    def lsum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (acc, x) => acc + x)
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), rc.as("rc"))
+      .crossJoin(broadcast(pvRow))
+      .select(col("vec_id"),
+        lsum(zip_with(col("rc"), col("pvarr"), (a, b) => a * b)).as("dot"),
+        lsum(transform(col("rc"), x => x * x)).as("s2"),
+        lsum(transform(col("pvarr"), p => p * p)).as("den"))
+      .select(col("vec_id"),
+        (round(col("dot").cast("double") / 1e12, 6) + lit(0.0)).as("proj"),
+        round(sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") -
+            col("dot").cast("double") * col("dot").cast("double") /
+              col("den").cast("double")) / 1e12)), 6).as("resid"))
+  }
+
+  val embAbttSql: String =
+    s"""WITH $compsSql,
+       |pv AS (SELECT i, cast(round(pc1 * 1000000.0) AS BIGINT) AS pv
+       |  FROM '__GRAFT_OUT__/emb_pc1/*.parquet'),
+       |agg AS (
+       |  SELECT vec_id, cast(sum(rc * rc) AS BIGINT) AS s2,
+       |         cast(sum(rc * pv) AS BIGINT) AS dot
+       |  FROM mc JOIN pv USING (i) GROUP BY 1),
+       |dn AS (SELECT cast(sum(pv * pv) AS BIGINT) AS den FROM pv)
+       |SELECT vec_id,
+       |  round(cast(dot AS double) / 1e12, 6) + 0.0 AS proj,
+       |  round(sqrt(greatest(0.0, (cast(s2 AS double)
+       |    - cast(dot AS double) * cast(dot AS double)
+       |      / cast(den AS double)) / 1e12)), 6) AS resid
+       |FROM agg CROSS JOIN dn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_dim_stats" -> (embDimStats _),
     "emb_gram" -> (embGram _),
-    "emb_pc1" -> (embPc1 _))
+    "emb_pc1" -> (embPc1 _),
+    "emb_abtt" -> (embAbtt _))
 
   val oracles: Map[String, String] = Map(
     "emb_dim_stats" -> embDimStatsSql,
     "emb_gram" -> embGramSql,
-    "emb_pc1" -> embPc1Sql)
+    "emb_pc1" -> embPc1Sql,
+    "emb_abtt" -> embAbttSql)
 }

@@ -36,6 +36,21 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assert(s.filter(col("n") =!= n || col("sd") < 0).count() == 0)
   }
 
+  test("abtt: Pythagoras — proj² + resid² recovers each vector's norm²") {
+    val ab = EmbeddingStats.embAbtt(spark, dir)
+    val comps = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy("vec_id")
+      .agg(sum(col("x").cast("double") * col("x").cast("double")).as("n2"))
+    // v is unit up to 6-dp rounding, so ‖x‖² = proj² + resid² within
+    // the rounding budget (≤1e-4 after sqrt/6-dp round on ~unit norms)
+    val bad = ab.join(comps, "vec_id")
+      .filter(abs(col("proj") * col("proj") + col("resid") * col("resid")
+        - col("n2")) > 1e-3)
+    assert(bad.count() == 0)
+    assert(ab.count() == Tables.table(spark, dir, "embeddings").count())
+  }
+
   test("pc1 is a unit vector with small Rayleigh residual") {
     val v = EmbeddingStats.embPc1(spark, dir)
     val norm = v.agg(sum(col("pc1") * col("pc1"))).head.getDouble(0)
