@@ -136,35 +136,64 @@ object EmbeddingStats {
   // be orthogonal to the dominant eigenvector; the uniform vector is
   // generic for real embedding corpora.)
   // -------------------------------------------------------------------
+  /** Round-half-away-from-zero to `scale` dp — the shared semantics of
+    * Spark's `round` and DuckDB's `round` on doubles. */
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def embPc1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val g = gram(spark, dir)
-    // full (symmetric) matrix from the stored triangle
+    // Full (symmetric) matrix from the stored triangle, collapsed to
+    // ONE row-major array row: after the Gram pass the problem is
+    // O(d²) data / O(d³) math — corpus-size-free. The squaring chain
+    // then runs as a single typed map over that one row (the
+    // sequential-kernel tier, like the Cholesky/sift kernels): zero
+    // shuffles, zero iteration jobs. Two rejected formulations: a
+    // join-per-squaring loop spends 8×(join+agg shuffle+checkpoint)
+    // on a 4096-row matrix, and a chain of nested higher-order-
+    // function Projects sends the analyzer/optimizer into
+    // exponential expression inlining (each squaring references its
+    // input twice). The renorm + 12-dp round after every squaring is
+    // the same contract as the oracle's, entry order absorbed by the
+    // rounding exactly as in the declarative version.
     val gfull = g.select(col("i"), col("j"), col("g")).unionAll(
       g.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
-      .select(col("i"), col("j"), col("g").cast("double").as("mv"))
-    def renorm(df: DataFrame): DataFrame = {
-      val mx = df.agg(max(abs(col("mv"))).as("mx"))
-      df.crossJoin(broadcast(mx))
-        .select(col("i"), col("j"), round(col("mv") / col("mx"), 12).as("mv"))
-    }
-    // Each squaring references m TWICE; left unchecked the lazy plan
-    // doubles per iteration (2^k copies of the Gram subplan — the
-    // exponential-lineage trap). localCheckpoint materializes the
-    // d²-row matrix each round and truncates the lineage, exactly as
-    // dedup_clusters does for its propagation loop.
-    var m = renorm(gfull).localCheckpoint()
-    for (_ <- 1 to SQUARINGS) {
-      val a = m.select(col("i"), col("j").as("k"), col("mv").as("av"))
-      val b = m.select(col("i").as("k"), col("j"), col("mv").as("bv"))
-      m = renorm(a.join(b, "k").groupBy("i", "j")
-        .agg(sum(col("av") * col("bv")).as("mv"))).localCheckpoint()
-    }
-    // v = normalize(M·1): row sums of the filtered matrix
-    val w = m.groupBy("i").agg(sum(col("mv")).as("u"))
-    val nrm = w.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
-    w.crossJoin(broadcast(nrm))
-      .select(col("i"), round(col("u") / col("nrm"), 6).as("pc1"))
+    val mRow = gfull
+      .select(struct((col("i").cast("long") * 65536L + col("j")).as("idx"),
+        col("g").cast("double").as("v")).as("s"))
+      .agg(transform(array_sort(collect_list(col("s"))),
+        s => s.getField("v")).as("m"))
+      .as[Array[Double]]
+    mRow.flatMap { m0 =>
+      val d = math.round(math.sqrt(m0.length.toDouble)).toInt
+      def renorm(m: Array[Double]): Array[Double] = {
+        val mx = m.map(math.abs).max
+        m.map(x => roundAt(x / mx, 12))
+      }
+      var m = renorm(m0)
+      for (_ <- 1 to SQUARINGS) {
+        val p = Array.ofDim[Double](d * d)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) {
+            var acc = 0.0
+            var k = 0
+            while (k < d) { acc += m(i * d + k) * m(k * d + j); k += 1 }
+            p(i * d + j) = acc
+            j += 1
+          }
+          i += 1
+        }
+        m = renorm(p)
+      }
+      // v = normalize(M·1): row sums of the filtered matrix
+      val w = Array.tabulate(d)(i => m.slice(i * d, i * d + d).sum)
+      val nrm = math.sqrt(w.map(u => u * u).sum)
+      w.zipWithIndex.map { case (u, i) => (i, roundAt(u / nrm, 6)) }
+    }.toDF("i", "pc1")
   }
 
   val embPc1Sql: String = {
