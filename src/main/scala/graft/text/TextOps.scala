@@ -250,6 +250,57 @@ object TextOps {
        |SELECT doc_id, tok, tf, df, score, rn FROM rk WHERE rn <= 5""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_unigram_logprob — corpus-unigram language-model scoring (the
+  // perplexity-filter pass of a pretraining pipeline: docs whose
+  // tokens are improbable under the corpus's own unigram model score
+  // low). lp(tok) = ln(c/T) quantized to exact integer µ-nats, so
+  // every per-doc sum is an exact integer and both engines derive
+  // identical doubles; ppl = exp(−mean lp).
+  //
+  // 100 TB shape: tf is the SAME one (doc_id, tok) shuffle as tfidf;
+  // the unigram table is derived from tf (vocab-sized, no second pass
+  // over tokens); the corpus total T is a broadcast 1-row scalar; the
+  // tf⋈lp join keys on tok with AQE free to broadcast the vocab side;
+  // the per-doc aggregate is map-side combined.
+  // -------------------------------------------------------------------
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tok(spark, dir).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val ug = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val tot = ug.agg(sum("c").as("t"))
+    val lp = ug.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("t")) * 1000000.0, 0)
+          .cast("long").as("lp"))
+    tf.join(lp, "tok")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        sum(col("tf") * col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_lp").cast("double") / col("n_tok") / 1000000.0, 6)
+          .as("lp_mean"),
+        round(exp(-col("sum_lp").cast("double") / col("n_tok") / 1000000.0),
+          4).as("ppl"))
+  }
+
+  val textUnigramLogprobSql: String =
+    s"""WITH $tokSql,
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |ug AS (SELECT tok, cast(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+       |tot AS (SELECT cast(sum(c) AS BIGINT) AS t FROM ug),
+       |lp AS (SELECT tok,
+       |  cast(round(ln(cast(c AS double) / t) * 1000000.0) AS BIGINT) AS lp
+       |  FROM ug CROSS JOIN tot),
+       |agg AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tok,
+       |  cast(sum(tf * lp) AS BIGINT) AS sum_lp
+       |  FROM tf JOIN lp USING (tok) GROUP BY 1)
+       |SELECT doc_id, n_tok,
+       |  round(cast(sum_lp AS double) / n_tok / 1000000.0, 6) AS lp_mean,
+       |  round(exp(-cast(sum_lp AS double) / n_tok / 1000000.0), 4) AS ppl
+       |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------------
   // corpus_sample — deterministic language-stratified rate sampling
   // (the data-mixing pass of a pretraining pipeline: downsample the
   // dominant language, keep more of the rest). The keep/drop decision
@@ -290,6 +341,7 @@ object TextOps {
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_top" -> (textTfidfTop _),
+    "text_unigram_logprob" -> (textUnigramLogprob _),
     "corpus_sample" -> (corpusSample _),
     "multimodal_extract" -> (multimodalExtract _))
 
@@ -299,6 +351,7 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_top" -> textTfidfTopSql,
+    "text_unigram_logprob" -> textUnigramLogprobSql,
     "corpus_sample" -> corpusSampleSql,
     "multimodal_extract" -> multimodalExtractSql)
 }

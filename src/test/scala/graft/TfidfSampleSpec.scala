@@ -42,6 +42,19 @@ class TfidfSampleSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("unigram logprob: lp_mean < 0, ppl = exp(-lp_mean), every doc scored") {
+    val r = TextOps.textUnigramLogprob(spark, dir)
+    assert(r.count() == Tables.table(spark, dir, "documents").count())
+    // every token probability is < 1 (no token is the whole corpus),
+    // so the mean log-probability is strictly negative
+    assert(r.filter(col("lp_mean") >= 0).count() == 0)
+    // ppl is the 4-dp rounding of exp(−lp_mean) up to lp_mean's own
+    // 6-dp rounding: allow that slack
+    val off = r.filter(
+      abs(col("ppl") - exp(-col("lp_mean"))) > col("ppl") * 2e-5 + 1e-3)
+    assert(off.count() == 0)
+  }
+
   test("sample is deterministic and respects per-language rate buckets") {
     val a = TextOps.corpusSample(spark, dir)
     val b = TextOps.corpusSample(spark, dir)
