@@ -65,6 +65,8 @@ object Bench {
     warm("ivf") { graft.sim.Similarity.ivfRanked(spark, sfDir).persist().count() }
     // the Gram matrix feeds both emb_gram and every emb_pc1 iteration
     warm("gram") { graft.sim.EmbeddingStats.gram(spark, sfDir).persist().count() }
+    // the (doc_id, tok) term-frequency base feeds tfidf + unigram LM
+    warm("tf") { graft.text.TextOps.termFreq(spark, sfDir).persist().count() }
     warm("wavelet") { graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count() }
     warm("dedup") { graft.dedup.Dedup.warm(spark, sfDir) }
     // ceemdan_orthogonality is a single-pass mode pivot over the same

@@ -214,9 +214,15 @@ object TextOps {
   // doc_id (small groups). Ordering is by the ROUNDED score so the
   // engines' row_number picks are identical, with tok as tiebreak.
   // -------------------------------------------------------------------
-  def textTfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    val tf = tok(spark, dir).groupBy("doc_id", "tok")
+  /** The (doc_id, tok) term-frequency base shared by text_tfidf_top
+    * and text_unigram_logprob — Bench persists ONE instance so the
+    * CacheManager substitutes it into both queries' plans. */
+  def termFreq(spark: SparkSession, dir: String): DataFrame =
+    tok(spark, dir).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
+
+  def textTfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = Tables.table(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -264,8 +270,7 @@ object TextOps {
   // the per-doc aggregate is map-side combined.
   // -------------------------------------------------------------------
   def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tf = tok(spark, dir).groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(spark, dir)
     val ug = tf.groupBy("tok").agg(sum("tf").as("c"))
     val tot = ug.agg(sum("c").as("t"))
     val lp = ug.crossJoin(broadcast(tot))
