@@ -143,6 +143,28 @@ object StreamingOps {
       }
   }
 
+  /** Stream–static LM scoring — the streaming twin of the batch
+    * `text_unigram_logprob` query: an unbounded document feed is
+    * scored against the STATIC corpus unigram model (tok, lp µ-nats).
+    * This is the canonical stream–static join shape: the static side
+    * is re-planned per micro-batch and broadcast when small, the
+    * stream side needs NO state for the join itself; the only state
+    * is the per-doc aggregation (bounded by docs in flight). Unseen
+    * tokens take the OOV floor — a stream can contain tokens the
+    * static model never saw, which the batch query (model == corpus)
+    * cannot. */
+  def scoreDocs(docs: Dataset[Doc], lm: DataFrame,
+      oovLpMicro: Long = -20000000L): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(broadcast(lm), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("lp"), lit(oovLpMicro))).as("sum_lp"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_lp").cast("double") / col("n_tok") / 1000000.0, 6)
+          .as("lp_mean"))
+
   /** Streaming GLS periodogram — the Zechmeister–Kürster power
     * (reference spectral.py:109-132, the same closed form as the batch
     * `gls_periodogram` query) per watermarked tumbling window and

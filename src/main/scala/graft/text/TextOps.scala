@@ -269,14 +269,20 @@ object TextOps {
   // tf⋈lp join keys on tok with AQE free to broadcast the vocab side;
   // the per-doc aggregate is map-side combined.
   // -------------------------------------------------------------------
-  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tf = termFreq(spark, dir)
-    val ug = tf.groupBy("tok").agg(sum("tf").as("c"))
+  /** The corpus unigram model itself — (tok, lp µ-nats): the static
+    * side of the streaming stream–static scoring twin. */
+  def unigramModel(spark: SparkSession, dir: String): DataFrame = {
+    val ug = termFreq(spark, dir).groupBy("tok").agg(sum("tf").as("c"))
     val tot = ug.agg(sum("c").as("t"))
-    val lp = ug.crossJoin(broadcast(tot))
+    ug.crossJoin(broadcast(tot))
       .select(col("tok"),
         round(log(col("c").cast("double") / col("t")) * 1000000.0, 0)
           .cast("long").as("lp"))
+  }
+
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val lp = unigramModel(spark, dir)
     tf.join(lp, "tok")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tok"),

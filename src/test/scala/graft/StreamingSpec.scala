@@ -64,6 +64,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet == Set("alpha beta", "gamma", "delta"))
   }
 
+  test("stream-static LM scoring matches the batch model; OOV takes the floor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static model: the sf0.001 corpus unigram LM
+    val lm = graft.text.TextOps.unigramModel(spark, "/root/testdata/sf0.001")
+    val known = lm.limit(2).collect() // two real (tok, lp) rows
+    val t1 = known(0).getString(0); val lp1 = known(0).getLong(1)
+    val t2 = known(1).getString(0); val lp2 = known(1).getLong(1)
+    val input = MemoryStream[StreamingOps.Doc]
+    input.addData(
+      StreamingOps.Doc(1, s"$t1 $t2"),
+      StreamingOps.Doc(2, s"$t1 zzzzz-never-a-token"))
+    val q = StreamingOps.scoreDocs(input.toDS(), lm)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("lm_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT * FROM lm_out ORDER BY doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2)
+    assert(math.abs(out(0).getDouble(2) - (lp1 + lp2) / 2.0 / 1e6) < 1e-6)
+    // doc 2: one known token + one OOV at the -20 nat floor
+    assert(math.abs(out(1).getDouble(2) - (lp1 - 20000000L) / 2.0 / 1e6) < 1e-6)
+  }
+
   test("stream-stream interval join matches clicks in the preceding hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
