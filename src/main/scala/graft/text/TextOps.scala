@@ -312,6 +312,88 @@ object TextOps {
        |FROM agg""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_contamination — benchmark decontamination: for every document,
+  // the fraction of its 8-gram token shingles that appear in ANY
+  // benchmark document (deterministic held-out subset: doc_id % 50 = 0,
+  // self-matches excluded). The standard test-set-leak check of a
+  // pretraining pipeline, exact n-gram variant.
+  //
+  // 100 TB shape: the benchmark shingle table is tiny (held-out sets
+  // are) → AQE broadcasts it; the corpus side is ONE windowed pass to
+  // form shingles + a per-doc distinct aggregate; matches are an
+  // equi-join on the 60-bit shingle hash, so work ∝ hash collisions,
+  // never corpus × benchmark.
+  // -------------------------------------------------------------------
+  private val NGram = 8
+
+  /** (doc_id, h): distinct 60-bit hashes of 8-token shingles, built
+    * over the empty-filtered token sequence (lead window per doc). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val base = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val leads = (1 until NGram).map(k => lead(col("tok"), k).over(w))
+    base
+      .select(col("doc_id"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("sh"),
+        leads.last.as("lastTok"))
+      .filter(col("lastTok").isNotNull)
+      .select(col("doc_id"), h60(col("sh")).as("h"))
+      .distinct()
+  }
+
+  private val shinglesSql: String = {
+    val leadCols = (1 until NGram)
+      .map(k => s"lead(tok, $k) OVER w AS l$k").mkString(", ")
+    val cat = "tok || ' ' || " +
+      (1 until NGram).map(k => s"l$k").mkString(" || ' ' || ")
+    s"""tp AS (
+       |  SELECT doc_id, idx, tok FROM (
+       |    SELECT doc_id, generate_subscripts(toks, 1) AS idx,
+       |           unnest(toks) AS tok
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |          FROM documents))
+       |  WHERE tok <> ''),
+       |shw AS (SELECT doc_id, tok, $leadCols
+       |  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${h60Sql(s"($cat)")} AS h
+       |  FROM shw WHERE l${NGram - 1} IS NOT NULL)""".stripMargin
+  }
+
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bdoc"), col("h"))
+    val contam = sh.join(bench, "h")
+      .filter(col("bdoc") =!= col("doc_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_contam"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        round(coalesce(col("n_contam"), lit(0L)).cast("double") /
+          col("n_sh"), 6).as("contam_frac"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH $shinglesSql,
+       |bench AS (SELECT doc_id AS bdoc, h FROM sh WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT s.doc_id, count(DISTINCT s.h) AS n_contam
+       |  FROM sh s JOIN bench b ON b.h = s.h AND b.bdoc <> s.doc_id
+       |  GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |SELECT t.doc_id, t.n_sh,
+       |  coalesce(c.n_contam, 0) AS n_contam,
+       |  round(cast(coalesce(c.n_contam, 0) AS double) / t.n_sh, 6)
+       |    AS contam_frac
+       |FROM tot t LEFT JOIN contam c ON c.doc_id = t.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // corpus_sample — deterministic language-stratified rate sampling
   // (the data-mixing pass of a pretraining pipeline: downsample the
   // dominant language, keep more of the rest). The keep/drop decision
@@ -353,6 +435,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_top" -> (textTfidfTop _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
+    "text_contamination" -> (textContamination _),
     "corpus_sample" -> (corpusSample _),
     "multimodal_extract" -> (multimodalExtract _))
 
@@ -363,6 +446,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_top" -> textTfidfTopSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
+    "text_contamination" -> textContaminationSql,
     "corpus_sample" -> corpusSampleSql,
     "multimodal_extract" -> multimodalExtractSql)
 }

@@ -55,6 +55,21 @@ class TfidfSampleSpec extends AnyFunSuite {
     assert(off.count() == 0)
   }
 
+  test("contamination: fractions in [0,1], n_contam <= n_sh, self-match excluded") {
+    val r = TextOps.textContamination(spark, dir)
+    assert(r.filter(col("contam_frac") < 0 || col("contam_frac") > 1).count() == 0)
+    assert(r.filter(col("n_contam") > col("n_sh")).count() == 0)
+    // a benchmark doc whose shingles appear in no OTHER benchmark doc
+    // must not be flagged by its own shingles: benchmark docs can only
+    // be contaminated via cross-doc matches, so with distinct shingles
+    // per doc, n_contam < n_sh unless a true cross-duplicate exists.
+    // Weak but self-match-sensitive: a buggy self-join would set
+    // n_contam == n_sh for EVERY benchmark doc.
+    val bench = r.filter(col("doc_id") % 50 === 0)
+    assert(bench.filter(col("n_contam") === col("n_sh")).count() <
+      bench.count())
+  }
+
   test("sample is deterministic and respects per-language rate buckets") {
     val a = TextOps.corpusSample(spark, dir)
     val b = TextOps.corpusSample(spark, dir)
