@@ -120,9 +120,38 @@ object Dedup {
     * quadratic tail is dropped — the standard crawl-scale trade. */
   val MaxBucket = 256
 
+  /** Scala mirror of the minhash band pipeline for the STREAMING
+    * near-dedup twin (streaming/StreamingOps.nearDedupStream): one
+    * document's 4 (band, bkey) rows, computed row-locally. MUST stay
+    * bit-identical to `minhashBands` below — tokens are the
+    * lowercase space-split non-empty sequence, shingles the DISTINCT
+    * word 3-grams, h60 the first 15 md5 hex digits, mins over the
+    * same 16 rotate-xor mixes, band key the md5 of the
+    * comma-joined 4 mins. MinhashStreamSpec pins the equality
+    * against the batch plan on the full sf0.001 corpus. */
+  private[graft] def bandKeysOf(text: String): Seq[(Long, String)] = {
+    val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    if (toks.length < 3) return Seq.empty
+    val hs = toks.sliding(3).map(_.mkString(" ")).toSet.toSeq
+      .map((s: String) => java.lang.Long.parseLong(md5Hex(s).take(15), 16))
+    val mins = (0 until 16).map { j =>
+      val (r, c) = mixParams(j)
+      hs.map(h => (((h & (MASK60 >> r)) << r) + (h >> (60 - r))) ^ c).min
+    }
+    (0L until 4L).map { b =>
+      val key = md5Hex((0 until 4).map(i => mins(4 * b.toInt + i)).mkString(","))
+      (b, key)
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+
   /** Minhash band buckets with the occupancy cap applied: (doc_id,
     * band, bkey), at most MaxBucket rows per (band, bkey). */
-  private def minhashBands(spark: SparkSession, dir: String,
+  private[graft] def minhashBands(spark: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
     val sig = shingles(spark, dir)
       .select(col("doc_id"), h60(col("shingle")).as("h"))

@@ -143,6 +143,47 @@ object StreamingOps {
       }
   }
 
+  case class BandCand(id1: Long, id2: Long, band: Long)
+
+  // band-bucket membership, capped like the batch MaxBucket
+  private[streaming] case class BucketState(ids: Array[Long])
+
+  /** Streaming NEAR-duplicate candidates — the streaming twin of the
+    * batch `dedup_minhash_lsh` pipeline: each arriving document is
+    * fanned out to its 4 minhash band keys (computed row-locally by
+    * the Scala mirror of the batch band pipeline — bit-identical keys,
+    * pinned by MinhashStreamSpec), and keyed state per (band, bkey)
+    * holds the bucket's member ids. A new member emits one candidate
+    * pair per existing member, so near-dups are caught ACROSS
+    * micro-batches. The same occupancy cap as the batch plan bounds
+    * both state size and pair fan-out per bucket — O(buckets ×
+    * occupancy) state, never the corpus. */
+  def nearDedupStream(docs: Dataset[Doc],
+      maxBucket: Int = graft.dedup.Dedup.MaxBucket): Dataset[BandCand] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.dedup.Dedup.bandKeysOf(d.text)
+        .map { case (b, k) => (b, k, d.doc_id) })
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, BandCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+            state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.ids.toVector)
+            .getOrElse(Vector.empty)
+          val out = Seq.newBuilder[BandCand]
+          rows.toSeq.map(_._3).sorted.foreach { id =>
+            if (!members.contains(id) && members.size < maxBucket) {
+              members.foreach(m =>
+                out += BandCand(math.min(m, id), math.max(m, id), key._1))
+              members :+= id
+            }
+          }
+          state.update(BucketState(members.toArray))
+          out.result().iterator
+      }
+  }
+
   /** Stream–static LM scoring — the streaming twin of the batch
     * `text_unigram_logprob` query: an unbounded document feed is
     * scored against the STATIC corpus unigram model (tok, lp µ-nats).
