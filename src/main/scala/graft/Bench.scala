@@ -67,6 +67,9 @@ object Bench {
     warm("gram") { graft.sim.EmbeddingStats.gram(spark, sfDir).persist().count() }
     // the (doc_id, tok) term-frequency base feeds tfidf + unigram LM
     warm("tf") { graft.text.TextOps.termFreq(spark, sfDir).persist().count() }
+    // PQ codebook + compressed code table feed emb_pq_codes and both
+    // ann_pq_topk stages
+    warm("pq") { graft.sim.Pq.warm(spark, sfDir) }
     warm("wavelet") { graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count() }
     warm("dedup") { graft.dedup.Dedup.warm(spark, sfDir) }
     // ceemdan_orthogonality is a single-pass mode pivot over the same

@@ -36,6 +36,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
       sim.EmbeddingStats.queries ++
+      sim.Pq.queries ++
       text.TextOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       sim.Similarity.oracles ++
       sim.EmbeddingStats.oracles ++
+      sim.Pq.oracles ++
       text.TextOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++
