@@ -312,6 +312,101 @@ object TextOps {
        |FROM agg""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_repetition — repetition quality signals (the Gopher/MassiveText
+  // filter family): most-frequent-token fraction, duplicate-token
+  // fraction, duplicate-2-gram fraction. Boilerplate/spam documents
+  // repeat; all three are per-doc aggregations over the one token
+  // pass (+ a lead window for the 2-grams) — no joins beyond doc_id.
+  // -------------------------------------------------------------------
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir) // (doc_id, tok, tf)
+    val toks = tf.groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max("tf").as("top_tf"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g"), countDistinct("g").as("n_gd"))
+    toks.join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(col("top_tf").cast("double") / col("n_tok"), 6)
+          .as("top_tok_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_tok_frac"),
+        round(lit(1.0) - coalesce(
+          col("n_gd").cast("double") / col("n_g"), lit(1.0)), 6)
+          .as("dup_2gram_frac"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH $tokSql,
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |t AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tok,
+       |  count(*) AS n_distinct, max(tf) AS top_tf
+       |  FROM tf GROUP BY 1),
+       |tp AS (SELECT doc_id, idx, tok FROM (
+       |    SELECT doc_id, generate_subscripts(toks, 1) AS idx,
+       |           unnest(toks) AS tok
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |          FROM documents))
+       |  WHERE tok <> ''),
+       |g AS (SELECT doc_id, count(*) AS n_g, count(DISTINCT gg) AS n_gd
+       |  FROM (SELECT doc_id, tok || ' ' || t1 AS gg FROM (
+       |      SELECT doc_id, tok,
+       |        lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS t1
+       |      FROM tp)
+       |    WHERE t1 IS NOT NULL)
+       |  GROUP BY 1)
+       |SELECT t.doc_id,
+       |  round(cast(top_tf AS double) / n_tok, 6) AS top_tok_frac,
+       |  round(1.0 - cast(n_distinct AS double) / n_tok, 6) AS dup_tok_frac,
+       |  round(1.0 - coalesce(cast(n_gd AS double) / n_g, 1.0), 6)
+       |    AS dup_2gram_frac
+       |FROM t LEFT JOIN g ON g.doc_id = t.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // corpus_mix_stats — the corpus "data card": per (lang, source)
+  // document counts, size totals, and langid agreement (fraction of
+  // docs whose predicted language matches the recorded one). The
+  // mixture accounting every pretraining run reports; one groupBy
+  // over the documents scan + the langid plan.
+  // -------------------------------------------------------------------
+  def corpusMixStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .join(textLangid(spark, dir).select("doc_id", "pred_lang"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(sum(when(col("pred_lang") === col("lang"), 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("langid_agree"))
+
+  val corpusMixStatsSql: String =
+    s"""WITH $tokSql,
+       |r AS (SELECT doc_id,
+       |  ${ratioSql(stopEn)} AS r_en, ${ratioSql(stopDe)} AS r_de,
+       |  ${ratioSql(stopFr)} AS r_fr, ${ratioSql(stopEs)} AS r_es
+       |  FROM tk GROUP BY 1),
+       |lid AS (SELECT doc_id,
+       |  CASE WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
+       |       WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
+       |       WHEN r_fr >= r_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |  FROM r)
+       |SELECT d.lang, d.source, count(*) AS n_docs,
+       |  cast(sum(d.n_chars) AS BIGINT) AS total_chars,
+       |  round(cast(sum(CASE WHEN l.pred_lang = d.lang THEN 1 ELSE 0 END)
+       |      AS double) / count(*), 6) AS langid_agree
+       |FROM documents d JOIN lid l ON l.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // text_contamination — benchmark decontamination: for every document,
   // the fraction of its 8-gram token shingles that appear in ANY
   // benchmark document (deterministic held-out subset: doc_id % 50 = 0,
@@ -436,6 +531,8 @@ object TextOps {
     "text_tfidf_top" -> (textTfidfTop _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_contamination" -> (textContamination _),
+    "text_repetition" -> (textRepetition _),
+    "corpus_mix_stats" -> (corpusMixStats _),
     "corpus_sample" -> (corpusSample _),
     "multimodal_extract" -> (multimodalExtract _))
 
@@ -447,6 +544,8 @@ object TextOps {
     "text_tfidf_top" -> textTfidfTopSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
     "text_contamination" -> textContaminationSql,
+    "text_repetition" -> textRepetitionSql,
+    "corpus_mix_stats" -> corpusMixStatsSql,
     "corpus_sample" -> corpusSampleSql,
     "multimodal_extract" -> multimodalExtractSql)
 }
