@@ -184,6 +184,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming decontamination — the stream–static twin of the batch
+    * `text_contamination` query: each arriving document's 8-gram
+    * shingle hashes (row-local Scala mirror of the batch pipeline —
+    * bit-identical, pinned by StreamingSpec) are checked against the
+    * STATIC benchmark shingle set, broadcast per micro-batch. No join
+    * state; the only state is the per-doc aggregation. Unlike the
+    * batch query there is no self-match to exclude: the stream is an
+    * external feed, not part of the benchmark corpus. */
+  def contaminationStream(docs: Dataset[Doc],
+      bench: org.apache.spark.sql.DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => graft.text.TextOps.shingleHashesOf(d.text).toSeq
+        .map(h => (d.doc_id, h)))
+      .toDF("doc_id", "h")
+      .join(broadcast(bench.select(col("h").as("bh"))),
+        col("h") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("bh")).as("n_contam"))
+      .select(col("doc_id"), col("n_sh"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_sh"), 6)
+          .as("contam_frac"))
+  }
+
   /** Stream–static LM scoring — the streaming twin of the batch
     * `text_unigram_logprob` query: an unbounded document feed is
     * scored against the STATIC corpus unigram model (tok, lp µ-nats).

@@ -421,9 +421,32 @@ object TextOps {
   // -------------------------------------------------------------------
   private val NGram = 8
 
+  /** Scala mirror of `shingles` for the STREAMING decontamination
+    * twin (streaming/StreamingOps.contaminationStream): one
+    * document's distinct 8-gram shingle hashes, row-locally. MUST
+    * stay bit-identical to the batch column pipeline below —
+    * StreamingSpec pins the equality over the sf0.001 corpus. */
+  private[graft] def shingleHashesOf(text: String): Set[Long] = {
+    val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    if (toks.length < NGram) return Set.empty
+    toks.sliding(NGram).map(w => h60Of(w.mkString(" "))).toSet
+  }
+
+  private def h60Of(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+
+  /** The static benchmark shingle set (doc_id % 50 = 0) — the static
+    * side of the streaming decontamination twin. */
+  def benchShingleSet(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).filter(col("doc_id") % 50 === 0)
+      .select("h").distinct()
+
   /** (doc_id, h): distinct 60-bit hashes of 8-token shingles, built
     * over the empty-filtered token sequence (lead window per doc). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val base = Tables.table(spark, dir, "documents")
       .select(col("doc_id"),

@@ -90,6 +90,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(2) - (lp1 - 20000000L) / 2.0 / 1e6) < 1e-6)
   }
 
+  test("streaming decontamination: Scala shingles == batch; benchmark copy flags 1.0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // (1) row-local shingle hashes are bit-identical to the batch plan
+    val batch = graft.text.TextOps.shingles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+    val local = docs.flatMap(r =>
+      graft.text.TextOps.shingleHashesOf(r.getString(1))
+        .map(h => (r.getLong(0), h))).toSet
+    assert(local == batch, s"local=${local.size} batch=${batch.size}")
+    // (2) a stream doc copying a benchmark doc scores contam_frac 1.0
+    val bench = graft.text.TextOps.benchShingleSet(spark, dir)
+    val benchText = docs.find(r => r.getLong(0) % 50 == 0 &&
+      graft.text.TextOps.shingleHashesOf(r.getString(1)).nonEmpty)
+      .get.getString(1)
+    val input = MemoryStream[StreamingOps.Doc]
+    input.addData(
+      StreamingOps.Doc(9001, benchText),
+      StreamingOps.Doc(9002, "nine totally novel tokens that never appear " +
+        "anywhere in the benchmark corpus at all honestly"))
+    val q = StreamingOps.contaminationStream(input.toDS(), bench)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("contam_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, contam_frac FROM contam_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(9001L) == 1.0, out.toString)
+    assert(out(9002L) == 0.0, out.toString)
+  }
+
   test("stream-stream interval join matches clicks in the preceding hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
