@@ -58,6 +58,29 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // multimodal_frame_dedup — cross-media duplicate frames: the dedup
+  // stage a frame pipeline runs downstream of sampling (intro/outro
+  // cards, watermarks, repeated stock footage). One hash-groupBy over
+  // the frames output — the same single-shuffle posture as
+  // dedup_exact, keyed by the per-frame signature.
+  // -------------------------------------------------------------------
+  def multimodalFrameDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalFrames(spark, dir)
+      .groupBy("frame_sig")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") > 1)
+
+  val multimodalFrameDedupSql: String =
+    s"""WITH fr AS (
+       |${multimodalFramesSql}
+       |)
+       |SELECT frame_sig, count(DISTINCT doc_id) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM fr GROUP BY 1
+       |HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // multimodal_batch — the batch-UDF tier. Batches of 64 payloads are
   // "decoded" together: `initCodec` runs once per batch (in production
   // that is the model/codec handle whose amortization motivates
@@ -128,10 +151,12 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_batch" -> (multimodalBatch _),
     "multimodal_batch_meta" -> (multimodalBatchMeta _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_frame_dedup" -> multimodalFrameDedupSql,
     "multimodal_batch_meta" -> multimodalBatchMetaSql)
 }
