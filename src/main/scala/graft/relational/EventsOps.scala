@@ -84,13 +84,92 @@ object EventsOps {
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // events_funnel — ordered conversion funnel view → click → purchase:
+  // each stage's timestamp must strictly follow the previous stage's
+  // FIRST occurrence for the same user. Three user-keyed min
+  // aggregations chained by joins; each stage's survivor set only
+  // shrinks, so the joins get cheaper down the funnel and every side
+  // is user-count-sized (AQE broadcasts the shrinking stage tables at
+  // scale). Integer-µs timestamps keep both engines exact.
+  // -------------------------------------------------------------------
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val e = ev.select(col("user_id"), col("event_type"),
+      Tables.tsMicros(ev).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .unionAll(c.select(lit("2_click").as("stage"), col("user_id")))
+      .unionAll(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.us) AS c_us
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.us) AS p_us
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1),
+      |st AS (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p)
+      |SELECT stage, count(DISTINCT user_id) AS n_users
+      |FROM st GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // events_retention — cohort retention: users grouped by their
+  // first-active day, counted on each later active day offset. Two
+  // user-keyed aggregations + one join; output is cohorts × offsets
+  // (calendar-sized, never user-sized). Day ids from integer-µs
+  // floor division — exact in both engines.
+  // -------------------------------------------------------------------
+  private val DayUs = 86400000000L
+
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val d = ev.select(col("user_id"), Tables.tsMicros(ev).as("us"))
+      .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+      .distinct()
+    val f = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+    d.join(f, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+       |  FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+       |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       |  count(DISTINCT d.user_id) AS n_users
+       |FROM d JOIN f ON f.user_id = d.user_id
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> (eventsJsonExtract _),
     "events_topk_users" -> (eventsTopkUsers _),
-    "events_quantiles" -> (eventsQuantiles _))
+    "events_quantiles" -> (eventsQuantiles _),
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _))
 
   val oracles: Map[String, String] = Map(
     "events_json_extract" -> eventsJsonExtractSql,
     "events_topk_users" -> eventsTopkUsersSql,
-    "events_quantiles" -> eventsQuantilesSql)
+    "events_quantiles" -> eventsQuantilesSql,
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql)
 }
