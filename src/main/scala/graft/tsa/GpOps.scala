@@ -742,8 +742,86 @@ object GpOps {
     "ts_envelope_coeffs" -> (tsEnvelopeCoeffs _),
     "ts_envelope" -> (tsEnvelope _))
 
+  /** ts_envelope_coeffs, hash-gated (round 9): the envelope kernel is
+    * window-expressible extrema detection + edge padding (pure
+    * per-row arithmetic) feeding the SAME Thomas recurrences as
+    * ts_spline_coeffs — replayed bit-exactly by the shared
+    * recursive-CTE chain (TimeSeriesOps4.thomasCtes) keyed by
+    * (id, side). Knots per side: the padded-and-edge-dropped extrema
+    * (SeriesMath.envelopeKnots / padAndDrop, padWidth 2): indices
+    * 0..1 are the two left reflections 2·t₀−t₂ / 2·t₀−t₁ (values
+    * y₂ / y₁), interior extrema j=1..m−2 land at i=j+1, and the two
+    * right reflections close at i=m, m+1 — the original edge
+    * extrema themselves are dropped. Series qualify only when BOTH
+    * sides have ≥ 4 raw extrema (edges included), matching the
+    * kernel's null. */
+  val tsEnvelopeCoeffsSql: String =
+    s"""WITH RECURSIVE ser AS MATERIALIZED (${graft.Tables.seriesSql}),
+       |pos AS (
+       |  SELECT id, t, y,
+       |    row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1 AS p,
+       |    count(*) OVER (PARTITION BY id) AS np
+       |  FROM ser),
+       |nb AS (SELECT id, t, y, p, np,
+       |    lag(y) OVER w AS yp, lead(y) OVER w AS yn
+       |  FROM pos WINDOW w AS (PARTITION BY id ORDER BY p)),
+       |ext AS MATERIALIZED (
+       |  SELECT id, 0 AS side, p, t, y FROM nb
+       |  WHERE p = 0 OR p = np - 1 OR (y > yp AND y > yn)
+       |  UNION ALL
+       |  SELECT id, 1 AS side, p, t, y FROM nb
+       |  WHERE p = 0 OR p = np - 1 OR (y < yp AND y < yn)),
+       |exn AS MATERIALIZED (
+       |  SELECT id, side, t, y,
+       |    row_number() OVER (PARTITION BY id, side ORDER BY p) - 1 AS j,
+       |    count(*) OVER (PARTITION BY id, side) AS m
+       |  FROM ext),
+       |okids AS (
+       |  SELECT id FROM (
+       |    SELECT id, side, max(m) AS m FROM exn GROUP BY 1, 2)
+       |  GROUP BY id HAVING min(m) >= 4),
+       |sides AS (
+       |  SELECT id, side, m,
+       |    max(CASE WHEN j = 0 THEN t END) AS tfirst,
+       |    max(CASE WHEN j = 1 THEN t END) AS t1,
+       |    max(CASE WHEN j = 1 THEN y END) AS y1,
+       |    max(CASE WHEN j = 2 THEN t END) AS t2,
+       |    max(CASE WHEN j = 2 THEN y END) AS y2,
+       |    max(CASE WHEN j = m - 1 THEN t END) AS tlast,
+       |    max(CASE WHEN j = m - 2 THEN t END) AS tm2,
+       |    max(CASE WHEN j = m - 2 THEN y END) AS ym2,
+       |    max(CASE WHEN j = m - 3 THEN t END) AS tm3,
+       |    max(CASE WHEN j = m - 3 THEN y END) AS ym3
+       |  FROM exn WHERE id IN (SELECT id FROM okids)
+       |  GROUP BY 1, 2, 3),
+       |kn AS MATERIALIZED (
+       |  SELECT e.id, e.side, e.j + 1 AS i, e.t AS x, e.y,
+       |    e.m + 2 AS n
+       |  FROM exn e WHERE e.j BETWEEN 1 AND e.m - 2
+       |    AND e.id IN (SELECT id FROM okids)
+       |  UNION ALL SELECT id, side, 0, 2.0 * tfirst - t2, y2, m + 2
+       |  FROM sides
+       |  UNION ALL SELECT id, side, 1, 2.0 * tfirst - t1, y1, m + 2
+       |  FROM sides
+       |  UNION ALL SELECT id, side, m, 2.0 * tlast - tm2, ym2, m + 2
+       |  FROM sides
+       |  UNION ALL SELECT id, side, m + 1, 2.0 * tlast - tm3, ym3, m + 2
+       |  FROM sides),
+       |${TimeSeriesOps4.thomasCtes(Seq("id", "side"))}
+       |SELECT sg.id, sg.side, cast(sg.i AS BIGINT) AS seg,
+       |  CASE WHEN sg.i = 0 THEN -1e18 ELSE sg.x END AS cover,
+       |  sg.x AS t0, sg.y AS a,
+       |  (sg.y1 - sg.y) / sg.h - sg.h * (c1.c + 2.0 * c0.c) / 3.0 AS b,
+       |  c0.c AS c,
+       |  (c1.c - c0.c) / (3.0 * sg.h) AS d
+       |FROM al sg
+       |JOIN cc c0 ON c0.id = sg.id AND c0.side = sg.side AND c0.i = sg.i
+       |JOIN cc c1 ON c1.id = sg.id AND c1.side = sg.side AND c1.i = sg.i + 1
+       |WHERE sg.i <= sg.n - 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "gp_psd" -> gpPsdSql,
+    "ts_envelope_coeffs" -> tsEnvelopeCoeffsSql,
     "gp_posterior" -> gpPosteriorSql,
     "gp_model_compare" -> gpModelCompareSql,
     "gp_predict_fit" -> gpPredictFitSql,

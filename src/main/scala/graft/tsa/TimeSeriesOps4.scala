@@ -342,17 +342,59 @@ object TimeSeriesOps4 {
     "ts_pad" -> (tsPad _),
     "ts_drop" -> (tsDrop _))
 
-  /** ts_spline_coeffs, hash-gated after all: the Thomas algorithm is
-    * sequential per series, but a sequential LINEAR RECURRENCE is
-    * exactly what a recursive CTE replays — one row per series per
-    * knot step, every arithmetic expression written in the kernel's
-    * evaluation order (SeriesMath.splineCoeffs), so the doubles are
-    * bit-identical end-to-end and the dump needs no rounding. The
-    * forward sweep carries (mu, z), the backward sweep carries c;
-    * everything else is per-row window arithmetic. Demonstrates that
-    * the "sequential kernel ⇒ rows-only" boundary is narrower than
-    * it looks: what's truly unoracleable is data-dependent ITERATION
-    * COUNTS (sifting), not fixed-length recurrences. */
+  /** The Thomas-algorithm recurrences (SeriesMath.splineCoeffs) as a
+    * DuckDB recursive-CTE chain over a knots relation
+    * `kn(<keys>, i, n, x, y)` (i = 0-based knot index, n = knots per
+    * key group, strictly increasing x, n ≥ 3). Emits CTEs
+    * al / fwd / bwd / cc; the caller writes the final coefficient
+    * select over `al sg` joined to `cc` (c at i and i+1). Every
+    * arithmetic expression is written in the kernel's evaluation
+    * order, so the replay is BIT-IDENTICAL — no rounding anywhere.
+    *
+    * A sequential kernel is hash-gateable whenever its sequentiality
+    * is a fixed-length linear recurrence (this); what stays rows-only
+    * is data-dependent iteration counts (sifting). */
+  private[graft] def thomasCtes(keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    def on(a: String, b: String) =
+      keys.map(k => s"$a.$k = $b.$k").mkString(" AND ")
+    s"""al AS MATERIALIZED (
+       |  SELECT $ks, i, n, x, y, x1, y1, h, hm1, xm1,
+       |    3.0 * ((y1 - y) / h - (y - ym1) / hm1) AS alpha
+       |  FROM (SELECT $ks, i, n, x, y,
+       |      lead(x) OVER w AS x1, lead(y) OVER w AS y1,
+       |      lag(x) OVER w AS xm1, lag(y) OVER w AS ym1,
+       |      lead(x) OVER w - x AS h, x - lag(x) OVER w AS hm1
+       |    FROM kn WINDOW w AS (PARTITION BY $ks ORDER BY i))),
+       |fwd AS (
+       |  SELECT $ks, i, n,
+       |    h / (2.0 * (x1 - xm1) - hm1 * 0.0) AS mu,
+       |    (alpha - hm1 * 0.0) / (2.0 * (x1 - xm1) - hm1 * 0.0) AS z
+       |  FROM al WHERE i = 1
+       |  UNION ALL
+       |  SELECT ${keys.map(k => s"a.$k").mkString(", ")}, a.i, a.n,
+       |    a.h / (2.0 * (a.x1 - a.xm1) - a.hm1 * f.mu) AS mu,
+       |    (a.alpha - a.hm1 * f.z)
+       |      / (2.0 * (a.x1 - a.xm1) - a.hm1 * f.mu) AS z
+       |  FROM fwd f JOIN al a ON ${on("a", "f")} AND a.i = f.i + 1
+       |  WHERE a.i <= a.n - 2),
+       |bwd AS (
+       |  SELECT $ks, i, n, mu, z, z - mu * 0.0 AS c
+       |  FROM fwd WHERE i = n - 2
+       |  UNION ALL
+       |  SELECT ${keys.map(k => s"f.$k").mkString(", ")}, f.i, f.n,
+       |    f.mu, f.z, f.z - f.mu * b.c AS c
+       |  FROM bwd b JOIN fwd f ON ${on("f", "b")} AND f.i = b.i - 1
+       |  WHERE f.i >= 1),
+       |cc AS MATERIALIZED (
+       |  SELECT $ks, i, c FROM bwd
+       |  UNION ALL SELECT $ks, 0 AS i, 0.0 AS c FROM kn WHERE i = 0
+       |  UNION ALL SELECT $ks, n - 1 AS i, 0.0 AS c FROM kn WHERE i = 0)"""
+      .stripMargin
+  }
+
+  /** ts_spline_coeffs, hash-gated after all: the Thomas sweeps replay
+    * bit-exactly as recursive CTEs (see thomasCtes). */
   val tsSplineCoeffsSql: String =
     s"""WITH RECURSIVE ser AS MATERIALIZED (${Tables.seriesSql}),
        |k0 AS (
@@ -367,37 +409,7 @@ object TimeSeriesOps4 {
        |      count(*) OVER (PARTITION BY id) AS n
        |    FROM k0)
        |  WHERE n >= 3),
-       |al AS MATERIALIZED (
-       |  SELECT id, i, n, x, y, x1, y1, h, hm1, xm1,
-       |    3.0 * ((y1 - y) / h - (y - ym1) / hm1) AS alpha
-       |  FROM (SELECT id, i, n, x, y,
-       |      lead(x) OVER w AS x1, lead(y) OVER w AS y1,
-       |      lag(x) OVER w AS xm1, lag(y) OVER w AS ym1,
-       |      lead(x) OVER w - x AS h, x - lag(x) OVER w AS hm1
-       |    FROM kn WINDOW w AS (PARTITION BY id ORDER BY i))),
-       |fwd AS (
-       |  SELECT id, i, n,
-       |    h / (2.0 * (x1 - xm1) - hm1 * 0.0) AS mu,
-       |    (alpha - hm1 * 0.0) / (2.0 * (x1 - xm1) - hm1 * 0.0) AS z
-       |  FROM al WHERE i = 1
-       |  UNION ALL
-       |  SELECT a.id, a.i, a.n,
-       |    a.h / (2.0 * (a.x1 - a.xm1) - a.hm1 * f.mu) AS mu,
-       |    (a.alpha - a.hm1 * f.z)
-       |      / (2.0 * (a.x1 - a.xm1) - a.hm1 * f.mu) AS z
-       |  FROM fwd f JOIN al a ON a.id = f.id AND a.i = f.i + 1
-       |  WHERE a.i <= a.n - 2),
-       |bwd AS (
-       |  SELECT id, i, n, mu, z, z - mu * 0.0 AS c
-       |  FROM fwd WHERE i = n - 2
-       |  UNION ALL
-       |  SELECT f.id, f.i, f.n, f.mu, f.z, f.z - f.mu * b.c AS c
-       |  FROM bwd b JOIN fwd f ON f.id = b.id AND f.i = b.i - 1
-       |  WHERE f.i >= 1),
-       |cc AS MATERIALIZED (
-       |  SELECT id, i, c FROM bwd
-       |  UNION ALL SELECT id, 0 AS i, 0.0 AS c FROM kn WHERE i = 0
-       |  UNION ALL SELECT id, n - 1 AS i, 0.0 AS c FROM kn WHERE i = 0)
+       |${thomasCtes(Seq("id"))}
        |SELECT sg.id, cast(sg.i AS BIGINT) AS seg, sg.x AS t0, sg.x1 AS t1,
        |  sg.y AS a,
        |  (sg.y1 - sg.y) / sg.h - sg.h * (c1.c + 2.0 * c0.c) / 3.0 AS b,
