@@ -358,7 +358,7 @@ object SeriesMath {
     * Without it, a signal with a DC offset hits the cascade as a step
     * and the startup transient (far longer than the reflect padding
     * for narrow bands) corrupts the filtered series. */
-  private def sosStepZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
+  private[tsa] def sosStepZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
     var scale = 1.0
     sos.map { s =>
       val h = (s(0) + s(1) + s(2)) / (s(3) + s(4) + s(5))

@@ -460,8 +460,98 @@ object SeriesOps {
     "hht_nht" -> (hhtNht _),
     "gp_period_map" -> (gpPeriodMap _))
 
+  /** ts_butterworth, hash-gated (round 9): scipy's sosfiltfilt shape
+    * replayed bit-exactly — shared resample CTEs (SeriesOps2), the
+    * demean via a sequential `list_reduce` left fold (matching
+    * Array.sum's 0.0-seeded order, where an unordered SQL sum would
+    * drift a ulp), odd-reflect padding as list arithmetic, and each
+    * of the two forward passes as a recursive CTE stepping one
+    * sample per iteration while carrying all 2·S biquad states —
+    * the per-sample section CASCADE is computed in one step via
+    * lateral column aliases, which is dataflow-identical to the
+    * kernel's section-by-section sweeps. Reversals are index
+    * arithmetic; initial states are the step-response zi constants
+    * (embedded as round-tripping literals) scaled by each pass's
+    * first sample; the final rint(·1e6) maps to roundbankers. */
+  val tsButterworthSql: String = {
+    val sos = ButterSos
+    val zi = SeriesMath.sosStepZi(sos)
+    val S = sos.length
+    // per-sample cascade: x feeds section 0, y_{k-1} feeds section k;
+    // new states use OLD w2 (r.*) and the freshly computed y_k
+    def cascade(x: String): String = {
+      val ys = (0 until S).map { k =>
+        val xin = if (k == 0) x else s"y${k - 1}"
+        s"${sos(k)(0)} * $xin + r.w1_$k AS y$k"
+      }
+      val ws = (0 until S).flatMap { k =>
+        val xin = if (k == 0) x else s"y${k - 1}"
+        Seq(s"${sos(k)(1)} * $xin - ${sos(k)(4)} * y$k + r.w2_$k AS nw1_$k",
+          s"${sos(k)(2)} * $xin - ${sos(k)(5)} * y$k AS nw2_$k")
+      }
+      (ys ++ ws).mkString(", ")
+    }
+    val stateCols = (0 until S).map(k => s"w1_$k, w2_$k").mkString(", ")
+    val newStates = (0 until S).map(k => s"nw1_$k, nw2_$k").mkString(", ")
+    def ziInit(v: String) = (0 until S)
+      .map(k => s"${zi(k)(0)} * $v AS w1_$k, ${zi(k)(1)} * $v AS w2_$k")
+      .mkString(", ")
+    def pass(name: String, src: String, vExpr: String) =
+      s"""$name AS (
+         |  SELECT b.id, -1 AS p, cast(NULL AS double) AS y,
+         |    ${ziInit("b.v")}
+         |  FROM (SELECT id, $vExpr AS v FROM meta) b
+         |  UNION ALL
+         |  SELECT id, p, y${S - 1} AS y, $newStates FROM (
+         |    SELECT r.id, s.p, ${cascade("s.x")}
+         |    FROM $name r JOIN $src s ON s.id = r.id AND s.p = r.p + 1))"""
+        .stripMargin
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes},
+       |gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
+       |  FROM tickv GROUP BY 1 HAVING count(*) >= 20),
+       |dm AS (
+       |  SELECT id, garr, tarr,
+       |    list_reduce(list_prepend(0.0, garr), (a, b) -> a + b)
+       |      / len(garr) AS mean
+       |  FROM gl),
+       |meta AS MATERIALIZED (
+       |  SELECT id, tarr, len(garr) AS n,
+       |    least(33, len(garr) - 1) AS pad,
+       |    list_concat(list_concat(
+       |      list_transform(range(least(33, len(garr) - 1)), jj ->
+       |        2.0 * (garr[1] - mean)
+       |          - (garr[least(33, len(garr) - 1) - jj + 1] - mean)),
+       |      list_transform(garr, v -> v - mean)),
+       |      list_transform(range(least(33, len(garr) - 1)), jj ->
+       |        2.0 * (garr[len(garr)] - mean)
+       |          - (garr[len(garr) - 1 - jj] - mean))) AS ext
+       |  FROM dm),
+       |e1 AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(ext, 1) - 1 AS p, unnest(ext) AS x,
+       |    len(ext) AS np
+       |  FROM meta),
+       |${pass("f1", "e1", "ext[1]")},
+       |np1 AS (SELECT id, len(ext) AS np FROM meta),
+       |e2 AS MATERIALIZED (
+       |  SELECT f.id, n.np - 1 - f.p AS p, f.y AS x
+       |  FROM f1 f JOIN np1 n ON n.id = f.id WHERE f.p >= 0),
+       |${pass("f3", "e2",
+          "(SELECT f.y FROM f1 f WHERE f.id = meta.id" +
+          " AND f.p = len(meta.ext) - 1)")}
+       |SELECT f.id, m.tarr[(n.np - 1 - f.p) - m.pad + 1] AS t,
+       |  roundbankers(f.y * 1000000.0, 0) / 1000000.0 AS y_filt
+       |FROM f3 f
+       |JOIN np1 n ON n.id = f.id
+       |JOIN meta m ON m.id = f.id
+       |WHERE f.p >= 0
+       |  AND (n.np - 1 - f.p) BETWEEN m.pad AND m.pad + m.n - 1"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hht_inst" -> hhtInstSql,
     "hht_ht" -> hhtHtSql,
-    "hht_nht" -> hhtNhtSql)
+    "hht_nht" -> hhtNhtSql,
+    "ts_butterworth" -> tsButterworthSql)
 }

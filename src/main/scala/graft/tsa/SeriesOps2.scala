@@ -924,8 +924,168 @@ object SeriesOps2 {
     "ts_denoise_coeffs" -> (tsDenoiseCoeffs _),
     "ts_denoise" -> (tsDenoise _))
 
+  /** ts_dwt_coeffs, hash-gated (round 9): the periodized db4 pyramid
+    * is a FIXED-DEPTH level recursion — a recursive CTE carrying one
+    * list-valued row per series per level replays it bit-exactly
+    * (each level is a list_transform whose 4-tap sums are written in
+    * the kernel's m=0..3 order, taps embedded as round-tripping
+    * double literals). The resample front-end mirrors the kernel's
+    * exact pair selection (`while t(i+1) < tg` ⇒ segment index =
+    * max(#samples strictly below tg − 1, 0)) and interpolation
+    * expression — NOT the as-of carry formulation of ts_fill_gaps,
+    * whose at-sample short-circuit differs in the last ulp. Details
+    * for level L+1 derive post-hoc from level-L rows, so the
+    * recursive term references the CTE once (DuckDB's constraint). */
+  /** The uniform-resample front-end (the kernel `resample` above) as
+    * bit-exact CTEs shared by the recursive-replay oracles
+    * (ts_dwt_coeffs here, ts_butterworth in SeriesOps): `tickv` is
+    * (id, j, tg, gy) — j the 0-based grid index, tg the grid time,
+    * gy the kernel's interpolated value. Segment selection mirrors
+    * the kernel's `while t(i+1) < tg` pointer: the pair index is
+    * max(#samples strictly below tg − 1, 0) — NOT the as-of-carry
+    * formulation of ts_fill_gaps, whose at-sample short-circuit
+    * differs in the last ulp. */
+  private[tsa] val resampleCtes: String =
+    s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),
+       |pos AS (SELECT id, t, y,
+       |    row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1 AS p,
+       |    count(*) OVER (PARTITION BY id) AS np
+       |  FROM ser),
+       |bounds AS (SELECT id,
+       |    cast(ceil(min(t)/21600.0) AS bigint) AS k0,
+       |    cast(floor(max(t)/21600.0) AS bigint) AS k1
+       |  FROM pos WHERE np >= 2 GROUP BY id),
+       |ticks AS (SELECT bounds.id, g.k - k0 AS j, g.k * 21600.0 AS tg
+       |  FROM bounds, generate_series(70000, 90000) AS g(k)
+       |  WHERE g.k BETWEEN bounds.k0 AND bounds.k1),
+       |mg AS (
+       |  SELECT id, t, 1 AS is_s,
+       |    cast(NULL AS bigint) AS j, cast(NULL AS double) AS tg
+       |  FROM pos
+       |  UNION ALL SELECT id, tg AS t, 0 AS is_s, j, tg FROM ticks),
+       |cnt AS (
+       |  SELECT id, j, tg,
+       |    sum(is_s) OVER (PARTITION BY id ORDER BY t, is_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below
+       |  FROM mg QUALIFY is_s = 0),
+       |pairs AS (
+       |  SELECT id, p, t AS t0, y AS y0,
+       |    lead(t) OVER w AS t1, lead(y) OVER w AS y1
+       |  FROM pos WINDOW w AS (PARTITION BY id ORDER BY p)),
+       |tickv AS MATERIALIZED (
+       |  SELECT c.id, c.j, c.tg,
+       |    pr.y0 + (pr.y1 - pr.y0) * (c.tg - pr.t0) / (pr.t1 - pr.t0)
+       |      AS gy
+       |  FROM cnt c JOIN pairs pr
+       |    ON pr.id = c.id AND pr.p = greatest(c.below - 1, 0))"""
+      .stripMargin
+
+  val tsDwtCoeffsSql: String = {
+    def taps(c: Array[Double]) =
+      (0 to 3).map(m =>
+        s"+ ${c(m)} * arr[(2*k + $m) % len(arr) + 1]").mkString(" ")
+    s"""WITH RECURSIVE $resampleCtes,
+       |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+       |    4096, 8192, 16384, 32768, 65536, 131072, 262144]) AS n),
+       |tcnt AS (SELECT id, count(*) AS c FROM ticks GROUP BY 1),
+       |trunc AS (SELECT tcnt.id, max(pw.n) AS n
+       |  FROM tcnt JOIN pw ON pw.n <= tcnt.c GROUP BY 1),
+       |base AS (
+       |  SELECT v.id, list(v.gy ORDER BY v.j) AS arr
+       |  FROM tickv v JOIN trunc tr ON tr.id = v.id AND v.j < tr.n
+       |  GROUP BY 1),
+       |pyr AS (
+       |  SELECT id, 0 AS level, arr FROM base
+       |  UNION ALL
+       |  SELECT id, level + 1,
+       |    list_transform(range(len(arr) // 2), k ->
+       |      0.0 ${taps(Db4H)})
+       |  FROM pyr WHERE len(arr) >= 8),
+       |dl AS (
+       |  SELECT id, level + 1 AS level,
+       |    list_transform(range(len(arr) // 2), k ->
+       |      0.0 ${taps(Db4G)}) AS dlist
+       |  FROM pyr WHERE len(arr) >= 8),
+       |dr AS (SELECT id, level, generate_subscripts(dlist, 1) - 1 AS k,
+       |    unnest(dlist) AS c
+       |  FROM dl),
+       |ar AS (SELECT id, level, generate_subscripts(arr, 1) - 1 AS k,
+       |    unnest(arr) AS c
+       |  FROM pyr WHERE len(arr) < 8)
+       |SELECT id, cast(level AS INT) AS level, cast(k AS INT) AS k,
+       |  'd' AS kind, c FROM dr
+       |UNION ALL
+       |SELECT id, cast(level AS INT) AS level, cast(k AS INT) AS k,
+       |  'a' AS kind, c FROM ar""".stripMargin
+  }
+
+  /** ts_denoise, hash-gated (round 9): DERIVED-INPUT oracle over the
+    * (itself hash-gated) ts_dwt_coeffs dump — soft-threshold the
+    * detail bands, then replay the INVERSE periodized-db4 pyramid as
+    * a recursive CTE walking levels coarsest→finest. Each output
+    * element o of a level receives exactly two (k, m) contributions;
+    * the kernel accumulates them in k-ascending order, which the
+    * CASE on o reproduces (the wrap rows o<2 flip the order). The
+    * final rint(·1e6)/1e6 maps to DuckDB roundbankers (both
+    * half-even). */
+  val tsDenoiseSql: String = {
+    val h = Db4H; val g = Db4G
+    // position of the second (larger-tap) contribution, periodic wrap
+    val k2 = "(CASE WHEN o >= 2 THEN (o - 2) // 2" +
+      " ELSE (o - 2 + 2 * len(i.arr)) // 2 END)"
+    // contribution with taps (m = o%2) at k1 = o//2
+    val cA =
+      s"(CASE WHEN o % 2 = 0 THEN ${h(0)} ELSE ${h(1)} END)" +
+        s" * i.arr[o // 2 + 1]" +
+        s" + (CASE WHEN o % 2 = 0 THEN ${g(0)} ELSE ${g(1)} END)" +
+        s" * sd.sdl[o // 2 + 1]"
+    // contribution with taps (m = o%2 + 2) at k2
+    val cB =
+      s"(CASE WHEN o % 2 = 0 THEN ${h(2)} ELSE ${h(3)} END)" +
+        s" * i.arr[$k2 + 1]" +
+        s" + (CASE WHEN o % 2 = 0 THEN ${g(2)} ELSE ${g(3)} END)" +
+        s" * sd.sdl[$k2 + 1]"
+    s"""WITH RECURSIVE dw AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_dwt_coeffs/*.parquet')),
+       |st AS (SELECT id, quantile_cont(abs(c), 0.5) / 0.6745 AS sigma,
+       |  count(*) * 2 AS n
+       |  FROM dw WHERE kind = 'd' AND level = 1 GROUP BY id),
+       |th AS (SELECT id, sigma * sqrt(2.0 * ln(n)) AS thr FROM st),
+       |sdl AS MATERIALIZED (
+       |  SELECT dw.id, dw.level,
+       |    list(sign(c) * greatest(abs(c) - thr, 0.0) ORDER BY k) AS sdl
+       |  FROM dw JOIN th ON th.id = dw.id
+       |  WHERE kind = 'd' GROUP BY 1, 2),
+       |inv AS (
+       |  SELECT id, level, list(c ORDER BY k) AS arr
+       |  FROM dw WHERE kind = 'a' GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT i.id, i.level - 1,
+       |    list_transform(range(2 * len(i.arr)), o ->
+       |      CASE WHEN o >= 2 THEN 0.0 + ($cB) + ($cA)
+       |           ELSE 0.0 + ($cA) + ($cB) END)
+       |  FROM inv i JOIN sdl sd ON sd.id = i.id AND sd.level = i.level
+       |  WHERE i.level >= 1),
+       |rec0 AS (SELECT id, arr FROM inv WHERE level = 0),
+       |ser AS (${graft.Tables.seriesSql}),
+       |bounds AS (SELECT id,
+       |    cast(ceil(min(t)/21600.0) AS bigint) AS k0,
+       |    cast(floor(max(t)/21600.0) AS bigint) AS k1
+       |  FROM ser GROUP BY id HAVING count(*) >= 2),
+       |ticks AS (SELECT bounds.id, gg.k - k0 AS j, gg.k * 21600.0 AS tg
+       |  FROM bounds, generate_series(70000, 90000) AS gg(k)
+       |  WHERE gg.k BETWEEN bounds.k0 AND bounds.k1)
+       |SELECT r.id, tk.tg AS t,
+       |  roundbankers(r.arr[tk.j + 1] * 1000000.0, 0) / 1000000.0
+       |    AS y_denoised
+       |FROM rec0 r JOIN ticks tk ON tk.id = r.id AND tk.j < len(r.arr)"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "lmd_energy" -> lmdEnergySql,
+    "ts_dwt_coeffs" -> tsDwtCoeffsSql,
+    "ts_denoise" -> tsDenoiseSql,
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
     "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"),
     "gaussian_prior" -> gaussianPriorSql,
