@@ -358,6 +358,14 @@ object SeriesMath {
     * Without it, a signal with a DC offset hits the cascade as a step
     * and the startup transient (far longer than the reflect padding
     * for narrow bands) corrupts the filtered series. */
+  /** A double constant as a DuckDB-safe SQL literal: scientific
+    * notation is lexed directly as DOUBLE, whereas a bare decimal
+    * literal parses as DECIMAL and the DECIMAL→DOUBLE conversion
+    * DOUBLE-ROUNDS (int mantissa → double, then ÷10^s in double) —
+    * observed 1-ulp drift on cos(2π/16) that broke the FFT oracle's
+    * bit-exactness. */
+  private[tsa] def sqlDouble(v: Double): String = f"$v%.17e"
+
   private[tsa] def sosStepZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
     var scale = 1.0
     sos.map { s =>

@@ -482,19 +482,22 @@ object SeriesOps {
     def cascade(x: String): String = {
       val ys = (0 until S).map { k =>
         val xin = if (k == 0) x else s"y${k - 1}"
-        s"${sos(k)(0)} * $xin + r.w1_$k AS y$k"
+        s"${SeriesMath.sqlDouble(sos(k)(0))} * $xin + r.w1_$k AS y$k"
       }
       val ws = (0 until S).flatMap { k =>
         val xin = if (k == 0) x else s"y${k - 1}"
-        Seq(s"${sos(k)(1)} * $xin - ${sos(k)(4)} * y$k + r.w2_$k AS nw1_$k",
-          s"${sos(k)(2)} * $xin - ${sos(k)(5)} * y$k AS nw2_$k")
+        Seq(s"${SeriesMath.sqlDouble(sos(k)(1))} * $xin" +
+          s" - ${SeriesMath.sqlDouble(sos(k)(4))} * y$k + r.w2_$k AS nw1_$k",
+          s"${SeriesMath.sqlDouble(sos(k)(2))} * $xin" +
+          s" - ${SeriesMath.sqlDouble(sos(k)(5))} * y$k AS nw2_$k")
       }
       (ys ++ ws).mkString(", ")
     }
     val stateCols = (0 until S).map(k => s"w1_$k, w2_$k").mkString(", ")
     val newStates = (0 until S).map(k => s"nw1_$k, nw2_$k").mkString(", ")
     def ziInit(v: String) = (0 until S)
-      .map(k => s"${zi(k)(0)} * $v AS w1_$k, ${zi(k)(1)} * $v AS w2_$k")
+      .map(k => s"${SeriesMath.sqlDouble(zi(k)(0))} * $v AS w1_$k, " +
+        s"${SeriesMath.sqlDouble(zi(k)(1))} * $v AS w2_$k")
       .mkString(", ")
     def pass(name: String, src: String, vExpr: String) =
       s"""$name AS (
@@ -506,7 +509,7 @@ object SeriesOps {
          |    SELECT r.id, s.p, ${cascade("s.x")}
          |    FROM $name r JOIN $src s ON s.id = r.id AND s.p = r.p + 1))"""
         .stripMargin
-    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes},
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
        |gl AS (
        |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
        |  FROM tickv GROUP BY 1 HAVING count(*) >= 20),
@@ -549,9 +552,133 @@ object SeriesOps {
       .stripMargin
   }
 
+  /** hht_analytic, hash-gated (round 9): the radix-2 FFT Hilbert
+    * transform replayed bit-exactly with ZERO trig calls in DuckDB —
+    * the per-level twiddle bases cos/sin(±2π/len) are Scala-computed
+    * literals for every possible len (the kernel's only libm trig,
+    * where JVM-vs-C 1-ulp drift would break raw-double equality),
+    * and each level's in-block twiddle sequence is the kernel's own
+    * complex-multiplication recurrence, replayed per len by a
+    * recursive CTE. Bit reversal is a pure integer permutation;
+    * each butterfly level is one list_transform over the (re, im)
+    * lists with expressions in the kernel's evaluation order; the
+    * inverse pass re-reverses, runs the +2π twiddles, and divides by
+    * n — exactly `SeriesMath.fft`/`analytic`. */
+  val hhtAnalyticSql: String = {
+    val lens = (1 to 14).map(1 << _) // 2 .. 16384
+    val twbase = lens.flatMap { len =>
+      Seq(false, true).map { inv =>
+        val ang = (if (inv) 2.0 else -2.0) * math.Pi / len
+        val dir = if (inv) 1 else 0
+        s"($len, $dir, ${SeriesMath.sqlDouble(math.cos(ang))}, " +
+          s"${SeriesMath.sqlDouble(math.sin(ang))})"
+      }
+    }.mkString(",\n       ")
+    val bitsCase = "CASE n " +
+      lens.zipWithIndex.map { case (l, i) => s"WHEN $l THEN ${i + 1}" }
+        .mkString(" ") + " END"
+    def bitrev(v: String) = (0 to 13).map(b =>
+      s"(CASE WHEN bits > $b THEN ((($v >> $b) & 1) << (bits - 1 - $b))" +
+        s" ELSE 0 END)").mkString(" + ")
+    // one butterfly level over the packed state: q is the global
+    // element index, f the state row (rel/iml/len), tl the twiddles
+    val half = "(f.len // 2)"
+    val k = "(q % f.len)"
+    def vAt(j: String, kk: String, reExpr: Boolean) =
+      if (reExpr)
+        s"(f.rel[$j + 1] * tl.crl[$kk + 1] - f.iml[$j + 1] * tl.cil[$kk + 1])"
+      else
+        s"(f.rel[$j + 1] * tl.cil[$kk + 1] + f.iml[$j + 1] * tl.crl[$kk + 1])"
+    def lvl(reExpr: Boolean): String = {
+      val arr = if (reExpr) "f.rel" else "f.iml"
+      s"""list_transform(range(f.n), q ->
+         |        CASE WHEN $k < $half THEN
+         |          $arr[q + 1] + ${vAt(s"q + $half", k, reExpr)}
+         |        ELSE
+         |          $arr[q - $half + 1]
+         |            - ${vAt("q", s"($k - $half)", reExpr)}
+         |        END)""".stripMargin
+    }
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
+       |gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
+       |  FROM tickv GROUP BY 1),
+       |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+       |    4096, 8192, 16384]) AS n),
+       |tr AS (SELECT gl.id, max(pw.n) AS n
+       |  FROM gl JOIN pw ON pw.n <= len(gl.garr) GROUP BY 1),
+       |xm AS (SELECT gl.id, tr.n, gl.tarr, gl.garr,
+       |    list_reduce(list_prepend(0.0, gl.garr[1:tr.n]), (a, b) -> a + b)
+       |      / tr.n AS mean
+       |  FROM gl JOIN tr ON tr.id = gl.id),
+       |xd AS (SELECT id, n, tarr, $bitsCase AS bits,
+       |    list_transform(garr[1:n], v -> v - mean) AS xr
+       |  FROM xm),
+       |twb(len, dir, wr, wi) AS (VALUES
+       |  $twbase),
+       |tw AS (
+       |  SELECT len, dir, 0 AS k,
+       |    CAST(1.0 AS DOUBLE) AS cr, CAST(0.0 AS DOUBLE) AS ci,
+       |    CAST(wr AS DOUBLE) AS wr, CAST(wi AS DOUBLE) AS wi
+       |  FROM twb
+       |  UNION ALL
+       |  SELECT len, dir, k + 1, cr * wr - ci * wi, cr * wi + ci * wr,
+       |    wr, wi
+       |  FROM tw WHERE k + 1 < len // 2),
+       |twl AS MATERIALIZED (
+       |  SELECT len, dir, list(cr ORDER BY k) AS crl,
+       |    list(ci ORDER BY k) AS cil
+       |  FROM tw GROUP BY 1, 2),
+       |bf AS MATERIALIZED (
+       |  SELECT id, n, tarr, bits,
+       |    list_transform(range(n), q -> xr[(${bitrev("q")}) + 1]) AS rel,
+       |    list_transform(range(n), q -> CAST(0.0 AS DOUBLE)) AS iml
+       |  FROM xd),
+       |ff AS (
+       |  SELECT id, n, tarr, bits, 2 AS len, rel, iml FROM bf
+       |  UNION ALL
+       |  SELECT f.id, f.n, f.tarr, f.bits, f.len * 2,
+       |    ${lvl(reExpr = true)},
+       |    ${lvl(reExpr = false)}
+       |  FROM ff f JOIN twl tl ON tl.len = f.len AND tl.dir = 0
+       |  WHERE f.len <= f.n),
+       |sp AS MATERIALIZED (
+       |  SELECT id, n, tarr, bits,
+       |    list_transform(range(n), q ->
+       |      CASE WHEN q >= 1 AND q < n // 2 THEN rel[q + 1] * 2.0
+       |           WHEN q > n // 2 THEN 0.0 ELSE rel[q + 1] END) AS sre,
+       |    list_transform(range(n), q ->
+       |      CASE WHEN q >= 1 AND q < n // 2 THEN iml[q + 1] * 2.0
+       |           WHEN q > n // 2 THEN 0.0 ELSE iml[q + 1] END) AS sim
+       |  FROM ff WHERE len = 2 * n),
+       |bi AS MATERIALIZED (
+       |  SELECT id, n, tarr, bits,
+       |    list_transform(range(n), q -> sre[(${bitrev("q")}) + 1]) AS rel,
+       |    list_transform(range(n), q -> sim[(${bitrev("q")}) + 1]) AS iml
+       |  FROM sp),
+       |fi AS (
+       |  SELECT id, n, tarr, bits, 2 AS len, rel, iml FROM bi
+       |  UNION ALL
+       |  SELECT f.id, f.n, f.tarr, f.bits, f.len * 2,
+       |    ${lvl(reExpr = true)},
+       |    ${lvl(reExpr = false)}
+       |  FROM fi f JOIN twl tl ON tl.len = f.len AND tl.dir = 1
+       |  WHERE f.len <= f.n),
+       |res AS (
+       |  SELECT id, n, tarr,
+       |    list_transform(rel, v -> v / n) AS rel,
+       |    list_transform(iml, v -> v / n) AS iml
+       |  FROM fi WHERE len = 2 * n)
+       |SELECT r.id, r.tarr[q.q + 1] AS t,
+       |  r.rel[q.q + 1] AS re, r.iml[q.q + 1] AS im
+       |FROM res r, LATERAL (SELECT unnest(range(r.n)) AS q) AS q"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hht_inst" -> hhtInstSql,
     "hht_ht" -> hhtHtSql,
     "hht_nht" -> hhtNhtSql,
-    "ts_butterworth" -> tsButterworthSql)
+    "ts_butterworth" -> tsButterworthSql,
+    "hht_analytic" -> hhtAnalyticSql)
 }

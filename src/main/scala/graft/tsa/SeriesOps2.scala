@@ -945,7 +945,17 @@ object SeriesOps2 {
     * max(#samples strictly below tg − 1, 0) — NOT the as-of-carry
     * formulation of ts_fill_gaps, whose at-sample short-circuit
     * differs in the last ulp. */
-  private[tsa] val resampleCtes: String =
+  private[tsa] def resampleCtes(fracFirst: Boolean): String = {
+    // SeriesOps2.resample computes y0 + ((y1−y0)·(tg−t0))/(t1−t0);
+    // SeriesOps.resampleUniform computes the fraction FIRST — a
+    // last-ulp association difference that an unrounded downstream
+    // (hht_analytic's FFT) amplifies to 1e-13, so each oracle must
+    // pick its kernel's association.
+    val interp =
+      if (fracFirst)
+        "pr.y0 + (pr.y1 - pr.y0) * ((c.tg - pr.t0) / (pr.t1 - pr.t0))"
+      else
+        "pr.y0 + (pr.y1 - pr.y0) * (c.tg - pr.t0) / (pr.t1 - pr.t0)"
     s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),
        |pos AS (SELECT id, t, y,
        |    row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1 AS p,
@@ -974,17 +984,17 @@ object SeriesOps2 {
        |  FROM pos WINDOW w AS (PARTITION BY id ORDER BY p)),
        |tickv AS MATERIALIZED (
        |  SELECT c.id, c.j, c.tg,
-       |    pr.y0 + (pr.y1 - pr.y0) * (c.tg - pr.t0) / (pr.t1 - pr.t0)
-       |      AS gy
+       |    $interp AS gy
        |  FROM cnt c JOIN pairs pr
        |    ON pr.id = c.id AND pr.p = greatest(c.below - 1, 0))"""
       .stripMargin
+  }
 
   val tsDwtCoeffsSql: String = {
     def taps(c: Array[Double]) =
       (0 to 3).map(m =>
-        s"+ ${c(m)} * arr[(2*k + $m) % len(arr) + 1]").mkString(" ")
-    s"""WITH RECURSIVE $resampleCtes,
+        s"+ ${SeriesMath.sqlDouble(c(m))} * arr[(2*k + $m) % len(arr) + 1]").mkString(" ")
+    s"""WITH RECURSIVE ${resampleCtes(fracFirst = false)},
        |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
        |    4096, 8192, 16384, 32768, 65536, 131072, 262144]) AS n),
        |tcnt AS (SELECT id, count(*) AS c FROM ticks GROUP BY 1),
@@ -1035,15 +1045,15 @@ object SeriesOps2 {
       " ELSE (o - 2 + 2 * len(i.arr)) // 2 END)"
     // contribution with taps (m = o%2) at k1 = o//2
     val cA =
-      s"(CASE WHEN o % 2 = 0 THEN ${h(0)} ELSE ${h(1)} END)" +
+      s"(CASE WHEN o % 2 = 0 THEN ${SeriesMath.sqlDouble(h(0))} ELSE ${SeriesMath.sqlDouble(h(1))} END)" +
         s" * i.arr[o // 2 + 1]" +
-        s" + (CASE WHEN o % 2 = 0 THEN ${g(0)} ELSE ${g(1)} END)" +
+        s" + (CASE WHEN o % 2 = 0 THEN ${SeriesMath.sqlDouble(g(0))} ELSE ${SeriesMath.sqlDouble(g(1))} END)" +
         s" * sd.sdl[o // 2 + 1]"
     // contribution with taps (m = o%2 + 2) at k2
     val cB =
-      s"(CASE WHEN o % 2 = 0 THEN ${h(2)} ELSE ${h(3)} END)" +
+      s"(CASE WHEN o % 2 = 0 THEN ${SeriesMath.sqlDouble(h(2))} ELSE ${SeriesMath.sqlDouble(h(3))} END)" +
         s" * i.arr[$k2 + 1]" +
-        s" + (CASE WHEN o % 2 = 0 THEN ${g(2)} ELSE ${g(3)} END)" +
+        s" + (CASE WHEN o % 2 = 0 THEN ${SeriesMath.sqlDouble(g(2))} ELSE ${SeriesMath.sqlDouble(g(3))} END)" +
         s" * sd.sdl[$k2 + 1]"
     s"""WITH RECURSIVE dw AS MATERIALIZED (
        |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_dwt_coeffs/*.parquet')),
