@@ -133,15 +133,21 @@ object EventsOps {
   // events_retention — cohort retention: users grouped by their
   // first-active day, counted on each later active day offset. Two
   // user-keyed aggregations + one join; output is cohorts × offsets
-  // (calendar-sized, never user-sized). Day ids from integer-µs
-  // floor division — exact in both engines.
+  // (calendar-sized, never user-sized). Day ids from exact-integer
+  // FLOOR division on both engines: Spark `div` AND DuckDB integer
+  // `//` both truncate toward zero (checked: -1 // 86400000000 = 0
+  // in DuckDB), which would bucket every pre-1970 partial day into
+  // day 0's cohort — so BOTH sides floor explicitly via the
+  // positive-mod identity ((us − posmod(us, day)) is an exact
+  // multiple, so the integer division is exact and sign-safe).
   // -------------------------------------------------------------------
   private val DayUs = 86400000000L
 
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.table(spark, dir, "events")
     val d = ev.select(col("user_id"), Tables.tsMicros(ev).as("us"))
-      .select(col("user_id"), expr(s"us div $DayUs").as("day"))
+      .select(col("user_id"),
+        expr(s"(us - pmod(us, $DayUs)) div $DayUs").as("day"))
       .distinct()
     val f = d.groupBy("user_id").agg(min("day").as("cohort_day"))
     d.join(f, "user_id")
@@ -151,7 +157,9 @@ object EventsOps {
 
   val eventsRetentionSql: String =
     s"""WITH d AS (
-       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+       |  SELECT DISTINCT user_id,
+       |    (epoch_us(ts) - ((epoch_us(ts) % $DayUs + $DayUs) % $DayUs))
+       |      // $DayUs AS day
        |  FROM events),
        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
        |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,

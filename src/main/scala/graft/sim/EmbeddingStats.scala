@@ -55,15 +55,24 @@ object EmbeddingStats {
   // emb_dim_stats — per-dimension mean / sd over the corpus: the
   // standardization (whitening) pass. One aggregate, d output rows.
   // -------------------------------------------------------------------
-  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+  // Sums run in decimal(38,0), not long: rc² ≈ 1e12–1e13 per row, so a
+  // 64-bit sum wraps silently (Spark non-ANSI) around ~1e6 rows per
+  // dimension while DuckDB promotes to HUGEINT — the engines would
+  // silently diverge exactly at scale. decimal(38,0) holds ~1e38
+  // (≈1e25 corpus rows at 1e13/row), and Spark's map-side combine is
+  // unchanged (decimal sum is still a partial-aggregatable codegen'd
+  // sum).
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val rcDec = col("rc").cast("decimal(38,0)")
     comps(spark, dir).groupBy("i")
       .agg(count(lit(1)).as("n"),
-        round(sum("rc").cast("double") / count(lit(1)) / 1000000.0, 6)
+        round(sum(rcDec).cast("double") / count(lit(1)) / 1000000.0, 6)
           .as("mean"),
         round(
-          sqrt((sum(col("rc") * col("rc")).cast("double") -
-            sum("rc").cast("double") * sum("rc").cast("double") /
+          sqrt((sum(rcDec * rcDec).cast("double") -
+            sum(rcDec).cast("double") * sum(rcDec).cast("double") /
               count(lit(1))) / count(lit(1))) / 1000000.0, 6).as("sd"))
+  }
 
   val embDimStatsSql: String =
     s"""WITH $compsSql
@@ -102,7 +111,14 @@ object EmbeddingStats {
           (y, k) => struct(i.as("i"), (i + k).as("j"),
             (x * y).as("p")))))).as("pr"))
       .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(sum(col("pr.p")).as("g"))
+      // decimal(38,0) accumulator for the same wrap-vs-HUGEINT reason
+      // as embDimStats; the final cast back to long keeps the output
+      // schema and is loud on overflow (decimal→long nulls, never
+      // wraps). int64 output bounds each Gram CELL at ~9.2e18 ≈ 1e6
+      // corpus rows at 1e13/row-pair — widen `g` to decimal(38,0) on
+      // both engines past that (DuckDB side is already HUGEINT-exact
+      // before its BIGINT cast).
+      .agg(sum(col("pr.p").cast("decimal(38,0)")).cast("long").as("g"))
   }
 
   def embGram(spark: SparkSession, dir: String): DataFrame =
@@ -167,6 +183,15 @@ object EmbeddingStats {
         s => s.getField("v")).as("m"))
       .as[Array[Double]]
     mRow.flatMap { m0 =>
+      // Empty corpus → the no-groupBy agg still emits ONE row with an
+      // empty collect_list; bail before renorm's max-on-empty throws.
+      if (m0.isEmpty) Iterator.empty
+      else embPc1Kernel(m0)
+    }.toDF("i", "pc1")
+  }
+
+  private def embPc1Kernel(m0: Array[Double]): Iterator[(Int, Double)] = {
+    {
       val d = math.round(math.sqrt(m0.length.toDouble)).toInt
       def renorm(m: Array[Double]): Array[Double] = {
         val mx = m.map(math.abs).max
@@ -192,8 +217,8 @@ object EmbeddingStats {
       // v = normalize(M·1): row sums of the filtered matrix
       val w = Array.tabulate(d)(i => m.slice(i * d, i * d + d).sum)
       val nrm = math.sqrt(w.map(u => u * u).sum)
-      w.zipWithIndex.map { case (u, i) => (i, roundAt(u / nrm, 6)) }
-    }.toDF("i", "pc1")
+      w.zipWithIndex.iterator.map { case (u, i) => (i, roundAt(u / nrm, 6)) }
+    }
   }
 
   val embPc1Sql: String = {

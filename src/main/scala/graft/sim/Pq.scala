@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Product quantization — the compressed-index ANN path that
   * complements IVF (Jégou et al. 2011, "Product quantization for
   * nearest neighbor search"): each 64-dim vector splits into M=8
-  * 8-dim sub-vectors, each assigned to one of K=16 per-subspace
+  * 8-dim sub-vectors, each assigned to one of K=64 per-subspace
   * centroids, so a vector compresses to 8 codes; queries score the
   * corpus with asymmetric distance computation (ADC) — per-query
   * lookup tables of query↔centroid sub-distances, summed over a
@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * distance with code/cid tiebreaks so both engines pick identical
   * rows.
   *
-  * 100 TB shape: the codebook is M·K·(d/M) = 1024 doubles →
+  * 100 TB shape: the codebook is M·K·(d/M) = 4096 doubles →
   * broadcast everywhere; code assignment is one corpus pass + a
   * (vec_id, m)-keyed argmin; ADC joins the (corpus × M) code table
   * to a broadcast (query × M × K) lookup table and aggregates — work
