@@ -675,10 +675,222 @@ object SeriesOps {
       .stripMargin
   }
 
+  /** emd_imfs, hash-gated (round 10): the full Rilling sift loop —
+    * data-DEPENDENT iteration counts and all — replayed bit-exactly by
+    * ONE condition-terminated recursive CTE. Round 9 established that
+    * fixed-length recurrences replay in recursive CTEs; the remaining
+    * blocker was the sift's nested sequential structure (per iteration:
+    * two natural-spline envelope solves, each itself a forward+backward
+    * Thomas recurrence of data-dependent length). The two moves that
+    * make it expressible AND fast:
+    *
+    *  1. One recursion step per SIFT ITERATION, carrying (id, mode k,
+    *     iter, accepted, t[], mode[], residue[]) as list columns. The
+    *     Rilling stop criteria live in plain column predicates; the
+    *     step's WHERE drops rows when the decomposition ends (broke /
+    *     monotonic residue / max modes), so the recursion terminates
+    *     exactly when the kernel's loops do. Accepted modes are emitted
+    *     as flagged rows — the recursive CTE's UNION ALL history IS the
+    *     output, filtered at the end (no separate accumulator needed).
+    *  2. The per-iteration Thomas sweeps run as `list_reduce` LEFT
+    *     FOLDS over a flat DOUBLE[] accumulator ([µ₀,z₀,µ₁,z₁,…] —
+    *     DuckDB 1.0 truncates list fields inside STRUCT accumulators,
+    *     flat lists fold correctly), with each fold element carrying
+    *     [h(i), h(i−1), x(i+1)−x(i−1), α(i)] so the lambda reproduces
+    *     the kernel's l/µ/z recurrences operand-for-operand. l(i) is
+    *     inlined twice (µ and z both divide by it) — recomputing the
+    *     identical expression is IEEE-deterministic, so the replay
+    *     stays bit-exact.
+    *
+    * Portability trap worth recording (cost 80×): a LAMBDA BODY must
+    * never reference a lateral column alias from its own SELECT —
+    * DuckDB inlines the alias's defining expression into every
+    * reference site and re-evaluates it PER LIST ELEMENT, so the
+    * spline segment-lookup (itself an O(knots) filter) referenced 4×
+    * inside the evaluation lambda turned O(n·m) into O(n²·m²): 415 s
+    * for the sf0.01 gate. Hoisting the lookup and dx into their own
+    * projection layers (plain columns at the point of lambda use)
+    * brought the identical computation to 5 s. Cross-layer column
+    * references are safe; same-layer alias references inside lambdas
+    * are not.
+    *
+    * Everything mirrors SeriesMath (emd/emdSift/envelopeKnots/
+    * splineCoeffs/splineEval; reference decomposition.py:45-119):
+    * strict extrema with edges, odd-reflect/plain-reflect pad-and-drop
+    * (k=2), natural-spline envelopes evaluated with the kernel's
+    * left-associated Horner-free polynomial, σ = |µ/amp| with the
+    * amp==0 → 1e-300 guard, IMF criteria (frac(σ>θ₁)<α, all σ<θ₂,
+    * |zero−ext|≤1), maxIter-exhaustion acceptance, residue-monotonic
+    * termination, maxModes=8. Output rint(·1e6) → roundbankers. */
+  val emdImfsSql: String = {
+    // one envelope (p ∈ {u, l}): fold elements, forward/backward
+    // Thomas folds, coefficient lists
+    def elFw(p: String) =
+      s"""list_transform(range(1, n$p - 1), i -> [
+         |    ptx$p[i+2] - ptx$p[i+1],
+         |    ptx$p[i+1] - ptx$p[i],
+         |    ptx$p[i+2] - ptx$p[i],
+         |    3.0 * ((pty$p[i+2] - pty$p[i+1]) / (ptx$p[i+2] - ptx$p[i+1])
+         |         - (pty$p[i+1] - pty$p[i]) / (ptx$p[i+1] - ptx$p[i]))
+         |  ]) AS el$p,
+         |  list_reduce(
+         |    list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)], el$p),
+         |    (a, b) -> list_concat(a, [
+         |      b[1] / (2.0 * b[3] - b[2] * a[len(a) - 1]),
+         |      (b[4] - b[2] * a[len(a)])
+         |        / (2.0 * b[3] - b[2] * a[len(a) - 1])
+         |    ])) AS fw$p""".stripMargin
+    def musZs(p: String) =
+      s"""list_transform(range(n$p - 1), i -> fw$p[2 * i + 1]) AS mus$p,
+         |  list_transform(range(n$p - 1), i -> fw$p[2 * i + 2]) AS zs$p"""
+        .stripMargin
+    def bwd(p: String) =
+      s"""list_reduce(
+         |    list_prepend([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(1, n$p - 1),
+         |        q -> [zs$p[n$p - q], mus$p[n$p - q]])),
+         |    (a, b) -> list_concat(a, [b[1] - b[2] * a[len(a)]])) AS bw$p"""
+        .stripMargin
+    def cs(p: String) =
+      s"""list_concat([CAST(0.0 AS DOUBLE)],
+         |    list_transform(range(1, n$p), i -> bw$p[n$p - i])) AS cs$p"""
+        .stripMargin
+    def bsDs(p: String) =
+      s"""list_transform(range(n$p - 1), i ->
+         |    (pty$p[i+2] - pty$p[i+1]) / (ptx$p[i+2] - ptx$p[i+1])
+         |    - (ptx$p[i+2] - ptx$p[i+1]) * (cs$p[i+2] + 2.0 * cs$p[i+1])
+         |      / 3.0) AS bs$p,
+         |  list_transform(range(n$p - 1), i ->
+         |    (cs$p[i+2] - cs$p[i+1]) / (3.0 * (ptx$p[i+2] - ptx$p[i+1])))
+         |    AS ds$p""".stripMargin
+    // segment lookup / dx / evaluation — three SEPARATE layers (see
+    // the lateral-alias trap above)
+    def lou(p: String) =
+      s"""list_transform(tarr, x -> least(n$p - 2, greatest(0,
+         |    len(list_filter(ptx$p, v -> v <= x)) - 1))) AS lo$p"""
+        .stripMargin
+    def dx(p: String) =
+      s"""list_transform(range(n), q -> tarr[q+1] - ptx$p[lo$p[q+1] + 1])
+         |    AS dx$p""".stripMargin
+    def ev(p: String) =
+      s"""list_transform(range(n), q ->
+         |    pty$p[lo$p[q+1] + 1]
+         |    + bs$p[lo$p[q+1] + 1] * dx$p[q+1]
+         |    + cs$p[lo$p[q+1] + 1] * dx$p[q+1] * dx$p[q+1]
+         |    + ds$p[lo$p[q+1] + 1] * dx$p[q+1] * dx$p[q+1] * dx$p[q+1])
+         |    AS ev$p""".stripMargin
+    def pads(p: String) =
+      s"""list_concat(list_concat(
+         |    [2.0 * tx$p[1] - tx$p[3], 2.0 * tx$p[1] - tx$p[2]],
+         |    tx$p[2:m0$p - 1]),
+         |    [2.0 * tx$p[m0$p] - tx$p[m0$p - 1],
+         |     2.0 * tx$p[m0$p] - tx$p[m0$p - 2]]) AS ptx$p,
+         |  list_concat(list_concat(
+         |    [ty$p[3], ty$p[2]], ty$p[2:m0$p - 1]),
+         |    [ty$p[m0$p - 1], ty$p[m0$p - 2]]) AS pty$p""".stripMargin
+    s"""WITH RECURSIVE ser AS MATERIALIZED (${graft.Tables.seriesSql}),
+       |base AS MATERIALIZED (
+       |  SELECT id, list(t ORDER BY t, eid) AS tarr,
+       |    list(y ORDER BY t, eid) AS yarr
+       |  FROM ser GROUP BY 1 HAVING count(*) >= 4),
+       |emd AS (
+       |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
+       |    tarr, yarr AS marr, yarr AS rarr
+       |  FROM base
+       |  UNION ALL
+       |  SELECT id,
+       |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
+       |    CASE WHEN accepted THEN 0 WHEN isimf THEN it ELSE it + 1 END
+       |      AS it,
+       |    CASE WHEN accepted THEN false
+       |         WHEN isimf OR it + 1 >= 200 THEN true ELSE false END
+       |      AS accepted,
+       |    tarr,
+       |    CASE WHEN accepted THEN rarr WHEN isimf THEN w ELSE sub END
+       |      AS marr,
+       |    CASE WHEN accepted THEN rarr
+       |         WHEN isimf THEN list_transform(range(n),
+       |           q -> rarr[q+1] - w[q+1])
+       |         WHEN it + 1 >= 200 THEN list_transform(range(n),
+       |           q -> rarr[q+1] - (w[q+1] - muv[q+1]))
+       |         ELSE rarr END AS rarr
+       |  FROM (
+       |   SELECT *,
+       |    CAST(len(list_filter(sig, s -> s > 0.05)) AS DOUBLE) / n < 0.05
+       |      AND len(list_filter(sig, s -> NOT (s < 0.5))) = 0
+       |      AND abs(nz - next_) <= 1 AS isimf,
+       |    list_transform(range(n), q -> w[q+1] - muv[q+1]) AS sub
+       |   FROM (
+       |    SELECT *,
+       |     list_transform(range(n), q -> (evu[q+1] + evl[q+1]) / 2.0)
+       |       AS muv,
+       |     list_transform(range(n), q ->
+       |       abs(((evu[q+1] + evl[q+1]) / 2.0)
+       |         / (CASE WHEN (evu[q+1] - evl[q+1]) / 2.0 = 0.0 THEN 1e-300
+       |                 ELSE (evu[q+1] - evl[q+1]) / 2.0 END))) AS sig
+       |    FROM (
+       |     SELECT *, ${ev("u")}, ${ev("l")}
+       |     FROM (
+       |      SELECT *, ${dx("u")}, ${dx("l")}
+       |      FROM (
+       |       SELECT *, ${lou("u")}, ${lou("l")}
+       |       FROM (
+       |        SELECT *, ${bsDs("u")}, ${bsDs("l")}
+       |        FROM (
+       |         SELECT *, ${cs("u")}, ${cs("l")}
+       |         FROM (
+       |          SELECT *, ${bwd("u")}, ${bwd("l")}
+       |          FROM (
+       |           SELECT *, ${musZs("u")}, ${musZs("l")}
+       |           FROM (
+       |            SELECT *, ${elFw("u")}, ${elFw("l")}
+       |            FROM (
+       |             SELECT *, len(txu) AS m0u, len(txl) AS m0l,
+       |              ${pads("u")}, ${pads("l")},
+       |              len(ptxu) AS nu, len(ptxl) AS nl
+       |             FROM (
+       |              SELECT *,
+       |               list_transform(pke, i -> tarr[i + 1]) AS txu,
+       |               list_transform(pke, i -> w[i + 1]) AS tyu,
+       |               list_transform(dpe, i -> tarr[i + 1]) AS txl,
+       |               list_transform(dpe, i -> w[i + 1]) AS tyl
+       |              FROM (
+       |               SELECT id, k, it, accepted, tarr, marr, rarr, n, w,
+       |                pk, dp, nz,
+       |                list_concat(list_concat([CAST(0 AS BIGINT)], pk),
+       |                  [n - 1]) AS pke,
+       |                list_concat(list_concat([CAST(0 AS BIGINT)], dp),
+       |                  [n - 1]) AS dpe,
+       |                len(pk) + len(dp) AS next_,
+       |                len(pk) < 2 OR len(dp) < 2 AS broke
+       |               FROM (
+       |                SELECT *,
+       |                 list_filter(range(1, n - 1),
+       |                   i -> w[i+1] > w[i] AND w[i+1] > w[i+2]) AS pk,
+       |                 list_filter(range(1, n - 1),
+       |                   i -> w[i+1] < w[i] AND w[i+1] < w[i+2]) AS dp,
+       |                 len(list_filter(range(n - 1),
+       |                   i -> (w[i+1] >= 0) <> (w[i+2] >= 0))) AS nz
+       |                FROM (
+       |                 SELECT *, len(marr) AS n,
+       |                  CASE WHEN accepted THEN rarr ELSE marr END AS w
+       |                 FROM emd r) s0 ) s1 ) s2 ) s3 ) s4 ) s5 ) s6 ) s7
+       |              ) s8 ) s9 ) sa ) sb ) sc ) sd ) se
+       |  WHERE CASE WHEN accepted
+       |             THEN k + 1 < 8 AND len(pk) > 0 AND len(dp) > 0
+       |             ELSE NOT broke END
+       |)
+       |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
+       |  roundbankers(e.marr[q.q + 1] * 1000000.0, 0) / 1000000.0 AS y
+       |FROM emd e, LATERAL (SELECT unnest(range(len(e.marr))) AS q) q
+       |WHERE e.accepted""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hht_inst" -> hhtInstSql,
     "hht_ht" -> hhtHtSql,
     "hht_nht" -> hhtNhtSql,
     "ts_butterworth" -> tsButterworthSql,
-    "hht_analytic" -> hhtAnalyticSql)
+    "hht_analytic" -> hhtAnalyticSql,
+    "emd_imfs" -> emdImfsSql)
 }
