@@ -77,7 +77,10 @@ object Bench {
     // substitutes it into both the standalone ceemdan query and the
     // pivot (relies on the perSeries lambda being a capture-free
     // cached instance, so the two plans stay canonically equal)
-    warm("ceemdan") { graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count() }
+    // the 10-realization ensemble dump is the kernel tier behind the
+    // whole ceemdan family (round 10): ceemdan is now a declarative
+    // compose over it, and post/orthogonality compose over ceemdan
+    warm("ceemdan") { graft.tsa.SeriesOps2.ceemdanDump(spark, sfDir).persist().count() }
     // hht_inst is a DQ window compose over the hht_norm sift dump, and
     // hht_spectrogram a declarative rebin over hht_inst — persist both
     // layers so the three queries share one sift + one gradient pass

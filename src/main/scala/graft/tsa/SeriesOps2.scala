@@ -170,10 +170,14 @@ object SeriesOps2 {
     }
   }
 
-  /** CEEMDAN core shared by `ceemdan` and `ceemdan_post`: returns the
-    * subsampled time grid, the NORMALIZED modes, and sigma. */
-  private def ceemdanCore(id: Long, t0: Array[Double], yr: Array[Double])
-      : Option[(Array[Double], List[Array[Double]], Double)] = {
+  /** CEEMDAN core shared by `ceemdan_dump` and the recovery spec:
+    * returns the subsampled time grid, the NORMALIZED modes, sigma,
+    * the normalized starting residue y/σ, and — per mode k, per
+    * realization r — the ensemble inputs/outputs (noisy, extracted
+    * mode) that the round-10 hash gate replays the averaging over. */
+  private[graft] def ceemdanCore(id: Long, t0: Array[Double], yr: Array[Double])
+      : Option[(Array[Double], List[Array[Double]], Double, Array[Double],
+        List[IndexedSeq[(Array[Double], Array[Double])]])] = {
     val ensembleSize = 10
     val epsilon = 0.2
     // long series are stride-subsampled to <=256 points: the ensemble
@@ -196,10 +200,11 @@ object SeriesOps2 {
       }
       var residue = y.clone()
       var imfs = List.empty[Array[Double]]
+      var reals = List.empty[IndexedSeq[(Array[Double], Array[Double])]]
       var stop = false
       while (!stop && imfs.length < 4) {
         val k = imfs.length
-        val mus = (0 until ensembleSize).map { r =>
+        val pairs = (0 until ensembleSize).map { r =>
           val noisy = residue.clone()
           if (noiseModes(r).length > k) {
             val beta = epsilon * {
@@ -217,30 +222,96 @@ object SeriesOps2 {
           }
           val ms = SeriesMath.emd(t, noisy, maxModes = 1, maxIter = 15)
           val mode = if (ms.nonEmpty) ms.head else noisy.clone()
+          (noisy, mode)
+        }
+        val mus = pairs.map { case (noisy, mode) =>
           Array.tabulate(n)(i => noisy(i) - mode(i))
         }
         val mu = Array.tabulate(n)(i =>
           mus.map(_(i)).sum / ensembleSize)
         imfs = imfs :+ Array.tabulate(n)(i => residue(i) - mu(i))
+        reals = reals :+ pairs
         residue = mu
         val rimfs = SeriesMath.emd(t, residue, maxModes = 2, maxIter = 15)
         if (rimfs.length <= 1) stop = true
       }
-      Some((t, imfs, sigma))
+      Some((t, imfs, sigma, y, reals))
     }
   }
 
-  def ceemdan(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir) { (id, t0, yr) =>
+  // -------------------------------------------------------------------
+  // ceemdan_dump — the CEEMDAN kernel tier (round 10): per (mode k,
+  // realization r, sample) the ensemble input `noisy` (residue +
+  // scaled noise mode) and the single extracted `mode` from it, plus
+  // σ and the normalized starting residue y/σ. Rows-only by design
+  // (the noise construction runs libm log/cos whose JVM-vs-C ulps
+  // preclude cross-engine replay, and each extraction is a sift) —
+  // but everything DOWNSTREAM of it is plain arithmetic, which the
+  // hash-gated `ceemdan` twin replays (see below).
+  // -------------------------------------------------------------------
+  private val ceemdanDumpFn
+      : (Long, Array[Double], Array[Double]) => Iterator[
+        (Long, Int, Int, Double, Double, Double, Double, Double)] =
+    (id, t0, yr) => {
       ceemdanCore(id, t0, yr) match {
         case None => Iterator.empty
-        case Some((t, imfs, sigma)) =>
-          imfs.iterator.zipWithIndex.flatMap { case (m, k) =>
-            t.indices.iterator.map(i =>
-              (id, k, t(i), math.rint(m(i) * sigma * 1e6) / 1e6))
+        case Some((t, _, sigma, y0, reals)) =>
+          reals.iterator.zipWithIndex.flatMap { case (pairs, k) =>
+            pairs.iterator.zipWithIndex.flatMap { case ((noisy, mode), r) =>
+              t.indices.iterator.map(i =>
+                (id, k, r, t(i), noisy(i), mode(i), sigma, y0(i)))
+            }
           }
       }
-    }.toDF("id", "mode", "t", "y")
+    }
+
+  def ceemdanDump(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(ceemdanDumpFn)
+      .toDF("id", "k", "r", "t", "noisy", "md", "sigma", "res0")
+
+  // ceemdan itself, HASH-GATED (round 10): the loop's residue
+  // propagation collapses — residue₀ = y/σ and residue_{k+1} = µ_k, so
+  // imf_k = (k=0 ? y/σ : µ_{k-1}) − µ_k where µ_k(i) is the ensemble
+  // mean Σ_r (noisy−mode) / 10 in REALIZATION ORDER (the kernel's
+  // Seq.sum left fold — both engines fold a 0.0-seeded r-ordered list,
+  // so the sum is bit-identical, not merely commutative-equal). The
+  // final math.rint maps to Spark `bround` / DuckDB `roundbankers`
+  // (all three are round-half-even at the 1e-6 grid); the recovery
+  // spec pins compose ≡ kernel imfs bit-exactly, rint included.
+  def ceemdan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = ceemdanDump(spark, dir)
+    val folded = d.groupBy("id", "k", "t")
+      .agg(
+        collect_list(struct(col("r"), (col("noisy") - col("md")).as("v")))
+          .as("lst"),
+        first("sigma").as("sigma"), first("res0").as("res0"))
+      .withColumn("mu",
+        aggregate(transform(array_sort(col("lst")), s => s.getField("v")),
+          lit(0.0), (acc, x) => acc + x) / lit(10.0))
+    val w = Window.partitionBy("id", "t").orderBy("k")
+    folded
+      .withColumn("prev", lag("mu", 1).over(w))
+      .select(col("id"), col("k").as("mode"), col("t"),
+        (bround((when(col("k") === 0, col("res0")).otherwise(col("prev"))
+          - col("mu")) * col("sigma") * 1e6, 0) / 1e6).as("y"))
+  }
+
+  val ceemdanSql: String =
+    """WITH d AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/ceemdan_dump/*.parquet')),
+      |mu AS (
+      |  SELECT id, k, t,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(noisy - md ORDER BY r)), (a, b) -> a + b) / 10.0 AS mu,
+      |    first(sigma) AS sigma, first(res0) AS res0
+      |  FROM d GROUP BY 1, 2, 3),
+      |p AS (SELECT *, lag(mu) OVER (PARTITION BY id, t ORDER BY k) AS prev
+      |  FROM mu)
+      |SELECT id, k AS mode, t,
+      |  roundbankers((CASE WHEN k = 0 THEN res0 ELSE prev END - mu)
+      |    * sigma * 1000000.0, 0) / 1000000.0 AS y
+      |FROM p""".stripMargin
 
   /** ceemdan_post — reference decomposition.py:344-360 (CEEMDAN
     * .postprocessing): re-sift the noisy ensemble modes so each
@@ -914,6 +985,7 @@ object SeriesOps2 {
     "lmd_modes" -> (lmdModes _),
     "lmd_energy" -> (lmdEnergy _),
     "ceemdan" -> (ceemdan _),
+    "ceemdan_dump" -> (ceemdanDump _),
     "ceemdan_post" -> (ceemdanPost _),
     "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
     "ceemdan_c_orthogonality" -> (ceemdanCOrthogonality _),
@@ -1094,6 +1166,7 @@ object SeriesOps2 {
 
   val oracles: Map[String, String] = Map(
     "lmd_energy" -> lmdEnergySql,
+    "ceemdan" -> ceemdanSql,
     "ts_dwt_coeffs" -> tsDwtCoeffsSql,
     "ts_denoise" -> tsDenoiseSql,
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),

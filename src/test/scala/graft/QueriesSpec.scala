@@ -104,6 +104,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.filter(col("y").isNull || isnan(col("y"))).count() == 0)
   }
 
+  test("ceemdan compose bit-matches the in-memory ensemble kernel") {
+    import org.apache.spark.sql.functions._
+    // round-10 recovery pin: ceemdan is now a declarative compose over
+    // ceemdan_dump (imf_k = residue_k - mu_k with the r-ordered fold).
+    // This compares the ENTIRE sf0.001 output against ceemdanCore's
+    // imfs computed driver-side - bit-exact including the final rint
+    // (i.e. Spark bround == math.rint at the 1e-6 grid on this data).
+    val series = Tables.series(spark, dir)
+      .select("id", "t", "y", "eid").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    val exp = series.flatMap { case (id, rows) =>
+      val s = rows.sortBy(r => (r._2, r._4))
+      tsa.SeriesOps2.ceemdanCore(id, s.map(_._2), s.map(_._3)) match {
+        case None => Seq.empty
+        case Some((t, imfs, sigma, _, _)) =>
+          imfs.zipWithIndex.flatMap { case (m, k) =>
+            t.indices.map(i =>
+              (id, k, t(i)) -> (math.rint(m(i) * sigma * 1e6) / 1e6))
+          }
+      }
+    }
+    val got = tsa.SeriesOps2.ceemdan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.size == exp.size, s"rows: got ${got.size} exp ${exp.size}")
+    for ((key, e) <- exp) {
+      assert(got(key) == e, s"ceemdan mismatch at $key: got=${got(key)} exp=$e")
+    }
+  }
+
   test("ts_interp_spline bit-matches the in-memory spline kernel") {
     import org.apache.spark.sql.functions._
     // end-to-end cross-check of the distributed pipeline (knot dedup,
