@@ -722,11 +722,10 @@ object SeriesOps {
     * amp==0 → 1e-300 guard, IMF criteria (frac(σ>θ₁)<α, all σ<θ₂,
     * |zero−ext|≤1), maxIter-exhaustion acceptance, residue-monotonic
     * termination, maxModes=8. Output rint(·1e6) → roundbankers. */
-  val emdImfsSql: String = {
     // one envelope (p ∈ {u, l}): fold elements, forward/backward
     // Thomas folds, coefficient lists
-    def elFw(p: String) =
-      s"""list_transform(range(1, n$p - 1), i -> [
+  private def elFw(p: String) =
+    s"""list_transform(range(1, n$p - 1), i -> [
          |    ptx$p[i+2] - ptx$p[i+1],
          |    ptx$p[i+1] - ptx$p[i],
          |    ptx$p[i+2] - ptx$p[i],
@@ -740,23 +739,23 @@ object SeriesOps {
          |      (b[4] - b[2] * a[len(a)])
          |        / (2.0 * b[3] - b[2] * a[len(a) - 1])
          |    ])) AS fw$p""".stripMargin
-    def musZs(p: String) =
-      s"""list_transform(range(n$p - 1), i -> fw$p[2 * i + 1]) AS mus$p,
+  private def musZs(p: String) =
+    s"""list_transform(range(n$p - 1), i -> fw$p[2 * i + 1]) AS mus$p,
          |  list_transform(range(n$p - 1), i -> fw$p[2 * i + 2]) AS zs$p"""
-        .stripMargin
-    def bwd(p: String) =
-      s"""list_reduce(
+      .stripMargin
+  private def bwd(p: String) =
+    s"""list_reduce(
          |    list_prepend([CAST(0.0 AS DOUBLE)],
          |      list_transform(range(1, n$p - 1),
          |        q -> [zs$p[n$p - q], mus$p[n$p - q]])),
          |    (a, b) -> list_concat(a, [b[1] - b[2] * a[len(a)]])) AS bw$p"""
-        .stripMargin
-    def cs(p: String) =
-      s"""list_concat([CAST(0.0 AS DOUBLE)],
+      .stripMargin
+  private def cs(p: String) =
+    s"""list_concat([CAST(0.0 AS DOUBLE)],
          |    list_transform(range(1, n$p), i -> bw$p[n$p - i])) AS cs$p"""
-        .stripMargin
-    def bsDs(p: String) =
-      s"""list_transform(range(n$p - 1), i ->
+      .stripMargin
+  private def bsDs(p: String) =
+    s"""list_transform(range(n$p - 1), i ->
          |    (pty$p[i+2] - pty$p[i+1]) / (ptx$p[i+2] - ptx$p[i+1])
          |    - (ptx$p[i+2] - ptx$p[i+1]) * (cs$p[i+2] + 2.0 * cs$p[i+1])
          |      / 3.0) AS bs$p,
@@ -765,22 +764,22 @@ object SeriesOps {
          |    AS ds$p""".stripMargin
     // segment lookup / dx / evaluation — three SEPARATE layers (see
     // the lateral-alias trap above)
-    def lou(p: String) =
-      s"""list_transform(tarr, x -> least(n$p - 2, greatest(0,
+  private def lou(p: String) =
+    s"""list_transform(tarr, x -> least(n$p - 2, greatest(0,
          |    len(list_filter(ptx$p, v -> v <= x)) - 1))) AS lo$p"""
-        .stripMargin
-    def dx(p: String) =
-      s"""list_transform(range(n), q -> tarr[q+1] - ptx$p[lo$p[q+1] + 1])
+      .stripMargin
+  private def dx(p: String) =
+    s"""list_transform(range(n), q -> tarr[q+1] - ptx$p[lo$p[q+1] + 1])
          |    AS dx$p""".stripMargin
-    def ev(p: String) =
-      s"""list_transform(range(n), q ->
+  private def ev(p: String) =
+    s"""list_transform(range(n), q ->
          |    pty$p[lo$p[q+1] + 1]
          |    + bs$p[lo$p[q+1] + 1] * dx$p[q+1]
          |    + cs$p[lo$p[q+1] + 1] * dx$p[q+1] * dx$p[q+1]
          |    + ds$p[lo$p[q+1] + 1] * dx$p[q+1] * dx$p[q+1] * dx$p[q+1])
          |    AS ev$p""".stripMargin
-    def pads(p: String) =
-      s"""list_concat(list_concat(
+  private def pads(p: String) =
+    s"""list_concat(list_concat(
          |    [2.0 * tx$p[1] - tx$p[3], 2.0 * tx$p[1] - tx$p[2]],
          |    tx$p[2:m0$p - 1]),
          |    [2.0 * tx$p[m0$p] - tx$p[m0$p - 1],
@@ -788,7 +787,8 @@ object SeriesOps {
          |  list_concat(list_concat(
          |    [ty$p[3], ty$p[2]], ty$p[2:m0$p - 1]),
          |    [ty$p[m0$p - 1], ty$p[m0$p - 2]]) AS pty$p""".stripMargin
-    s"""WITH RECURSIVE ser AS MATERIALIZED (${graft.Tables.seriesSql}),
+  private val emdCtes: String =
+    s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),
        |base AS MATERIALIZED (
        |  SELECT id, list(t ORDER BY t, eid) AS tarr,
        |    list(y ORDER BY t, eid) AS yarr
@@ -879,15 +879,103 @@ object SeriesOps {
        |  WHERE CASE WHEN accepted
        |             THEN k + 1 < 8 AND len(pk) > 0 AND len(dp) > 0
        |             ELSE NOT broke END
-       |)
+       |)""".stripMargin
+
+  val emdImfsSql: String =
+    s"""WITH RECURSIVE $emdCtes
        |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
        |  roundbankers(e.marr[q.q + 1] * 1000000.0, 0) / 1000000.0 AS y
        |FROM emd e, LATERAL (SELECT unnest(range(len(e.marr))) AS q) q
        |WHERE e.accepted""".stripMargin
+
+  /** hht_norm, hash-gated (round 10): the iterative spline-envelope
+    * normalization (timefrequency.py:71 — ≤10 iterations of f ← f/e,
+    * amp ← amp·e with e the upper envelope of |f| clamped at 1e-12,
+    * stopping when the envelope fails or all |f| ≤ 1+1e-6) replays as
+    * a SECOND condition-terminated recursive CTE chained on the emd
+    * recursion: seeded from the accepted-mode rows, one step per
+    * normalization iteration, terminal rows flagged `fin` and read
+    * from the recursion history. Reuses the per-envelope fragment
+    * chain (elFw…ev) verbatim — the envelope here runs over |f| and
+    * only the upper spline is evaluated, but the null condition still
+    * checks BOTH extrema families (envelopeKnots' contract). Output
+    * is RAW doubles (f, amp) — the gate demands full bit-equality,
+    * which the operand-exact replay provides. */
+  val hhtNormSql: String = {
+    val onePlus = SeriesMath.sqlDouble(1.0 + 1e-6)
+    s"""WITH RECURSIVE $emdCtes,
+       |nrm AS (
+       |  SELECT id, k, tarr, marr AS f,
+       |    list_transform(marr, x -> CAST(1.0 AS DOUBLE)) AS amp,
+       |    0 AS it, false AS fin
+       |  FROM emd WHERE accepted
+       |  UNION ALL
+       |  SELECT id, k, tarr,
+       |    CASE WHEN broke THEN f ELSE f2 END AS f,
+       |    CASE WHEN broke THEN amp ELSE amp2 END AS amp,
+       |    CASE WHEN broke THEN it ELSE it + 1 END AS it,
+       |    CASE WHEN broke THEN true
+       |         WHEN fin2 OR it + 1 >= 10 THEN true ELSE false END AS fin
+       |  FROM (
+       |   SELECT *,
+       |    len(list_filter(f2, v -> NOT (abs(v) <= $onePlus))) = 0 AS fin2
+       |   FROM (
+       |    SELECT *,
+       |     list_transform(range(n), q -> f[q+1] / ee[q+1]) AS f2,
+       |     list_transform(range(n), q -> amp[q+1] * ee[q+1]) AS amp2
+       |    FROM (
+       |     SELECT *,
+       |      list_transform(evu, u ->
+       |        CASE WHEN abs(u) < 1e-12 THEN 1e-12 ELSE abs(u) END) AS ee
+       |     FROM (
+       |      SELECT *, ${ev("u")}
+       |      FROM (
+       |       SELECT *, ${dx("u")}
+       |       FROM (
+       |        SELECT *, ${lou("u")}
+       |        FROM (
+       |         SELECT *, ${bsDs("u")}
+       |         FROM (
+       |          SELECT *, ${cs("u")}
+       |          FROM (
+       |           SELECT *, ${bwd("u")}
+       |           FROM (
+       |            SELECT *, ${musZs("u")}
+       |            FROM (
+       |             SELECT *, ${elFw("u")}
+       |             FROM (
+       |              SELECT *, len(txu) AS m0u, ${pads("u")},
+       |               len(ptxu) AS nu
+       |              FROM (
+       |               SELECT *,
+       |                list_transform(pke, i -> tarr[i + 1]) AS txu,
+       |                list_transform(pke, i -> af[i + 1]) AS tyu
+       |               FROM (
+       |                SELECT *,
+       |                 list_concat(list_concat([CAST(0 AS BIGINT)], pk),
+       |                   [n - 1]) AS pke,
+       |                 len(pk) < 2 OR len(dp) < 2 AS broke
+       |                FROM (
+       |                 SELECT *,
+       |                  list_filter(range(1, n - 1),
+       |                    i -> af[i+1] > af[i] AND af[i+1] > af[i+2]) AS pk,
+       |                  list_filter(range(1, n - 1),
+       |                    i -> af[i+1] < af[i] AND af[i+1] < af[i+2]) AS dp
+       |                 FROM (
+       |                  SELECT *, len(f) AS n,
+       |                   list_transform(f, x -> abs(x)) AS af
+       |                  FROM nrm r WHERE NOT r.fin) t0 ) t1 ) t2 ) t3 ) t4
+       |            ) t5 ) t6 ) t7 ) t8 ) t9 ) ta ) tb ) tc ) td ) te ) tf
+       |)
+       |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
+       |  e.f[q.q + 1] AS f, e.amp[q.q + 1] AS amp
+       |FROM nrm e, LATERAL (SELECT unnest(range(len(e.f))) AS q) q
+       |WHERE e.fin""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "hht_inst" -> hhtInstSql,
+    "hht_norm" -> hhtNormSql,
     "hht_ht" -> hhtHtSql,
     "hht_nht" -> hhtNhtSql,
     "ts_butterworth" -> tsButterworthSql,
