@@ -564,9 +564,23 @@ object SeriesOps {
     * lists with expressions in the kernel's evaluation order; the
     * inverse pass re-reverses, runs the +2π twiddles, and divides by
     * n — exactly `SeriesMath.fft`/`analytic`. */
-  val hhtAnalyticSql: String = {
-    val lens = (1 to 14).map(1 << _) // 2 .. 16384
-    val twbase = lens.flatMap { len =>
+  private val FftLens = (1 to 14).map(1 << _) // 2 .. 16384
+
+  /** CASE mapping the power-of-two length column `n` to its bit
+    * count (shared by every FFT consumer). */
+  private def fftBitsCase: String = "CASE n " +
+    FftLens.zipWithIndex.map { case (l, i) => s"WHEN $l THEN ${i + 1}" }
+      .mkString(" ") + " END"
+
+  /** The radix-2 FFT Hilbert-transform chain (SeriesMath.fft/analytic)
+    * over a CTE `xd` exposing (keys…, n, tarr, bits, xr[, extra…]):
+    * emits twb/tw/twl (global twiddles) + bf/ff/sp/bi/fi/res, with
+    * `res`(keys…, n, tarr[, extra…], rel, iml) the analytic signal.
+    * keys and extra ride along untouched, so the same chain serves
+    * per-id (hht_analytic) and per-(id, mode) (hht_nht_norm) flows. */
+  private def fftCtes(keys: Seq[String], extra: Seq[String] = Nil)
+      : String = {
+    val twbase = FftLens.flatMap { len =>
       Seq(false, true).map { inv =>
         val ang = (if (inv) 2.0 else -2.0) * math.Pi / len
         val dir = if (inv) 1 else 0
@@ -574,9 +588,6 @@ object SeriesOps {
           s"${SeriesMath.sqlDouble(math.sin(ang))})"
       }
     }.mkString(",\n       ")
-    val bitsCase = "CASE n " +
-      lens.zipWithIndex.map { case (l, i) => s"WHEN $l THEN ${i + 1}" }
-        .mkString(" ") + " END"
     def bitrev(v: String) = (0 to 13).map(b =>
       s"(CASE WHEN bits > $b THEN ((($v >> $b) & 1) << (bits - 1 - $b))" +
         s" ELSE 0 END)").mkString(" + ")
@@ -599,22 +610,10 @@ object SeriesOps {
          |            - ${vAt("q", s"($k - $half)", reExpr)}
          |        END)""".stripMargin
     }
-    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
-       |gl AS (
-       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
-       |  FROM tickv GROUP BY 1),
-       |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
-       |    4096, 8192, 16384]) AS n),
-       |tr AS (SELECT gl.id, max(pw.n) AS n
-       |  FROM gl JOIN pw ON pw.n <= len(gl.garr) GROUP BY 1),
-       |xm AS (SELECT gl.id, tr.n, gl.tarr, gl.garr,
-       |    list_reduce(list_prepend(0.0, gl.garr[1:tr.n]), (a, b) -> a + b)
-       |      / tr.n AS mean
-       |  FROM gl JOIN tr ON tr.id = gl.id),
-       |xd AS (SELECT id, n, tarr, $bitsCase AS bits,
-       |    list_transform(garr[1:n], v -> v - mean) AS xr
-       |  FROM xm),
-       |twb(len, dir, wr, wi) AS (VALUES
+    val carried = keys ++ Seq("n", "tarr", "bits") ++ extra
+    val cs0 = carried.mkString(", ")
+    val csF = carried.map("f." + _).mkString(", ")
+    s"""twb(len, dir, wr, wi) AS (VALUES
        |  $twbase),
        |tw AS (
        |  SELECT len, dir, 0 AS k,
@@ -630,20 +629,20 @@ object SeriesOps {
        |    list(ci ORDER BY k) AS cil
        |  FROM tw GROUP BY 1, 2),
        |bf AS MATERIALIZED (
-       |  SELECT id, n, tarr, bits,
+       |  SELECT $cs0,
        |    list_transform(range(n), q -> xr[(${bitrev("q")}) + 1]) AS rel,
        |    list_transform(range(n), q -> CAST(0.0 AS DOUBLE)) AS iml
        |  FROM xd),
        |ff AS (
-       |  SELECT id, n, tarr, bits, 2 AS len, rel, iml FROM bf
+       |  SELECT $cs0, 2 AS len, rel, iml FROM bf
        |  UNION ALL
-       |  SELECT f.id, f.n, f.tarr, f.bits, f.len * 2,
+       |  SELECT $csF, f.len * 2,
        |    ${lvl(reExpr = true)},
        |    ${lvl(reExpr = false)}
        |  FROM ff f JOIN twl tl ON tl.len = f.len AND tl.dir = 0
        |  WHERE f.len <= f.n),
        |sp AS MATERIALIZED (
-       |  SELECT id, n, tarr, bits,
+       |  SELECT $cs0,
        |    list_transform(range(n), q ->
        |      CASE WHEN q >= 1 AND q < n // 2 THEN rel[q + 1] * 2.0
        |           WHEN q > n // 2 THEN 0.0 ELSE rel[q + 1] END) AS sre,
@@ -652,28 +651,46 @@ object SeriesOps {
        |           WHEN q > n // 2 THEN 0.0 ELSE iml[q + 1] END) AS sim
        |  FROM ff WHERE len = 2 * n),
        |bi AS MATERIALIZED (
-       |  SELECT id, n, tarr, bits,
+       |  SELECT $cs0,
        |    list_transform(range(n), q -> sre[(${bitrev("q")}) + 1]) AS rel,
        |    list_transform(range(n), q -> sim[(${bitrev("q")}) + 1]) AS iml
        |  FROM sp),
        |fi AS (
-       |  SELECT id, n, tarr, bits, 2 AS len, rel, iml FROM bi
+       |  SELECT $cs0, 2 AS len, rel, iml FROM bi
        |  UNION ALL
-       |  SELECT f.id, f.n, f.tarr, f.bits, f.len * 2,
+       |  SELECT $csF, f.len * 2,
        |    ${lvl(reExpr = true)},
        |    ${lvl(reExpr = false)}
        |  FROM fi f JOIN twl tl ON tl.len = f.len AND tl.dir = 1
        |  WHERE f.len <= f.n),
        |res AS (
-       |  SELECT id, n, tarr,
+       |  SELECT ${(keys ++ Seq("n", "tarr") ++ extra).mkString(", ")},
        |    list_transform(rel, v -> v / n) AS rel,
        |    list_transform(iml, v -> v / n) AS iml
-       |  FROM fi WHERE len = 2 * n)
+       |  FROM fi WHERE len = 2 * n)""".stripMargin
+  }
+
+  val hhtAnalyticSql: String =
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
+       |gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
+       |  FROM tickv GROUP BY 1),
+       |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+       |    4096, 8192, 16384]) AS n),
+       |tr AS (SELECT gl.id, max(pw.n) AS n
+       |  FROM gl JOIN pw ON pw.n <= len(gl.garr) GROUP BY 1),
+       |xm AS (SELECT gl.id, tr.n, gl.tarr, gl.garr,
+       |    list_reduce(list_prepend(0.0, gl.garr[1:tr.n]), (a, b) -> a + b)
+       |      / tr.n AS mean
+       |  FROM gl JOIN tr ON tr.id = gl.id),
+       |xd AS (SELECT id, n, tarr, $fftBitsCase AS bits,
+       |    list_transform(garr[1:n], v -> v - mean) AS xr
+       |  FROM xm),
+       |${fftCtes(Seq("id"))}
        |SELECT r.id, r.tarr[q.q + 1] AS t,
        |  r.rel[q.q + 1] AS re, r.iml[q.q + 1] AS im
        |FROM res r, LATERAL (SELECT unnest(range(r.n)) AS q) AS q"""
       .stripMargin
-  }
 
   /** emd_imfs, hash-gated (round 10): the full Rilling sift loop —
     * data-DEPENDENT iteration counts and all — replayed bit-exactly by
@@ -787,16 +804,14 @@ object SeriesOps {
          |  list_concat(list_concat(
          |    [ty$p[3], ty$p[2]], ty$p[2:m0$p - 1]),
          |    [ty$p[m0$p - 1], ty$p[m0$p - 2]]) AS pty$p""".stripMargin
-  private val emdCtes: String =
-    s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),
-       |base AS MATERIALIZED (
-       |  SELECT id, list(t ORDER BY t, eid) AS tarr,
-       |    list(y ORDER BY t, eid) AS yarr
-       |  FROM ser GROUP BY 1 HAVING count(*) >= 4),
-       |emd AS (
+  /** The emd recursion over any base CTE exposing (id, tarr, yarr) —
+    * raw series for emd_imfs/hht_norm, the power-of-two-truncated
+    * 6 h resample for hht_nht_norm. */
+  private def emdRec(baseCte: String): String =
+    s"""emd AS (
        |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
        |    tarr, yarr AS marr, yarr AS rarr
-       |  FROM base
+       |  FROM $baseCte
        |  UNION ALL
        |  SELECT id,
        |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
@@ -881,6 +896,14 @@ object SeriesOps {
        |             ELSE NOT broke END
        |)""".stripMargin
 
+  private val emdCtes: String =
+    s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),
+       |base AS MATERIALIZED (
+       |  SELECT id, list(t ORDER BY t, eid) AS tarr,
+       |    list(y ORDER BY t, eid) AS yarr
+       |  FROM ser GROUP BY 1 HAVING count(*) >= 4),
+       |${emdRec("base")}""".stripMargin
+
   val emdImfsSql: String =
     s"""WITH RECURSIVE $emdCtes
        |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
@@ -901,10 +924,12 @@ object SeriesOps {
     * checks BOTH extrema families (envelopeKnots' contract). Output
     * is RAW doubles (f, amp) — the gate demands full bit-equality,
     * which the operand-exact replay provides. */
-  val hhtNormSql: String = {
+  /** The normalization recursion (shared by hht_norm and
+    * hht_nht_norm — the two kernels run the identical loop): reads
+    * the accepted rows of the `emd` CTE in scope. */
+  private val nrmCte: String = {
     val onePlus = SeriesMath.sqlDouble(1.0 + 1e-6)
-    s"""WITH RECURSIVE $emdCtes,
-       |nrm AS (
+    s"""nrm AS (
        |  SELECT id, k, tarr, marr AS f,
        |    list_transform(marr, x -> CAST(1.0 AS DOUBLE)) AS amp,
        |    0 AS it, false AS fin
@@ -966,16 +991,55 @@ object SeriesOps {
        |                   list_transform(f, x -> abs(x)) AS af
        |                  FROM nrm r WHERE NOT r.fin) t0 ) t1 ) t2 ) t3 ) t4
        |            ) t5 ) t6 ) t7 ) t8 ) t9 ) ta ) tb ) tc ) td ) te ) tf
-       |)
+       |)""".stripMargin
+  }
+
+  val hhtNormSql: String =
+    s"""WITH RECURSIVE $emdCtes,
+       |$nrmCte
        |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
        |  e.f[q.q + 1] AS f, e.amp[q.q + 1] AS amp
        |FROM nrm e, LATERAL (SELECT unnest(range(len(e.f))) AS q) q
        |WHERE e.fin""".stripMargin
-  }
+
+  /** hht_nht_norm, hash-gated (round 10): the full NHT kernel chain —
+    * 6 h resample → power-of-two truncation → EMD → envelope
+    * normalization → ±1 clamp → FFT analytic signal — composed from
+    * the three already-validated replay blocks: the shared resample
+    * CTEs feed a truncated `nbase`, emdRec/nrmCte run the identical
+    * sift + normalization recursions over it, and the parameterized
+    * fftCtes chain (keys id, mode; amp as passenger) produces each
+    * FM mode's analytic signal. Raw-double gate like hht_norm. */
+  val hhtNhtNormSql: String =
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
+       |gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tg2
+       |  FROM tickv GROUP BY 1),
+       |pw AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+       |    4096, 8192, 16384]) AS n),
+       |tr AS (SELECT gl.id, max(pw.n) AS n2
+       |  FROM gl JOIN pw ON pw.n <= len(gl.garr) GROUP BY 1),
+       |nbase AS MATERIALIZED (
+       |  SELECT gl.id, gl.tg2[1:tr.n2] AS tarr, gl.garr[1:tr.n2] AS yarr
+       |  FROM gl JOIN tr ON tr.id = gl.id WHERE tr.n2 >= 16),
+       |${emdRec("nbase")},
+       |$nrmCte,
+       |xd AS (
+       |  SELECT id, k, len(f) AS n, tarr, $fftBitsCase AS bits,
+       |    list_transform(f, v -> greatest(-1.0, least(1.0, v))) AS xr,
+       |    amp
+       |  FROM nrm WHERE fin),
+       |${fftCtes(Seq("id", "k"), Seq("amp"))}
+       |SELECT r.id, CAST(r.k AS INTEGER) AS mode, r.tarr[q.q + 1] AS t,
+       |  r.rel[q.q + 1] AS re, r.iml[q.q + 1] AS im,
+       |  r.amp[q.q + 1] AS amp
+       |FROM res r, LATERAL (SELECT unnest(range(r.n)) AS q) AS q"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "hht_inst" -> hhtInstSql,
     "hht_norm" -> hhtNormSql,
+    "hht_nht_norm" -> hhtNhtNormSql,
     "hht_ht" -> hhtHtSql,
     "hht_nht" -> hhtNhtSql,
     "ts_butterworth" -> tsButterworthSql,
