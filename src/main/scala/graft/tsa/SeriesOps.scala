@@ -804,32 +804,14 @@ object SeriesOps {
          |  list_concat(list_concat(
          |    [ty$p[3], ty$p[2]], ty$p[2:m0$p - 1]),
          |    [ty$p[m0$p - 1], ty$p[m0$p - 2]]) AS pty$p""".stripMargin
-  /** The emd recursion over any base CTE exposing (id, tarr, yarr) —
-    * raw series for emd_imfs/hht_norm, the power-of-two-truncated
-    * 6 h resample for hht_nht_norm. */
-  private def emdRec(baseCte: String): String =
-    s"""emd AS (
-       |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
-       |    tarr, yarr AS marr, yarr AS rarr
-       |  FROM $baseCte
-       |  UNION ALL
-       |  SELECT id,
-       |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
-       |    CASE WHEN accepted THEN 0 WHEN isimf THEN it ELSE it + 1 END
-       |      AS it,
-       |    CASE WHEN accepted THEN false
-       |         WHEN isimf OR it + 1 >= 200 THEN true ELSE false END
-       |      AS accepted,
-       |    tarr,
-       |    CASE WHEN accepted THEN rarr WHEN isimf THEN w ELSE sub END
-       |      AS marr,
-       |    CASE WHEN accepted THEN rarr
-       |         WHEN isimf THEN list_transform(range(n),
-       |           q -> rarr[q+1] - w[q+1])
-       |         WHEN it + 1 >= 200 THEN list_transform(range(n),
-       |           q -> rarr[q+1] - (w[q+1] - muv[q+1]))
-       |         ELSE rarr END AS rarr
-       |  FROM (
+  /** The per-iteration sift computation (extrema, pads, two spline
+    * envelopes, Rilling criteria) as a parenthesized derived table
+    * over any recursion CTE exposing (…, tarr, marr, rarr, accepted)
+    * — shared by the emd recursion and the ceemdan_post re-sift
+    * recursion (extra carried columns pass through the SELECT *
+    * layers untouched). */
+  private[tsa] def siftStack(srcCte: String): String =
+    s"""FROM (
        |   SELECT *,
        |    CAST(len(list_filter(sig, s -> s > 0.05)) AS DOUBLE) / n < 0.05
        |      AND len(list_filter(sig, s -> NOT (s < 0.5))) = 0
@@ -870,8 +852,7 @@ object SeriesOps {
        |               list_transform(dpe, i -> tarr[i + 1]) AS txl,
        |               list_transform(dpe, i -> w[i + 1]) AS tyl
        |              FROM (
-       |               SELECT id, k, it, accepted, tarr, marr, rarr, n, w,
-       |                pk, dp, nz,
+       |               SELECT *,
        |                list_concat(list_concat([CAST(0 AS BIGINT)], pk),
        |                  [n - 1]) AS pke,
        |                list_concat(list_concat([CAST(0 AS BIGINT)], dp),
@@ -889,8 +870,36 @@ object SeriesOps {
        |                FROM (
        |                 SELECT *, len(marr) AS n,
        |                  CASE WHEN accepted THEN rarr ELSE marr END AS w
-       |                 FROM emd r) s0 ) s1 ) s2 ) s3 ) s4 ) s5 ) s6 ) s7
-       |              ) s8 ) s9 ) sa ) sb ) sc ) sd ) se
+       |                 FROM $srcCte r) s0 ) s1 ) s2 ) s3 ) s4 ) s5 ) s6 ) s7
+       |              ) s8 ) s9 ) sa ) sb ) sc ) sd ) se""".stripMargin
+
+  /** The emd recursion over any base CTE exposing (id, tarr, yarr) —
+    * raw series for emd_imfs/hht_norm, the power-of-two-truncated
+    * 6 h resample for hht_nht_norm. */
+  private def emdRec(baseCte: String): String =
+    s"""emd AS (
+       |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
+       |    tarr, yarr AS marr, yarr AS rarr
+       |  FROM $baseCte
+       |  UNION ALL
+       |  SELECT id,
+       |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
+       |    CASE WHEN accepted THEN 0 WHEN isimf THEN it ELSE it + 1 END
+       |      AS it,
+       |    CASE WHEN accepted THEN false
+       |         WHEN isimf OR it + 1 >= 200 THEN true ELSE false END
+       |      AS accepted,
+       |    tarr,
+       |    CASE WHEN accepted THEN rarr WHEN isimf THEN w ELSE sub END
+       |      AS marr,
+       |    CASE WHEN accepted THEN rarr
+       |         WHEN isimf THEN list_transform(range(n),
+       |           q -> rarr[q+1] - w[q+1])
+       |         WHEN it + 1 >= 200 THEN list_transform(range(n),
+       |           q -> rarr[q+1] - (w[q+1] - muv[q+1]))
+       |         ELSE rarr END AS rarr
+       |  ${siftStack("emd")}
+
        |  WHERE CASE WHEN accepted
        |             THEN k + 1 < 8 AND len(pk) > 0 AND len(dp) > 0
        |             ELSE NOT broke END

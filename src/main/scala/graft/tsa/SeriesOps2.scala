@@ -1164,9 +1164,78 @@ object SeriesOps2 {
       .stripMargin
   }
 
+  /** ceemdan_post, hash-gated (round 10): the postprocessing re-sift
+    * (decomposition.py:344-360) replays as a third sift recursion —
+    * DERIVED-INPUT over the ceemdan Verify dump (the kernel consumes
+    * ceemdan's ROUNDED output rows, so both engines start from
+    * identical values). Stage k sifts d_k = q_k + modes(k) with
+    * maxIter 15 / maxModes 1 via the shared siftStack; on acceptance
+    * c_k is emitted and q_{k+1} = d_k − c_k carries to the next stage
+    * (the stage input d_k rides the recursion's `rarr` slot); a broke
+    * sift at k=0 emits modes(0) with a zero q (the kernel's
+    * first.isEmpty fallback), and a broke sift at k ≥ 1 emits
+    * modes(k) verbatim and stops the chain — exactly
+    * CeemdanPostFunc. */
+  val ceemdanPostSql: String =
+    s"""WITH RECURSIVE cm AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('__GRAFT_OUT__/ceemdan/*.parquet')),
+       |mdl AS MATERIALIZED (
+       |  SELECT id, mode AS k, list(y ORDER BY t) AS md
+       |  FROM cm GROUP BY 1, 2),
+       |tsl AS MATERIALIZED (
+       |  SELECT id, list(t ORDER BY t) AS tarr
+       |  FROM (SELECT DISTINCT id, t FROM cm) dt GROUP BY 1),
+       |nm AS MATERIALIZED (
+       |  SELECT id, max(mode) + 1 AS nmodes FROM cm GROUP BY 1),
+       |cpost AS (
+       |  SELECT t.id, 0 AS k, 0 AS it, false AS accepted, true AS cont,
+       |    n.nmodes, t.tarr, m.md AS marr, m.md AS rarr
+       |  FROM tsl t
+       |  JOIN nm n ON n.id = t.id
+       |  JOIN mdl m ON m.id = t.id AND m.k = 0
+       |  UNION ALL
+       |  SELECT se.id,
+       |    CASE WHEN se.accepted THEN se.k + 1 ELSE se.k END AS k,
+       |    CASE WHEN se.accepted THEN 0 ELSE se.it + 1 END AS it,
+       |    CASE WHEN se.accepted THEN false
+       |         WHEN se.broke OR se.isimf OR se.it + 1 >= 15 THEN true
+       |         ELSE false END AS accepted,
+       |    CASE WHEN se.accepted THEN true
+       |         WHEN se.broke AND se.k >= 1 THEN false
+       |         ELSE true END AS cont,
+       |    se.nmodes, se.tarr,
+       |    CASE WHEN se.accepted THEN list_transform(range(se.n),
+       |           q -> se.rarr[q+1] + mdn.md[q+1])
+       |         WHEN se.broke AND se.k = 0 THEN se.rarr
+       |         WHEN se.broke THEN mdc.md
+       |         WHEN se.isimf THEN se.w
+       |         ELSE se.sub END AS marr,
+       |    CASE WHEN se.accepted THEN list_transform(range(se.n),
+       |           q -> se.rarr[q+1] + mdn.md[q+1])
+       |         WHEN se.broke AND se.k = 0 THEN list_transform(range(se.n),
+       |           q -> se.rarr[q+1] - se.rarr[q+1])
+       |         WHEN se.broke THEN se.rarr
+       |         WHEN se.isimf THEN list_transform(range(se.n),
+       |           q -> se.rarr[q+1] - se.w[q+1])
+       |         WHEN se.it + 1 >= 15 THEN list_transform(range(se.n),
+       |           q -> se.rarr[q+1] - (se.w[q+1] - se.muv[q+1]))
+       |         ELSE se.rarr END AS rarr
+       |  ${graft.tsa.SeriesOps.siftStack("cpost")}
+       |  LEFT JOIN mdl mdc ON mdc.id = se.id AND mdc.k = se.k
+       |  LEFT JOIN mdl mdn ON mdn.id = se.id AND mdn.k = se.k + 1
+       |  WHERE CASE WHEN se.accepted
+       |             THEN se.cont AND se.k + 1 < se.nmodes
+       |             ELSE true END
+       |)
+       |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
+       |  roundbankers(e.marr[q.q + 1] * 1000000.0, 0) / 1000000.0 AS y
+       |FROM cpost e, LATERAL (SELECT unnest(range(len(e.marr))) AS q) q
+       |WHERE e.accepted""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "lmd_energy" -> lmdEnergySql,
     "ceemdan" -> ceemdanSql,
+    "ceemdan_post" -> ceemdanPostSql,
     "ts_dwt_coeffs" -> tsDwtCoeffsSql,
     "ts_denoise" -> tsDenoiseSql,
     "ceemdan_orthogonality" -> orthogonalitySql("ceemdan"),
