@@ -1232,8 +1232,141 @@ object SeriesOps2 {
        |FROM cpost e, LATERAL (SELECT unnest(range(len(e.marr))) AS q) q
        |WHERE e.accepted""".stripMargin
 
+  /** lmd_modes, hash-gated (round 10): the LMD product-function sift
+    * (decomposition.py:120; lmdSift above) replayed by the same
+    * condition-terminated-recursion pattern as the EMD family — one
+    * step per normalization iteration carrying (mode k, iter, f, amp,
+    * residue). The sift itself is simpler than EMD's (no Thomas
+    * solve): zero-order-hold local mean/envelope between merged
+    * extrema, then 12 fixed triangle-smoothing passes each — the 12
+    * passes are FIXED-count, so they unroll as 12 projection layers
+    * per pass family, each element's clipped-window sum a 0.0-seeded
+    * [s, w] flat-list fold over only the IN-RANGE taps (appending a
+    * skipped tap as +0.0 would flip a −0.0 running sum, so the taps
+    * are filtered, not zeroed). The layers are assembled by a fold —
+    * after the emd experience, no hand-counted parentheses. */
+  val lmdModesSql: String = {
+    // one triangle-smoothing pass: pair-list [s, w] per element; the
+    // previous pass's value is re-derived as s/w inside the lambda
+    // (identical expression → identical double; avoids a second
+    // extraction layer per pass)
+    def smoothPass(prev: String, prevIsPair: Boolean, out: String) = {
+      val pv =
+        if (prevIsPair) s"$prev[jj + kk + 1][1] / $prev[jj + kk + 1][2]"
+        else s"$prev[jj + kk + 1]"
+      s"""list_transform(range(n), jj -> list_reduce(
+         |  list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+         |    list_transform(
+         |      list_filter(range(-half, half + 1),
+         |        kk -> jj + kk >= 0 AND jj + kk < n),
+         |      kk -> [$pv * CAST(half + 1 - abs(kk) AS DOUBLE),
+         |             CAST(half + 1 - abs(kk) AS DOUBLE)])),
+         |  (a, b) -> [a[1] + b[1], a[2] + b[2]])) AS $out""".stripMargin
+    }
+    val smoothLayers =
+      (1 to 12).map(j => smoothPass(if (j == 1) "mu0" else s"pmu${j - 1}",
+        prevIsPair = j > 1, s"pmu$j")) ++
+      (1 to 12).map(j => smoothPass(if (j == 1) "env0" else s"penv${j - 1}",
+        prevIsPair = j > 1, s"penv$j"))
+    val layers: Seq[String] = Seq(
+      // extrema of the working series (w = f for sifting rows, the
+      // residue for accepted rows' monotonic check)
+      """len(f) AS n,
+        |  CASE WHEN accepted THEN rarr ELSE f END AS w""".stripMargin,
+      """list_filter(range(1, n - 1),
+        |    i -> w[i+1] > w[i] AND w[i+1] > w[i+2]) AS pki,
+        |  list_filter(range(1, n - 1),
+        |    i -> w[i+1] < w[i] AND w[i+1] < w[i+2]) AS dpi""".stripMargin,
+      // merged ext indices: peaks WITH edges + interior dips (disjoint
+      // sets, so the kernel's .distinct is a no-op)
+      """list_sort(list_concat(list_concat(
+        |    list_concat([CAST(0 AS BIGINT)], pki), [n - 1]), dpi)) AS ext,
+        |  len(pki) = 0 OR len(dpi) = 0 AS mono""".stripMargin,
+      "len(ext) < 3 AS isnull_",
+      // zero-order hold segment index per sample (e advances while
+      // ext(e+1) <= i, capped at len-2)
+      """list_transform(range(n), i -> least(len(ext) - 2,
+        |    len(list_filter(ext[2:], v -> v <= i)))) AS eL""".stripMargin,
+      """list_transform(range(n), i -> w[ext[eL[i+1] + 1] + 1]) AS av,
+        |  list_transform(range(n), i ->
+        |    w[ext[least(eL[i+1] + 1, len(ext) - 1) + 1] + 1]) AS bv"""
+        .stripMargin,
+      """list_transform(range(n),
+        |    i -> 0.5 * (av[i+1] + bv[i+1])) AS mu0,
+        |  list_transform(range(n),
+        |    i -> 0.5 * abs(av[i+1] - bv[i+1])) AS env0,
+        |  list_max(list_transform(range(1, len(ext)),
+        |    kk -> ext[kk+1] - ext[kk])) AS mx""".stripMargin,
+      "greatest(3, (mx // 3) | 1) AS w0",
+      """(CASE WHEN w0 % 2 = 0 THEN w0 + 1 ELSE w0 END) // 2 AS half"""
+        .stripMargin) ++
+      smoothLayers ++ Seq(
+      """list_transform(range(n),
+        |    q -> pmu12[q+1][1] / pmu12[q+1][2]) AS smu,
+        |  list_transform(range(n),
+        |    q -> penv12[q+1][1] / penv12[q+1][2]) AS senv""".stripMargin,
+      """list_transform(senv, u ->
+        |    CASE WHEN abs(u) < 1e-12 THEN 1e-12 ELSE u END) AS ee"""
+        .stripMargin,
+      """list_transform(range(n),
+        |    q -> (f[q+1] - smu[q+1]) / ee[q+1]) AS f2,
+        |  list_transform(range(n), q -> amp[q+1] * ee[q+1]) AS amp2"""
+        .stripMargin,
+      """len(list_filter(f2, v -> NOT (abs(v) - 1.0 < 1e-6))) = 0
+        |    AS done2,
+        |  list_transform(f2,
+        |    v -> greatest(-1.0, least(1.0, v))) AS fc,
+        |  list_transform(f,
+        |    v -> greatest(-1.0, least(1.0, v))) AS fc0""".stripMargin)
+    val stacked = layers.zipWithIndex.foldLeft("lmd r") {
+      case (inner, (cols, i)) => s"(SELECT *, $cols FROM $inner) l$i"
+    }
+    s"""WITH RECURSIVE ${resampleCtes(fracFirst = false)},
+       |gb AS MATERIALIZED (
+       |  SELECT id, list(tg ORDER BY j) AS tarr, list(gy ORDER BY j) AS yarr
+       |  FROM tickv GROUP BY 1 HAVING count(*) >= 8),
+       |lmd AS (
+       |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
+       |    tarr, yarr AS f,
+       |    list_transform(yarr, x -> CAST(1.0 AS DOUBLE)) AS amp,
+       |    yarr AS rarr
+       |  FROM gb
+       |  UNION ALL
+       |  SELECT id,
+       |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
+       |    CASE WHEN accepted THEN 0 ELSE it + 1 END AS it,
+       |    CASE WHEN accepted THEN false
+       |         WHEN isnull_ OR done2 OR it + 1 >= 10 THEN true
+       |         ELSE false END AS accepted,
+       |    tarr,
+       |    CASE WHEN accepted THEN rarr
+       |         WHEN isnull_ THEN fc0
+       |         WHEN done2 OR it + 1 >= 10 THEN fc
+       |         ELSE f2 END AS f,
+       |    CASE WHEN accepted THEN
+       |           list_transform(f, x -> CAST(1.0 AS DOUBLE))
+       |         WHEN isnull_ THEN amp ELSE amp2 END AS amp,
+       |    CASE WHEN accepted THEN rarr
+       |         WHEN isnull_ THEN list_transform(range(n),
+       |           q -> rarr[q+1] - amp[q+1] * fc0[q+1])
+       |         WHEN done2 OR it + 1 >= 10 THEN list_transform(range(n),
+       |           q -> rarr[q+1] - amp2[q+1] * fc[q+1])
+       |         ELSE rarr END AS rarr
+       |  FROM $stacked
+       |  WHERE CASE WHEN accepted
+       |             THEN k + 1 < 4 AND len(pki) > 0 AND len(dpi) > 0
+       |             ELSE NOT (isnull_ AND it = 0) END
+       |)
+       |SELECT e.id, CAST(e.k AS INTEGER) AS mode, e.tarr[q.q + 1] AS t,
+       |  roundbankers(e.amp[q.q + 1] * 1000000.0, 0) / 1000000.0 AS amp,
+       |  roundbankers(e.f[q.q + 1] * 1000000.0, 0) / 1000000.0 AS fm
+       |FROM lmd e, LATERAL (SELECT unnest(range(len(e.f))) AS q) q
+       |WHERE e.accepted""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "lmd_energy" -> lmdEnergySql,
+    "lmd_modes" -> lmdModesSql,
     "ceemdan" -> ceemdanSql,
     "ceemdan_post" -> ceemdanPostSql,
     "ts_dwt_coeffs" -> tsDwtCoeffsSql,
