@@ -139,8 +139,14 @@ object Bench {
       // timed run is within noise and keeps the suite's wall bounded.
       // Sub-2s queries get 5 runs: a GC/compaction storm can span two
       // consecutive runs, and median-of-3 then reports the storm.
+      // Cutoff at 20 s, not 8: the round-9 2× swing on
+      // acf_period_quality traced to a CONTENDED warm run crossing 8 s
+      // and demoting the query to a single timed run — exactly when a
+      // storm is most likely, and exactly when the median matters. No
+      // query's clean runtime is near 20 s, so the single-run path now
+      // only triggers on genuinely long queries.
       val nRuns =
-        if (warm > 8.0) 1 else if (warm < 2.0) shortFloor else runs
+        if (warm > 20.0) 1 else if (warm < 2.0) shortFloor else runs
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
