@@ -1246,28 +1246,30 @@ object SeriesOps2 {
     * are filtered, not zeroed). The layers are assembled by a fold —
     * after the emd experience, no hand-counted parentheses. */
   val lmdModesSql: String = {
-    // one triangle-smoothing pass: pair-list [s, w] per element; the
-    // previous pass's value is re-derived as s/w inside the lambda
-    // (identical expression → identical double; avoids a second
-    // extraction layer per pass)
-    def smoothPass(prev: String, prevIsPair: Boolean, out: String) = {
-      val pv =
-        if (prevIsPair) s"$prev[jj + kk + 1][1] / $prev[jj + kk + 1][2]"
-        else s"$prev[jj + kk + 1]"
+    // One triangle-smoothing pass = TWO layers: an s-fold over plain
+    // doubles, then the per-element division by the precomputed
+    // window-clipped weight sum. The kernel's inner loop accumulates
+    // s += a(idx)·wt and w += wt per tap — wt and w depend only on
+    // (position, half), NOT the data, so the weight list and the
+    // clipped weight sums are hoisted to ONE per-row computation
+    // shared by all 24 passes (this plus plain-double fold elements
+    // instead of per-tap [s, w] pair allocations took the sf0.01
+    // oracle from 125 s to the tens).
+    def smoothPass(prev: String, out: String) = Seq(
       s"""list_transform(range(n), jj -> list_reduce(
-         |  list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+         |  list_prepend(CAST(0.0 AS DOUBLE),
          |    list_transform(
          |      list_filter(range(-half, half + 1),
          |        kk -> jj + kk >= 0 AND jj + kk < n),
-         |      kk -> [$pv * CAST(half + 1 - abs(kk) AS DOUBLE),
-         |             CAST(half + 1 - abs(kk) AS DOUBLE)])),
-         |  (a, b) -> [a[1] + b[1], a[2] + b[2]])) AS $out""".stripMargin
-    }
+         |      kk -> $prev[jj + kk + 1] * wts[kk + half + 1])),
+         |  (a, b) -> a + b)) AS s_$out""".stripMargin,
+      s"""list_transform(range(n), jj -> s_$out[jj + 1] / wsum[jj + 1])
+         |    AS $out""".stripMargin)
     val smoothLayers =
-      (1 to 12).map(j => smoothPass(if (j == 1) "mu0" else s"pmu${j - 1}",
-        prevIsPair = j > 1, s"pmu$j")) ++
-      (1 to 12).map(j => smoothPass(if (j == 1) "env0" else s"penv${j - 1}",
-        prevIsPair = j > 1, s"penv$j"))
+      (1 to 12).flatMap(j =>
+        smoothPass(if (j == 1) "mu0" else s"pmu${j - 1}", s"pmu$j")) ++
+      (1 to 12).flatMap(j =>
+        smoothPass(if (j == 1) "env0" else s"penv${j - 1}", s"penv$j"))
     val layers: Seq[String] = Seq(
       // extrema of the working series (w = f for sifting rows, the
       // residue for accepted rows' monotonic check)
@@ -1299,17 +1301,22 @@ object SeriesOps2 {
         |    kk -> ext[kk+1] - ext[kk])) AS mx""".stripMargin,
       "greatest(3, (mx // 3) | 1) AS w0",
       """(CASE WHEN w0 % 2 = 0 THEN w0 + 1 ELSE w0 END) // 2 AS half"""
-        .stripMargin) ++
+        .stripMargin,
+      """list_transform(range(-half, half + 1),
+        |    kk -> CAST(half + 1 - abs(kk) AS DOUBLE)) AS wts""".stripMargin,
+      """list_transform(range(n), jj -> list_reduce(
+        |  list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(
+        |      list_filter(range(-half, half + 1),
+        |        kk -> jj + kk >= 0 AND jj + kk < n),
+        |      kk -> wts[kk + half + 1])),
+        |  (a, b) -> a + b)) AS wsum""".stripMargin) ++
       smoothLayers ++ Seq(
-      """list_transform(range(n),
-        |    q -> pmu12[q+1][1] / pmu12[q+1][2]) AS smu,
-        |  list_transform(range(n),
-        |    q -> penv12[q+1][1] / penv12[q+1][2]) AS senv""".stripMargin,
-      """list_transform(senv, u ->
+      """list_transform(penv12, u ->
         |    CASE WHEN abs(u) < 1e-12 THEN 1e-12 ELSE u END) AS ee"""
         .stripMargin,
       """list_transform(range(n),
-        |    q -> (f[q+1] - smu[q+1]) / ee[q+1]) AS f2,
+        |    q -> (f[q+1] - pmu12[q+1]) / ee[q+1]) AS f2,
         |  list_transform(range(n), q -> amp[q+1] * ee[q+1]) AS amp2"""
         .stripMargin,
       """len(list_filter(f2, v -> NOT (abs(v) - 1.0 < 1e-6))) = 0
