@@ -79,8 +79,16 @@ object Bench {
     // cached instance, so the two plans stay canonically equal)
     // the 10-realization ensemble dump is the kernel tier behind the
     // whole ceemdan family (round 10): ceemdan is now a declarative
-    // compose over it, and post/orthogonality compose over ceemdan
-    warm("ceemdan") { graft.tsa.SeriesOps2.ceemdanDump(spark, sfDir).persist().count() }
+    // compose over it, and post/orthogonality compose over ceemdan.
+    // Round 11: persist ALL THREE layers — the dump (kernel runs
+    // once), the composed ceemdan (the pivot+window compose runs once
+    // instead of inside every orthogonality/post timed run — the
+    // round-10 driver artifact showed that compose amplifying memory
+    // pressure ~12×), and ceemdan_post (the re-sift mapGroups runs
+    // once for both ceemdan_post and c_orthogonality)
+    warm("ceemdan_dump") { graft.tsa.SeriesOps2.ceemdanDump(spark, sfDir).persist().count() }
+    warm("ceemdan") { graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count() }
+    warm("ceemdan_post") { graft.tsa.SeriesOps2.ceemdanPost(spark, sfDir).persist().count() }
     // hht_inst is a DQ window compose over the hht_norm sift dump, and
     // hht_spectrogram a declarative rebin over hht_inst — persist both
     // layers so the three queries share one sift + one gradient pass

@@ -366,6 +366,29 @@ object SeriesMath {
     * bit-exactness. */
   private[tsa] def sqlDouble(v: Double): String = f"$v%.17e"
 
+  /** Column analog of JVM `math.rint` (round-half-even on the BINARY
+    * double) built from IEEE arithmetic alone: adding 2^52 forces the
+    * FPU's round-to-nearest-even at the integer grid, subtracting it
+    * back recovers the rounded value — exact for |x| < 2^51, far above
+    * any 1e6-scaled series value in the corpus. Matches DuckDB
+    * roundbankers(x, 0) bit-exactly, unlike Spark `bround`, which ties
+    * on the SHORTEST DECIMAL representation via BigDecimal and can
+    * differ by one grid step at a decimal .5 boundary whose exact
+    * binary value is not a tie. Catalyst does not algebraically fold
+    * floating-point (x + c) - c, so the magic-number round survives
+    * optimization; all three terms stay inside whole-stage codegen.
+    * The negative branch rounds |x| and negates so a negative input
+    * rounding to zero yields -0.0 exactly like math.rint (and DuckDB
+    * roundbankers) — the driver hashes the SERIALIZED value, where
+    * -0.0 vs 0.0 is a mismatch. */
+  private[graft] def rintCol(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, negate, when}
+    val two52 = lit(4503599627370496.0)
+    when(x >= 0, x + two52 - two52)
+      .otherwise(negate(two52 - x - two52))
+  }
+
   private[tsa] def sosStepZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
     var scale = 1.0
     sos.map { s =>

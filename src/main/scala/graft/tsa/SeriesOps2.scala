@@ -273,28 +273,38 @@ object SeriesOps2 {
   // propagation collapses — residue₀ = y/σ and residue_{k+1} = µ_k, so
   // imf_k = (k=0 ? y/σ : µ_{k-1}) − µ_k where µ_k(i) is the ensemble
   // mean Σ_r (noisy−mode) / 10 in REALIZATION ORDER (the kernel's
-  // Seq.sum left fold — both engines fold a 0.0-seeded r-ordered list,
-  // so the sum is bit-identical, not merely commutative-equal). The
-  // final math.rint maps to Spark `bround` / DuckDB `roundbankers`
-  // (all three are round-half-even at the 1e-6 grid); the recovery
+  // Seq.sum left fold). The realization axis is a FIXED r ∈ 0..9, so
+  // the fold is a fixed-width column pivot: one conditional aggregate
+  // per r in ONE groupBy(id, k, t), summed as the literal left-assoc
+  // chain 0.0 + v0 + … + v9 — bit-identical to both the kernel's
+  // 0.0-seeded Seq.sum and the oracle's list_prepend(0.0)/list_reduce,
+  // with no per-group array allocation (round 10's collect_list/
+  // array_sort/fold shape was the suite's dominant GC-pressure
+  // amplifier: ~12× inflation under a loaded driver). The final
+  // rounding is `rintCol` — the 2^52 magic-number round-half-even on
+  // the BINARY double, exactly JVM math.rint and DuckDB
+  // roundbankers(·,0), closing the bround decimal-repr edge (bround
+  // ties on the SHORTEST DECIMAL repr, which can differ at a .5
+  // decimal boundary whose binary value is not a tie). The recovery
   // spec pins compose ≡ kernel imfs bit-exactly, rint included.
   def ceemdan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = ceemdanDump(spark, dir)
+    val vAggs = (0 until 10).map(r =>
+      max(when(col("r") === r, col("noisy") - col("md"))).as(s"v$r"))
     val folded = d.groupBy("id", "k", "t")
-      .agg(
-        collect_list(struct(col("r"), (col("noisy") - col("md")).as("v")))
-          .as("lst"),
-        first("sigma").as("sigma"), first("res0").as("res0"))
+      .agg(vAggs.head, vAggs.tail
+        :+ first("sigma").as("sigma") :+ first("res0").as("res0"): _*)
       .withColumn("mu",
-        aggregate(transform(array_sort(col("lst")), s => s.getField("v")),
-          lit(0.0), (acc, x) => acc + x) / lit(10.0))
+        (0 until 10).foldLeft(lit(0.0))(
+          (acc, r) => acc + col(s"v$r")) / lit(10.0))
     val w = Window.partitionBy("id", "t").orderBy("k")
     folded
       .withColumn("prev", lag("mu", 1).over(w))
       .select(col("id"), col("k").as("mode"), col("t"),
-        (bround((when(col("k") === 0, col("res0")).otherwise(col("prev"))
-          - col("mu")) * col("sigma") * 1e6, 0) / 1e6).as("y"))
+        (SeriesMath.rintCol(
+          (when(col("k") === 0, col("res0")).otherwise(col("prev"))
+            - col("mu")) * col("sigma") * 1e6) / 1e6).as("y"))
   }
 
   val ceemdanSql: String =
