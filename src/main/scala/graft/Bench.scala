@@ -30,10 +30,31 @@ object Bench {
     // the run → BENCH_r07 parsed:null). Warm failures cost cache reuse
     // for that intermediate, nothing else — the per-query loop has its
     // own try/catch.
-    def warm(what: String)(f: => Unit): Unit =
-      try f catch { case e: Throwable =>
+    //
+    // Round 11: every warm registers its persisted Dataset(s) plus a
+    // CONSUMER predicate over query names. Queries execute in sorted
+    // name order (families contiguous), and once no remaining query
+    // matches an intermediate's predicate it is unpersisted — a
+    // 140-query single-JVM suite otherwise drags ~30 cached
+    // intermediates to the finish line, and the round-10 driver
+    // artifact showed that resident footprint amplifying GC storms
+    // into the measurements. Predicates are SUPERSETS of the true
+    // consumers: releasing late only holds memory, releasing early
+    // would silently re-time the kernel.
+    val persisted = scala.collection.mutable.ArrayBuffer
+      .empty[(String => Boolean, Seq[org.apache.spark.sql.Dataset[_]])]
+    def warm(what: String, consumers: String => Boolean = _ => true)(
+        f: => Seq[org.apache.spark.sql.Dataset[_]]): Unit =
+      try persisted += consumers -> f catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up '$what' failed: ${e.getMessage}")
       }
+    // persist + materialize one intermediate
+    def p(df: => org.apache.spark.sql.Dataset[_])
+        : Seq[org.apache.spark.sql.Dataset[_]] = {
+      val d = df.persist(); d.count(); Seq(d)
+    }
+    def fam(prefixes: String*): String => Boolean =
+      q => prefixes.exists(q.startsWith)
     // Warm the shared inputs once: Spark's CacheManager substitutes any
     // later identical (canonicalized) plan, so every query's
     // scan+repartition of the same small fact table hits memory. On a
@@ -41,37 +62,48 @@ object Bench {
     // repeated single-file parquet reads from every measurement.
     Seq("events", "documents", "embeddings", "lineitem", "orders")
       .foreach { t =>
-        warm(t) { graft.Tables.table(spark, sfDir, t).persist().count() }
+        warm(t) { p(graft.Tables.table(spark, sfDir, t)) }
       }
-    warm("series") { graft.Tables.series(spark, sfDir).persist().count() }
+    warm("series") { p(graft.Tables.series(spark, sfDir)) }
     // Materialized-view reuse: several queries derive from the same
     // heavy intermediates (periodogram, PDM theta, ACF, wavelet
     // cells). Persisting one instance lets the CacheManager substitute
     // every later canonically-equal subplan — the cluster-standard
     // shared-scan optimization for a workload with common subqueries.
-    warm("gls") { graft.spectral.Gls.glsPeriodogram(spark, sfDir).persist().count() }
+    warm("gls", fam("gls", "psd", "composite"))
+      { p(graft.spectral.Gls.glsPeriodogram(spark, sfDir)) }
     // the raw DFT spectrum feeds five queries (psd_dft/ifft/polyfit/
     // curvefit/downsample) — one NF-point trig aggregate shared by all
-    warm("psd_dft") { graft.spectral.Gls.psdDft(spark, sfDir).persist().count() }
-    warm("pdm") { graft.spectral.PhaseFold.pdmTheta(spark, sfDir).persist().count() }
+    warm("psd_dft", fam("psd"))
+      { p(graft.spectral.Gls.psdDft(spark, sfDir)) }
+    warm("pdm", fam("pdm", "string_length"))
+      { p(graft.spectral.PhaseFold.pdmTheta(spark, sfDir)) }
     // the binned-demeaned base feeds both ACF estimators
-    warm("acf_base") { graft.tsa.TimeSeriesOps.acfDemeaned(spark, sfDir).persist().count() }
+    warm("acf_base", fam("acf", "ts_acf", "composite", "gaussian_prior"))
+      { p(graft.tsa.TimeSeriesOps.acfDemeaned(spark, sfDir)) }
     // the median-filter residual feeds all three sigma-clip passes of
     // ts_estimate_noise — one window sort instead of three
-    warm("noise_residue") { graft.tsa.TimeSeriesOps.noiseResidue(spark, sfDir).persist().count() }
-    warm("acf") { graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir).persist().count() }
+    warm("noise_residue", fam("ts_estimate_noise"))
+      { p(graft.tsa.TimeSeriesOps.noiseResidue(spark, sfDir)) }
+    warm("acf", fam("acf", "ts_acf", "composite", "gaussian_prior"))
+      { p(graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir)) }
     // the IVF quantizer (seed assign + Lloyd step + refined ranks) is
     // the write-once bucketed-corpus analogue — probe it, don't rebuild
-    warm("ivf") { graft.sim.Similarity.ivfRanked(spark, sfDir).persist().count() }
+    warm("ivf", fam("ann", "dedup_embedding"))
+      { p(graft.sim.Similarity.ivfRanked(spark, sfDir)) }
     // the Gram matrix feeds both emb_gram and every emb_pc1 iteration
-    warm("gram") { graft.sim.EmbeddingStats.gram(spark, sfDir).persist().count() }
+    warm("gram", fam("emb"))
+      { p(graft.sim.EmbeddingStats.gram(spark, sfDir)) }
     // the (doc_id, tok) term-frequency base feeds tfidf + unigram LM
-    warm("tf") { graft.text.TextOps.termFreq(spark, sfDir).persist().count() }
+    warm("tf", fam("text", "corpus", "docs_corpus"))
+      { p(graft.text.TextOps.termFreq(spark, sfDir)) }
     // PQ codebook + compressed code table feed emb_pq_codes and both
     // ann_pq_topk stages
-    warm("pq") { graft.sim.Pq.warm(spark, sfDir) }
-    warm("wavelet") { graft.spectral.Wavelet.waveletPower(spark, sfDir).persist().count() }
-    warm("dedup") { graft.dedup.Dedup.warm(spark, sfDir) }
+    warm("pq", _.contains("pq")) { graft.sim.Pq.warm(spark, sfDir) }
+    warm("wavelet", fam("wavelet", "composite"))
+      { p(graft.spectral.Wavelet.waveletPower(spark, sfDir)) }
+    warm("dedup", fam("dedup", "corpus", "docs_corpus"))
+      { graft.dedup.Dedup.warm(spark, sfDir) }
     // ceemdan_orthogonality is a single-pass mode pivot over the same
     // ceemdan mapGroups plan — persist one instance so CacheManager
     // substitutes it into both the standalone ceemdan query and the
@@ -86,38 +118,61 @@ object Bench {
     // round-10 driver artifact showed that compose amplifying memory
     // pressure ~12×), and ceemdan_post (the re-sift mapGroups runs
     // once for both ceemdan_post and c_orthogonality)
-    warm("ceemdan_dump") { graft.tsa.SeriesOps2.ceemdanDump(spark, sfDir).persist().count() }
-    warm("ceemdan") { graft.tsa.SeriesOps2.ceemdan(spark, sfDir).persist().count() }
-    warm("ceemdan_post") { graft.tsa.SeriesOps2.ceemdanPost(spark, sfDir).persist().count() }
+    warm("ceemdan_dump", fam("ceemdan"))
+      { p(graft.tsa.SeriesOps2.ceemdanDump(spark, sfDir)) }
+    warm("ceemdan", fam("ceemdan"))
+      { p(graft.tsa.SeriesOps2.ceemdan(spark, sfDir)) }
+    warm("ceemdan_post", fam("ceemdan"))
+      { p(graft.tsa.SeriesOps2.ceemdanPost(spark, sfDir)) }
     // hht_inst is a DQ window compose over the hht_norm sift dump, and
     // hht_spectrogram a declarative rebin over hht_inst — persist both
     // layers so the three queries share one sift + one gradient pass
-    warm("hht_norm") { graft.tsa.SeriesOps.hhtNorm(spark, sfDir).persist().count() }
-    warm("hht_inst") { graft.tsa.SeriesOps.hhtInst(spark, sfDir).persist().count() }
+    warm("hht_norm", fam("hht"))
+      { p(graft.tsa.SeriesOps.hhtNorm(spark, sfDir)) }
+    warm("hht_inst", fam("hht"))
+      { p(graft.tsa.SeriesOps.hhtInst(spark, sfDir)) }
     // gp_predict consumes gp_harmonic_map's is_best row: persist the
     // map so the standalone query AND gp_predict's sub-plan both hit
     // the one 20-period Cholesky scan (harmonicMapFn is a cached val,
     // so the plans are canonically equal)
-    warm("gp_map") { graft.tsa.GpOps.gpHarmonicMap(spark, sfDir).persist().count() }
+    warm("gp_map", fam("gp"))
+      { p(graft.tsa.GpOps.gpHarmonicMap(spark, sfDir)) }
     // round-7 derived-input splits: each dump query feeds a declarative
     // compose twin — persist the dump so the kernel runs once per pair
-    warm("hht_analytic") { graft.tsa.SeriesOps.hhtAnalytic(spark, sfDir).persist().count() }
-    warm("hht_nht_norm") { graft.tsa.SeriesOps.hhtNhtNorm(spark, sfDir).persist().count() }
-    warm("spline_coeffs") { graft.tsa.TimeSeriesOps4.tsSplineCoeffs(spark, sfDir).persist().count() }
-    warm("acf_band_quality") { graft.tsa.SeriesOps2.acfBandQuality(spark, sfDir).persist().count() }
-    warm("envelope_coeffs") { graft.tsa.GpOps.tsEnvelopeCoeffs(spark, sfDir).persist().count() }
-    warm("butterworth") { graft.tsa.SeriesOps.tsButterworth(spark, sfDir).persist().count() }
-    warm("dwt_coeffs") { graft.tsa.SeriesOps2.tsDwtCoeffs(spark, sfDir).persist().count() }
+    warm("hht_analytic", fam("hht"))
+      { p(graft.tsa.SeriesOps.hhtAnalytic(spark, sfDir)) }
+    warm("hht_nht_norm", fam("hht"))
+      { p(graft.tsa.SeriesOps.hhtNhtNorm(spark, sfDir)) }
+    warm("spline_coeffs", fam("ts_spline", "ts_interp"))
+      { p(graft.tsa.TimeSeriesOps4.tsSplineCoeffs(spark, sfDir)) }
+    // round-11 split: the band filter dump is the kernel tier (three
+    // IIR cascades per series); the quality chain + gaussian_prior
+    // both compose over it
+    warm("acf_band_filter", fam("acf", "gaussian_prior"))
+      { p(graft.tsa.SeriesOps2.acfBandFilter(spark, sfDir)) }
+    warm("acf_band_quality", fam("acf", "gaussian_prior"))
+      { p(graft.tsa.SeriesOps2.acfBandQuality(spark, sfDir)) }
+    warm("envelope_coeffs", fam("ts_envelope"))
+      { p(graft.tsa.GpOps.tsEnvelopeCoeffs(spark, sfDir)) }
+    warm("butterworth", fam("ts_butterworth", "ts_denoise"))
+      { p(graft.tsa.SeriesOps.tsButterworth(spark, sfDir)) }
+    warm("dwt_coeffs", fam("ts_dwt", "ts_denoise"))
+      { p(graft.tsa.SeriesOps2.tsDwtCoeffs(spark, sfDir)) }
     // round-9 derived-input promotions: the summary twins
     // (lmd_energy / gp_model_compare / gp_predict_fit) re-derive the
     // kernel dumps they gate — persist the dump outputs, which are
     // KB-sized but compute-heavy (sift / 20-period Cholesky scans), so
     // each kernel runs once for its standalone query AND its twin
-    warm("lmd_modes") { graft.tsa.SeriesOps2.lmdModes(spark, sfDir).persist().count() }
-    warm("gp_brownian_map") { graft.tsa.GpOps.gpBrownianMap(spark, sfDir).persist().count() }
-    warm("gp_period_map") { graft.tsa.SeriesOps.gpPeriodMap(spark, sfDir).persist().count() }
-    warm("gp_loocv") { graft.tsa.GpOps.gpLoocv(spark, sfDir).persist().count() }
-    warm("gp_predict") { graft.tsa.GpOps.gpPredict(spark, sfDir).persist().count() }
+    warm("lmd_modes", fam("lmd"))
+      { p(graft.tsa.SeriesOps2.lmdModes(spark, sfDir)) }
+    warm("gp_brownian_map", fam("gp"))
+      { p(graft.tsa.GpOps.gpBrownianMap(spark, sfDir)) }
+    warm("gp_period_map", fam("gp"))
+      { p(graft.tsa.SeriesOps.gpPeriodMap(spark, sfDir)) }
+    warm("gp_loocv", fam("gp"))
+      { p(graft.tsa.GpOps.gpLoocv(spark, sfDir)) }
+    warm("gp_predict", fam("gp"))
+      { p(graft.tsa.GpOps.gpPredict(spark, sfDir)) }
     // optional comma-separated filter for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {
@@ -134,8 +189,25 @@ object Bench {
     // an EXPLICIT SPARK_GRAFT_RUNS (dev quick pass) must win over it
     val shortFloor =
       if (sys.env.contains("SPARK_GRAFT_RUNS")) runs else runs.max(5)
+    // Telemetry sources: cumulative GC time across all collectors and
+    // process CPU time — recorded as per-query DELTAS so an
+    // environment storm (GC churn, CPU contention on a shared driver
+    // machine) is attributable from the artifact alone instead of
+    // reading as a query regression (round-10 lesson: 14 queries
+    // measured >2× their committed cost purely from machine state).
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val wall0 = System.nanoTime()
-    val results = selected.map { case (name, fn) =>
+    // sorted name order: families run contiguously (so the release
+    // logic below frees each family's intermediates as soon as its
+    // last query finishes) and the execution order is deterministic
+    // across rounds instead of Map-hash order
+    val remaining = scala.collection.mutable.Set(selected.keys.toSeq: _*)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed warm-up: planning + codegen compile + GC debt from the
       // previous query land here, not in the first timed run
       val w0 = System.nanoTime()
@@ -155,21 +227,40 @@ object Bench {
       // only triggers on genuinely long queries.
       val nRuns =
         if (warm > 20.0) 1 else if (warm < 2.0) shortFloor else runs
+      val gc0 = gcMs
+      val cpu0 = osBean.getProcessCpuTime
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      val gcDelta = gcMs - gc0
+      val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+      remaining -= name
+      // family release: no remaining query consumes it → free the
+      // cached blocks (late release is only memory; the predicates
+      // are supersets so a consumer never re-times its kernel)
+      persisted.filterInPlace { case (pred, dss) =>
+        if (remaining.exists(pred)) true
+        else { dss.foreach(_.unpersist()); false }
+      }
+      (name, times(times.size / 2), warm, gcDelta, cpuS,
+        osBean.getSystemLoadAverage)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     // bound executor memory for anything running after the suite
     spark.sharedState.cacheManager.clearCache()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jmap(f: ((String, Double, Double, Long, Double, Double)) => String)
+        : String = results.map(r => "\"" + r._1 + "\":" + f(r))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = jmap(_._2.toString)
+    val warms = jmap(r => f"${r._3}%.3f")
+    val gcs = jmap(_._4.toString)
+    val cpus_ = jmap(r => f"${r._5}%.3f")
+    val loads = jmap(r => f"${r._6}%.2f")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads}"""
     println(json)
     // Also persist the full record to the repo: the driver's stdout
     // capture keeps only a tail, which beheads the per-query map in

@@ -43,9 +43,11 @@ object Dedup {
     * subplans cache-hit (called from Bench): the candidate subplan is
     * shared verbatim by dedup_minhash_lsh, dedup_ngram_jaccard and
     * dedup_clusters. */
-  def warm(spark: SparkSession, dir: String): Unit = {
-    shingles(spark, dir).persist().count()
-    minhashCand(spark, dir, MaxBucket).persist().count()
+  def warm(spark: SparkSession, dir: String)
+      : Seq[org.apache.spark.sql.Dataset[_]] = {
+    val sh = shingles(spark, dir).persist(); sh.count()
+    val cand = minhashCand(spark, dir, MaxBucket).persist(); cand.count()
+    Seq(sh, cand)
   }
 
   /** Word 3-shingles via window leads: (doc_id, shingle). */

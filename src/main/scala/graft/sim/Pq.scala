@@ -97,9 +97,11 @@ object Pq {
     * cluster analogue is training the codebook once and storing the
     * compressed index; every later canonically-equal subplan
     * (emb_pq_codes itself, both ann_pq_topk stages) cache-hits. */
-  private[graft] def warm(spark: SparkSession, dir: String): Unit = {
-    centroids(spark, dir).persist().count()
-    embPqCodes(spark, dir).persist().count()
+  private[graft] def warm(spark: SparkSession, dir: String)
+      : Seq[org.apache.spark.sql.Dataset[_]] = {
+    val cs = centroids(spark, dir).persist(); cs.count()
+    val codes = embPqCodes(spark, dir).persist(); codes.count()
+    Seq(cs, codes)
   }
 
   /** The corpus code table (vec_id, m, code) — the compressed index. */

@@ -473,12 +473,55 @@ object SeriesOps {
     * arithmetic; initial states are the step-response zi constants
     * (embedded as round-tripping literals) scaled by each pass's
     * first sample; the final rint(·1e6) maps to roundbankers. */
-  val tsButterworthSql: String = {
-    val sos = ButterSos
+  /** sosfiltfilt replay, shared prelude: the demeaned resampled
+    * signal over the `tickv` resample CTEs — signal-only, so every
+    * cascade (and every pad width) shares one copy. */
+  private[tsa] def filtFiltPrelude(minLen: Int): String =
+    s"""gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
+       |  FROM tickv GROUP BY 1 HAVING count(*) >= $minLen),
+       |dm AS (
+       |  SELECT id, garr, tarr,
+       |    list_reduce(list_prepend(0.0, garr), (a, b) -> a + b)
+       |      / len(garr) AS mean
+       |  FROM gl)""".stripMargin
+
+  /** Reflect-padded extended signal for a given pad target (the
+    * kernel's 3·(2·S+1), so it DEPENDS on the cascade's section
+    * count — band 0 of acf_band_filter degenerates to 6 sections at
+    * its Nyquist-touching upper edge, pad 39 vs the usual 33).
+    * Emits meta<sfx> / e1<sfx> / np1<sfx>; meta and e1 MATERIALIZED
+    * (meta is read by every pass init + the final decode, e1 by
+    * every forward pass's per-step join). Equal pads can share one
+    * instance across cascades. */
+  private[tsa] def filtFiltExt(pad: Int, sfx: String): String =
+    s"""meta$sfx AS MATERIALIZED (
+       |  SELECT id, tarr, len(garr) AS n,
+       |    least($pad, len(garr) - 1) AS pad,
+       |    list_concat(list_concat(
+       |      list_transform(range(least($pad, len(garr) - 1)), jj ->
+       |        2.0 * (garr[1] - mean)
+       |          - (garr[least($pad, len(garr) - 1) - jj + 1] - mean)),
+       |      list_transform(garr, v -> v - mean)),
+       |      list_transform(range(least($pad, len(garr) - 1)), jj ->
+       |        2.0 * (garr[len(garr)] - mean)
+       |          - (garr[len(garr) - 1 - jj] - mean))) AS ext
+       |  FROM dm),
+       |e1$sfx AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(ext, 1) - 1 AS p, unnest(ext) AS x,
+       |    len(ext) AS np
+       |  FROM meta$sfx),
+       |np1$sfx AS (SELECT id, len(ext) AS np FROM meta$sfx)""".stripMargin
+
+  /** One zero-phase cascade (forward pass f1<sfx>, flip e2<sfx>,
+    * backward pass f3<sfx>) for the given SOS, CTE names suffixed so
+    * several cascades coexist in one WITH RECURSIVE. Per-sample
+    * cascade: x feeds section 0, y_{k-1} feeds section k; new states
+    * use OLD w2 (r.*) and the freshly computed y_k. */
+  private[tsa] def filtFiltPasses(sos: Array[Array[Double]],
+      sfx: String, extSfx: String = ""): String = {
     val zi = SeriesMath.sosStepZi(sos)
     val S = sos.length
-    // per-sample cascade: x feeds section 0, y_{k-1} feeds section k;
-    // new states use OLD w2 (r.*) and the freshly computed y_k
     def cascade(x: String): String = {
       val ys = (0 until S).map { k =>
         val xin = if (k == 0) x else s"y${k - 1}"
@@ -493,7 +536,6 @@ object SeriesOps {
       }
       (ys ++ ws).mkString(", ")
     }
-    val stateCols = (0 until S).map(k => s"w1_$k, w2_$k").mkString(", ")
     val newStates = (0 until S).map(k => s"nw1_$k, nw2_$k").mkString(", ")
     def ziInit(v: String) = (0 until S)
       .map(k => s"${SeriesMath.sqlDouble(zi(k)(0))} * $v AS w1_$k, " +
@@ -503,54 +545,40 @@ object SeriesOps {
       s"""$name AS (
          |  SELECT b.id, -1 AS p, cast(NULL AS double) AS y,
          |    ${ziInit("b.v")}
-         |  FROM (SELECT id, $vExpr AS v FROM meta) b
+         |  FROM (SELECT id, $vExpr AS v FROM meta$extSfx) b
          |  UNION ALL
          |  SELECT id, p, y${S - 1} AS y, $newStates FROM (
          |    SELECT r.id, s.p, ${cascade("s.x")}
          |    FROM $name r JOIN $src s ON s.id = r.id AND s.p = r.p + 1))"""
         .stripMargin
-    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
-       |gl AS (
-       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
-       |  FROM tickv GROUP BY 1 HAVING count(*) >= 20),
-       |dm AS (
-       |  SELECT id, garr, tarr,
-       |    list_reduce(list_prepend(0.0, garr), (a, b) -> a + b)
-       |      / len(garr) AS mean
-       |  FROM gl),
-       |meta AS MATERIALIZED (
-       |  SELECT id, tarr, len(garr) AS n,
-       |    least(33, len(garr) - 1) AS pad,
-       |    list_concat(list_concat(
-       |      list_transform(range(least(33, len(garr) - 1)), jj ->
-       |        2.0 * (garr[1] - mean)
-       |          - (garr[least(33, len(garr) - 1) - jj + 1] - mean)),
-       |      list_transform(garr, v -> v - mean)),
-       |      list_transform(range(least(33, len(garr) - 1)), jj ->
-       |        2.0 * (garr[len(garr)] - mean)
-       |          - (garr[len(garr) - 1 - jj] - mean))) AS ext
-       |  FROM dm),
-       |e1 AS MATERIALIZED (
-       |  SELECT id, generate_subscripts(ext, 1) - 1 AS p, unnest(ext) AS x,
-       |    len(ext) AS np
-       |  FROM meta),
-       |${pass("f1", "e1", "ext[1]")},
-       |np1 AS (SELECT id, len(ext) AS np FROM meta),
-       |e2 AS MATERIALIZED (
+    s"""${pass(s"f1$sfx", s"e1$extSfx", "ext[1]")},
+       |e2$sfx AS MATERIALIZED (
        |  SELECT f.id, n.np - 1 - f.p AS p, f.y AS x
-       |  FROM f1 f JOIN np1 n ON n.id = f.id WHERE f.p >= 0),
-       |${pass("f3", "e2",
-          "(SELECT f.y FROM f1 f WHERE f.id = meta.id" +
-          " AND f.p = len(meta.ext) - 1)")}
-       |SELECT f.id, m.tarr[(n.np - 1 - f.p) - m.pad + 1] AS t,
+       |  FROM f1$sfx f JOIN np1$extSfx n ON n.id = f.id WHERE f.p >= 0),
+       |${pass(s"f3$sfx", s"e2$sfx",
+          s"(SELECT f.y FROM f1$sfx f WHERE f.id = meta$extSfx.id" +
+           s" AND f.p = len(meta$extSfx.ext) - 1)")}""".stripMargin
+  }
+
+  /** Decode a cascade's backward pass to (id[, extra], t, y_filt),
+    * un-flipping the index and dropping the reflect pad. */
+  private[tsa] def filtFiltSelect(sfx: String, extraCols: String = "",
+      extSfx: String = ""): String =
+    s"""SELECT f.id, ${extraCols}m.tarr[(n.np - 1 - f.p) - m.pad + 1] AS t,
        |  roundbankers(f.y * 1000000.0, 0) / 1000000.0 AS y_filt
-       |FROM f3 f
-       |JOIN np1 n ON n.id = f.id
-       |JOIN meta m ON m.id = f.id
+       |FROM f3$sfx f
+       |JOIN np1$extSfx n ON n.id = f.id
+       |JOIN meta$extSfx m ON m.id = f.id
        |WHERE f.p >= 0
        |  AND (n.np - 1 - f.p) BETWEEN m.pad AND m.pad + m.n - 1"""
       .stripMargin
-  }
+
+  val tsButterworthSql: String =
+    s"""WITH RECURSIVE ${graft.tsa.SeriesOps2.resampleCtes(fracFirst = true)},
+       |${filtFiltPrelude(20)},
+       |${filtFiltExt(3 * (2 * ButterSos.length + 1), "")},
+       |${filtFiltPasses(ButterSos, "")}
+       |${filtFiltSelect("")}""".stripMargin
 
   /** hht_analytic, hash-gated (round 9): the radix-2 FFT Hilbert
     * transform replayed bit-exactly with ZERO trig calls in DuckDB —

@@ -466,61 +466,12 @@ object SeriesOps2 {
   private val QSos =
     SeriesMath.butterBandpassSos(5, 1.0 / QPMax, 1.0 / 86400.0, 1.0 / QDt)
 
-  /** acf_harmonic_quality kernel: ACF of the band-filtered uniform
-    * series over `ml` lags, best peak, then the (a, tau) exp-cos grid
-    * fit → (best_period, height, quality). */
-  private def acfQuality(gt: Array[Double], gy: Array[Double],
-      sos: Array[Array[Double]], pmax: Double, dt: Double)
-      : Option[(Double, Double, Double)] = {
-    val mean = gy.sum / gy.length
-    val filt = SeriesMath.sosFiltFilt(sos, gy.map(_ - mean))
-    val ml = math.min((2.0 * pmax / dt).toInt, gt.length)
-    // direct ACF on the uniform grid, lags 0..ml-1
-    val denom = filt.map(v => v * v).sum
-    val acf = Array.tabulate(ml) { k =>
-      var s = 0.0
-      var i = 0
-      while (i + k < filt.length) { s += filt(i) * filt(i + k); i += 1 }
-      if (denom > 0) s / denom else 0.0
-    }
-    val peaks = SeriesMath.findPeaks(acf, includeEdges = false)
-    if (peaks.isEmpty) None
-    else {
-      val bestIdx = peaks.maxBy(acf)
-      val bestPer = bestIdx * dt
-      val height = acf(bestIdx)
-      val tauMax = 20.0 * pmax / bestPer
-      // grid search over (a, tau)
-      val lags = Array.tabulate(ml)(_ * dt)
-      def rss(a: Double, tau: Double): Double = {
-        var s = 0.0
-        var i = 0
-        while (i < ml) {
-          val m = a * math.exp(-lags(i) / tau) *
-            math.cos(2.0 * math.Pi * lags(i) / bestPer)
-          s += (acf(i) - m) * (acf(i) - m)
-          i += 1
-        }
-        s
-      }
-      var best = (1.0, 2.0 * bestPer, Double.MaxValue)
-      var ai = -4
-      while (ai <= 4) {
-        val a = math.exp(ai * 0.35)
-        var ti = -4
-        while (ti <= 4) {
-          val tau = 2.0 * bestPer * math.exp(ti * 0.5)
-          val r = rss(a, tau)
-          if (r < best._3) best = (a, tau, r)
-          ti += 1
-        }
-        ai += 1
-      }
-      val tau = math.min(best._2, tauMax * bestPer)
-      val quality = (tau / bestPer) * (ml * height / best._3)
-      Some((bestPer, height, quality))
-    }
-  }
+  // The former in-kernel acf_harmonic_quality sweep (filter + ACF +
+  // exp-cos fit inside one mapGroups) was promoted round 11: only the
+  // IIR filtfilt is sequential, so acf_band_filter dumps the
+  // per-band quantized filter output and the quality chain above runs
+  // declaratively over it — the same split acf_period_quality made in
+  // round 7, now with variable ml per band (8/16/32 lags).
 
   // Round 7: acf_period_quality is now DECLARATIVE over the
   // ts_butterworth dump (same order-5 [1 d, 5 d] band, same 6 h
@@ -535,11 +486,21 @@ object SeriesOps2 {
   // RSS sum is order-dependent + libm-bearing, so it rounds at 6 dp
   // before the argmin (psd_curvefit precedent); ties break by
   // (ai, ti) grid order like the kernel's strict-< scan.
-  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame = {
+  def acfPeriodQuality(spark: SparkSession, dir: String): DataFrame =
+    periodQualityChain(spark, SeriesOps.tsButterworth(spark, dir),
+      ml = 40, pmax = QPMax)
+
+  /** The post-filter acf_period_quality relational chain (ACF via
+    * window leads, peak pick, 9×9 exp-cos grid fit) over a quantized
+    * filter dump (id, t, y_filt), parameterized by the lag count and
+    * the band's p_max so acf_band_quality's three prior bands
+    * (ml = 8/16/32) reuse the exact shape acf_period_quality
+    * established (ml = 40). */
+  private def periodQualityChain(spark: SparkSession, bf: DataFrame,
+      ml: Int, pmax: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dt = QDt
-    val ML = 40
-    val bf = SeriesOps.tsButterworth(spark, dir)
+    val ML = ml
     val w = Window.partitionBy("id").orderBy("t")
     // Pin the post-IIR exchange width (gls_fap precedent): the
     // butterworth output is ~2 MB at sf0.1, so AQE would coalesce the
@@ -615,20 +576,24 @@ object SeriesOps2 {
         exp(col("bc.ti").cast("double") * 0.5))
       .select(col("id"), col("best_period"),
         (round(col("height"), 6) + 0.0).as("height"),
-        (round((least(col("tau"), lit(20.0 * QPMax)) / col("best_period")) *
+        (round((least(col("tau"), lit(20.0 * pmax)) / col("best_period")) *
           ((lit(ML.toLong) * col("height")) / col("bc.rss")), 3) + 0.0)
           .as("quality"))
   }
 
-  val acfPeriodQualitySql: String =
-    s"""WITH bf AS (
-       |  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_butterworth/*.parquet')),
+  /** DuckDB twin of [[periodQualityChain]], parameterized the same
+    * way (src query, lag count, band p_max); `selHead` prefixes the
+    * final projection (band literal / period alias) so the band
+    * variant can rename best_period → period. */
+  private def periodQualityChainSql(src: String, ml: Int, pmax: Double,
+      selHead: String): String =
+    s"""WITH bf AS ($src),
        |base AS (SELECT id, t,
        |  cast(round(y_filt * 1000000.0) AS BIGINT) AS v,
        |  row_number() OVER (PARTITION BY id ORDER BY t) - 1 AS k,
        |  count(*) OVER (PARTITION BY id) AS n
        |  FROM bf),
-       |b2 AS (SELECT *, least(40, n) AS ml FROM base WHERE n >= 40),
+       |b2 AS (SELECT *, least($ml, n) AS ml FROM base WHERE n >= 40),
        |num AS (SELECT a.id, b.k - a.k AS lg,
        |  sum(a.v * b.v) AS num, max(a.ml) AS ml
        |  FROM b2 a JOIN b2 b
@@ -665,11 +630,15 @@ object SeriesOps2 {
        |  GROUP BY 1, 2, 3),
        |win AS (SELECT *, row_number() OVER (PARTITION BY id
        |    ORDER BY rss ASC, ai ASC, ti ASC) AS rk2 FROM rss)
-       |SELECT id, best_period,
+       |SELECT id, $selHead,
        |  round(height, 6) + 0.0 AS height,
-       |  round((least(tau, ${20.0 * QPMax}) / best_period)
+       |  round((least(tau, ${20.0 * pmax}) / best_period)
        |        * ((ml * height) / rss), 3) + 0.0 AS quality
        |FROM win WHERE rk2 = 1""".stripMargin
+
+  val acfPeriodQualitySql: String = periodQualityChainSql(
+    "\n  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_butterworth/*.parquet')",
+    ml = 40, pmax = QPMax, selHead = "best_period")
 
   // -------------------------------------------------------------------
   // gaussian_prior — reference gp.py:69 (make_gaussian_prior): mixture
@@ -688,30 +657,81 @@ object SeriesOps2 {
     SeriesMath.butterBandpassSos(5, 1.0 / pmax, 2.0 / pmax, 1.0 / QDt))
   private val FundHeight = 0.8
 
-  /** acf_band_quality — the per-BAND acf_harmonic_quality sweep the
-    * prior is built from (reference gp.py:125-141: for each band,
-    * filter + ACF + exp-cos fit). Emitted raw (unrounded period /
-    * quality) so gaussian_prior's mixture assembly is exactly
-    * replayable over this dump. Rows-only: the IIR+fit kernel itself
-    * is sequential per series. */
-  private val acfBandQualityFn
+  /** acf_band_filter — the kernel tier of the prior's per-band sweep
+    * (reference gp.py:125-141): each of the three prior bands'
+    * order-5 band-pass filtfilt on the 6 h-resampled demeaned series,
+    * 1e-6-quantized at the dump (the ts_butterworth discipline).
+    * HASH-GATED: the oracle replays all three SOS cascades over ONE
+    * shared demeaned/padded prelude (the pad and mean depend on the
+    * signal only) with suffixed recursive CTEs. */
+  private val acfBandFilterFn
       : (Long, Array[Double], Array[Double]) => Iterator[
-        (Long, Long, Double, Double, Double)] =
+        (Long, Long, Double, Double)] =
     (id, t0, y0) => {
       val (gt, gy) = resample(t0, y0, QDt)
       if (gt.length < 40) Iterator.empty
-      else PriorBands.iterator.zipWithIndex.flatMap { case (pmax, bi) =>
-        acfQuality(gt, gy, PriorSos(bi), pmax, QDt) match {
-          case None => Iterator.empty
-          case Some((per, height, quality)) =>
-            Iterator.single((id, bi.toLong, per, height, quality))
+      else {
+        val mean = gy.sum / gy.length
+        PriorBands.iterator.zipWithIndex.flatMap { case (_, bi) =>
+          val filt = SeriesMath.sosFiltFilt(PriorSos(bi), gy.map(_ - mean))
+          gt.indices.iterator.map(i =>
+            (id, bi.toLong, gt(i), math.rint(filt(i) * 1e6) / 1e6))
         }
       }
     }
 
-  def acfBandQuality(spark: SparkSession, dir: String): DataFrame =
-    perSeries(spark, dir)(acfBandQualityFn)
-      .toDF("id", "band", "period", "height", "quality")
+  def acfBandFilter(spark: SparkSession, dir: String): DataFrame =
+    perSeries(spark, dir)(acfBandFilterFn)
+      .toDF("id", "band", "t", "y_filt")
+
+  val acfBandFilterSql: String = {
+    // pad = 3·(2·S+1) follows each band's SECTION COUNT (band 0's
+    // Nyquist-touching upper edge degenerates to 6 sections → pad 39,
+    // the others 5 → 33); equal pads share one ext instance
+    val pads = PriorBands.indices.map(bi => 3 * (2 * PriorSos(bi).length + 1))
+    val extBlocks = pads.distinct.map(p => SeriesOps.filtFiltExt(p, s"p$p"))
+    val passes = PriorBands.indices.map(bi =>
+      SeriesOps.filtFiltPasses(PriorSos(bi), s"b$bi", s"p${pads(bi)}"))
+    val bandSelects = PriorBands.indices.map { bi =>
+      SeriesOps.filtFiltSelect(s"b$bi",
+        s"CAST($bi AS BIGINT) AS band, ", s"p${pads(bi)}")
+    }
+    s"""WITH RECURSIVE ${resampleCtes(fracFirst = false)},
+       |${SeriesOps.filtFiltPrelude(40)},
+       |${extBlocks.mkString(",\n")},
+       |${passes.mkString(",\n")}
+       |${bandSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** acf_band_quality — the per-BAND acf_harmonic_quality sweep the
+    * prior is built from. HASH-GATED (round 11): a declarative
+    * [[periodQualityChain]] per band over the acf_band_filter dump
+    * (ml = 2·p_max/dt = 8/16/32 lags), DERIVED-INPUT oracle replaying
+    * the identical chain in DuckDB. Values moved from the old
+    * raw-kernel emission to the chain's quantized/rounded discipline
+    * (height 6 dp, quality 3 dp) — gaussian_prior composes THIS
+    * output on both engines, so the mixture stays consistent. */
+  def acfBandQuality(spark: SparkSession, dir: String): DataFrame = {
+    val bf = acfBandFilter(spark, dir)
+    PriorBands.zipWithIndex.map { case (pmax, bi) =>
+      val ml = (2.0 * pmax / QDt).toInt
+      periodQualityChain(spark,
+        bf.filter(col("band") === bi).drop("band"), ml, pmax)
+        .select(col("id"), lit(bi.toLong).as("band"),
+          col("best_period").as("period"), col("height"), col("quality"))
+    }.reduce(_ unionAll _)
+  }
+
+  val acfBandQualitySql: String =
+    PriorBands.zipWithIndex.map { case (pmax, bi) =>
+      val ml = (2.0 * pmax / QDt).toInt
+      val chain = periodQualityChainSql(
+        "\n  SELECT * FROM read_parquet(" +
+          s"'__GRAFT_OUT__/acf_band_filter/*.parquet') WHERE band = $bi",
+        ml = ml, pmax = pmax,
+        selHead = s"CAST($bi AS BIGINT) AS band, best_period AS period")
+      s"SELECT * FROM (\n$chain\n)"
+    }.mkString("\nUNION ALL\n")
 
   /** Band-grid-parameterized sweep with the REFERENCE's semantics
     * (gp.py:125-141): a shared per-series p_min = max(min(bands)/10,
@@ -1000,6 +1020,7 @@ object SeriesOps2 {
     "ceemdan_orthogonality" -> (ceemdanOrthogonality _),
     "ceemdan_c_orthogonality" -> (ceemdanCOrthogonality _),
     "acf_period_quality" -> (acfPeriodQuality _),
+    "acf_band_filter" -> (acfBandFilter _),
     "acf_band_quality" -> (acfBandQuality _),
     "gaussian_prior" -> (gaussianPrior _),
     "ts_dwt_coeffs" -> (tsDwtCoeffs _),
@@ -1392,5 +1413,7 @@ object SeriesOps2 {
     "ceemdan_c_orthogonality" -> orthogonalitySql("ceemdan_post"),
     "gaussian_prior" -> gaussianPriorSql,
     "acf_period_quality" -> acfPeriodQualitySql,
+    "acf_band_filter" -> acfBandFilterSql,
+    "acf_band_quality" -> acfBandQualitySql,
     "ts_denoise_coeffs" -> tsDenoiseCoeffsSql)
 }
