@@ -1073,7 +1073,25 @@ object SeriesOps {
        |FROM res r, LATERAL (SELECT unnest(range(r.n)) AS q) AS q"""
       .stripMargin
 
+  /** gp_period_map, HASH-GATED (round 11): the quasi-periodic
+    * Cholesky grid-MAP replayed as nested list_reduce folds — see
+    * [[CholeskySql]] for the harness and the bit-exactness argument.
+    * Per-period constants (ω_p = π/p, 1/2ℓ²) are Scala literals. */
+  val gpPeriodMapSql: String = {
+    val gridRows = (1 to 20).map { j =>
+      val p = j * 43200.0
+      val wp = math.Pi / p
+      val ell = 3.0 * p
+      val il2 = 1.0 / (2.0 * ell * ell)
+      s"($j, $p, ${SeriesMath.sqlDouble(wp)}, ${SeriesMath.sqlDouble(il2)})"
+    }
+    CholeskySql.gridMapSql(200, Seq("wp", "il2"), gridRows,
+      "vy * exp(-5.0 * sin(wp * __D__) * sin(wp * __D__) " +
+        "- __D__ * __D__ * il2)")
+  }
+
   val oracles: Map[String, String] = Map(
+    "gp_period_map" -> gpPeriodMapSql,
     "hht_inst" -> hhtInstSql,
     "hht_norm" -> hhtNormSql,
     "hht_nht_norm" -> hhtNhtNormSql,
