@@ -59,15 +59,16 @@ private[tsa] object CholeskySql {
        |st0 AS (SELECT id, n, tarr, yraw,
        |    list_reduce(list_prepend(0.0, yraw), (a, b) -> a + b) / n AS mean
        |  FROM samp),
-       |st1 AS (SELECT id, n, tarr, mean,
+       |st1 AS (SELECT id, n, tarr, yraw, mean,
        |    list_transform(yraw, v -> v - mean) AS yarr
        |  FROM st0),
-       |st2 AS (SELECT id, n, tarr, mean, yarr,
+       |st2 AS (SELECT id, n, tarr, yraw, mean, yarr,
        |    greatest(list_reduce(list_prepend(0.0,
        |      list_transform(yarr, v -> v * v)), (a, b) -> a + b) / n,
        |      1e-12) AS vy
        |  FROM st1),
-       |st AS (SELECT id, n, tarr, mean, yarr, vy, 0.2 * vy AS noise
+       |st AS (SELECT id, n, tarr, yraw, mean, yarr, vy,
+       |    0.2 * vy AS noise
        |  FROM st2)""".stripMargin
 
   /** The factorization + solves + log-likelihood CTE chain over a
@@ -78,8 +79,9 @@ private[tsa] object CholeskySql {
     * `keyCols` are carried through (e.g. "j, p"). Emits `llv` with
     * (id, keyCols…, n, tarr, yarr, mean, lmat, xrev, llr) — llr NaN
     * on a failed factorization. */
-  def cholCtes(src: String, keyCols: Seq[String], entry: String): String = {
-    val keys = keyCols.mkString(", ")
+  def cholCtes(src: String, keyCols: Seq[String], entry: String,
+      carry: Seq[String] = Nil): String = {
+    val keys = (keyCols ++ carry).mkString(", ")
     val i = B("xi[1]")
     val j = B("xj[1]")
     val k = B("kk")
@@ -117,7 +119,7 @@ private[tsa] object CholeskySql {
        |              / lmat0[${off(j)} + $j + 1]
        |            END ])))) AS lmat
        |  FROM kin),
-       |fwd AS (SELECT id, $keys, n, tarr, yarr, mean, lmat,
+       |fwd AS (SELECT id, $keys, n, tarr, yarr, mean, vy, noise, lmat,
        |    list_reduce(
        |      list_prepend(CAST([] AS DOUBLE[]),
        |        list_transform(range(n), ii -> [CAST(ii AS DOUBLE)])),
@@ -132,7 +134,7 @@ private[tsa] object CholeskySql {
        |-- α back-substitution built back-to-front: ac[q+1] holds
        |-- x[n-1-q]; the inner terms walk k = i+1 … n-1 ASCENDING
        |-- (the kernel's subtraction order), reading x[k] = ac[n-k]
-       |bwd AS (SELECT id, $keys, n, tarr, yarr, mean, lmat, ys,
+       |bwd AS (SELECT id, $keys, n, tarr, yarr, mean, vy, noise, lmat, ys,
        |    list_reduce(
        |      list_prepend(CAST([] AS DOUBLE[]),
        |        list_transform(range(n), q -> [CAST(n - 1 - q AS DOUBLE)])),
@@ -146,7 +148,7 @@ private[tsa] object CholeskySql {
        |          (a, b) -> a - b)
        |        / lmat[${off(i)} + $i + 1] ])) AS xrev
        |  FROM fwd),
-       |llv AS (SELECT id, $keys, n, tarr, yarr, mean, lmat, xrev,
+       |llv AS (SELECT id, $keys, n, tarr, yarr, mean, vy, noise, lmat, xrev,
        |    list_reduce(
        |      list_prepend((-0.5 * n) * ${SeriesMath.sqlDouble(
                 math.log(2.0 * math.Pi))},

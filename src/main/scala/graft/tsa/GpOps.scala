@@ -819,7 +819,190 @@ object GpOps {
        |JOIN cc c1 ON c1.id = sg.id AND c1.side = sg.side AND c1.i = sg.i + 1
        |WHERE sg.i <= sg.n - 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Round 11: the SHO-kernel GP queries under the hash gate via the
+  // CholeskySql fold harness (see that file for the replay strategy
+  // and bit-exactness argument). The per-period SHO constants are
+  // re-derived below with the SAME arithmetic as brownianKernel /
+  // harmonicKernel / sho and embedded as %.17e literals — the vy-
+  // dependent amplitude chain stays in SQL in the kernel's exact
+  // association (((s0·w)·q), etc.), so any divergence from the Scala
+  // closures fails the gate loudly rather than silently.
+  // -------------------------------------------------------------------
+  private def L(v: Double) = SeriesMath.sqlDouble(v)
+
+  /** sho()'s underdamped constants for (w0, q): damping, η·w0, and
+    * the sin coefficient 1/(2ηq). */
+  private def underConsts(w0: Double, q: Double): (Double, Double, Double) = {
+    val c = w0 / (2.0 * q)
+    val eta = math.sqrt(math.max(1.0 - 1.0 / (4.0 * q * q), 1e-14))
+    (c, eta * w0, 1.0 / (2.0 * eta * q))
+  }
+
+  /** Underdamped SHO covariance term: amp·e^{−c·x}·(cos + sc·sin),
+    * amp = ((s0·w)·q) — sho()'s exact association. */
+  private def underTerm(s0: String, w: String, q: String, c: String,
+      ew: String, sc: String): String =
+    s"((($s0 * $w) * $q) * exp((-$c) * abs(__D__))) * " +
+      s"(cos($ew * abs(__D__)) + $sc * sin($ew * abs(__D__)))"
+
+  /** (grid columns, VALUES rows, entry expr) for the harmonic
+    * (RotationTerm) kernel — shared by the map, loocv and predict
+    * oracles. */
+  private lazy val harmonicSqlParts: (Seq[String], Seq[String], String) = {
+    val fr = 0.1
+    val onefr = 1.0 + fr
+    val q0 = math.exp(1.0)
+    val dq = math.exp(2.0)
+    val q1 = 0.5 + q0 + dq
+    val q2 = 0.5 + q0
+    val rows = (1 to 20).map { j =>
+      val p = j * 43200.0
+      val w1 = 4.0 * math.Pi * q1 / (p * math.sqrt(4.0 * q1 * q1 - 1.0))
+      val w2 = 8.0 * math.Pi * q2 / (p * math.sqrt(4.0 * q2 * q2 - 1.0))
+      val (c1, ew1, sc1) = underConsts(w1, q1)
+      val (c2, ew2, sc2) = underConsts(w2, q2)
+      s"($j, $p, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
+        s"${L(w2)}, ${L(q2)}, ${L(c2)}, ${L(ew2)}, ${L(sc2)})"
+    }
+    val s1 = s"((vy / ${L(onefr)}) / (w1 * q1))"
+    val s2 = s"((${L(fr)} * (vy / ${L(onefr)})) / (w2 * q2))"
+    val entry = s"(${underTerm(s1, "w1", "q1", "c1", "ew1", "sc1")} + " +
+      s"${underTerm(s2, "w2", "q2", "c2", "ew2", "sc2")})"
+    (Seq("w1", "q1", "c1", "ew1", "sc1", "w2", "q2", "c2", "ew2", "sc2"),
+      rows, entry)
+  }
+
+  val gpHarmonicMapSql: String = {
+    val (cols, rows, entry) = harmonicSqlParts
+    CholeskySql.gridMapSql(200, cols, rows, entry)
+  }
+
+  val gpBrownianMapSql: String = {
+    val mix = 0.6
+    val q2 = 0.01
+    val f = math.sqrt(1.0 - 4.0 * q2 * q2)
+    val rows = (1 to 20).map { j =>
+      val p = j * 43200.0
+      val q1 = math.Pi * (3.0 * p) / p
+      val w1 = 2.0 * math.Pi / p
+      val (c1, ew1, sc1) = underConsts(w1, q1)
+      val w2 = 2.0 * q2 / ((3.0 * p) * (1.0 - f))
+      val den2 = 0.5 * w2 * q2 * (1.0 + 1.0 / f)
+      val eta = math.sqrt(1.0 / (4.0 * q2 * q2) - 1.0)
+      val cb = w2 / (2.0 * q2)
+      val ca = eta * w2
+      val pp1 = 0.5 + 1.0 / (4.0 * eta * q2)
+      val pp2 = 0.5 - 1.0 / (4.0 * eta * q2)
+      s"($j, $p, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
+        s"${L(w2)}, ${L(ca - cb)}, ${L(-ca - cb)}, ${L(pp1)}, ${L(pp2)}, " +
+        s"${L(den2)})"
+    }
+    val s1 = s"((${L(mix)} * vy) / (w1 * q1))"
+    // overdamped background: amp·(e^{(ca−cb)x}·p1 + e^{(−ca−cb)x}·p2) —
+    // sho()'s exact two-exponential form (both exponents ≤ 0)
+    val s2 = s"((${L(1.0 - mix)} * vy) / den2)"
+    val over = s"((($s2 * w2) * ${L(q2)}) * " +
+      s"(exp(cab1 * abs(__D__)) * pp1 + exp(cab2 * abs(__D__)) * pp2))"
+    val entry = s"(${underTerm(s1, "w1", "q1", "c1", "ew1", "sc1")} + $over)"
+    CholeskySql.gridMapSql(200,
+      Seq("w1", "q1", "c1", "ew1", "sc1", "w2", "cab1", "cab2", "pp1",
+        "pp2", "den2"), rows, entry)
+  }
+
+  /** gp_loocv: the harmonic chain at cap 120 plus diag(K⁻¹) — each
+    * column ii of L⁻¹ is its own forward substitution (independent
+    * across ii, so a list_transform of folds), s2 accumulated in the
+    * kernel's ascending order; the LOO score folds the per-sample
+    * (qᵢ²/cᵢ − log cᵢ) terms onto n·log 2π. */
+  val gpLoocvSql: String = {
+    val (cols, rows, entry) = harmonicSqlParts
+    val ii = "CAST(ii AS BIGINT)"
+    val kk = "CAST(xk[1] AS BIGINT)"
+    val jj = "CAST(jj AS BIGINT)"
+    def off(x: String) = s"($x * ($x + 1)) // 2"
+    s"""WITH ${CholeskySql.statsCtes(120)},
+       |grid(j, p${cols.map(", " + _).mkString}) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |src0 AS (SELECT s.*, g.* FROM st s, grid g),
+       |${CholeskySql.cholCtes("src0", Seq("j", "p"), entry)},
+       |cdg AS (SELECT id, j, p, n, lmat, xrev, llr,
+       |    list_transform(range(n), ii ->
+       |      list_reduce(list_prepend(0.0, list_transform(
+       |        list_reduce(
+       |          list_prepend(CAST([] AS DOUBLE[]),
+       |            list_transform(range(n - $ii), m ->
+       |              [CAST(ii + m AS DOUBLE)])),
+       |          (ac, xk) -> list_concat(ac, [
+       |            list_reduce(list_prepend(
+       |              CASE WHEN $kk = $ii THEN 1.0 ELSE 0.0 END,
+       |              list_transform(range($kk - $ii), jj ->
+       |                lmat[${off(kk)} + ($ii + $jj) + 1]
+       |                * ac[$jj + 1])),
+       |              (a, b) -> a - b)
+       |            / lmat[${off(kk)} + $kk + 1] ])),
+       |        v -> v * v)), (a, b) -> a + b)) AS cdiag
+       |  FROM llv),
+       |sc0 AS (SELECT id, j, p,
+       |    -0.5 * list_reduce(
+       |      list_prepend(n * ${SeriesMath.sqlDouble(
+                math.log(2.0 * math.Pi))},
+       |        list_transform(range(n), ii ->
+       |          (xrev[n - $ii] * xrev[n - $ii]) / cdiag[$ii + 1]
+       |          - ln(cdiag[$ii + 1]))),
+       |      (a, b) -> a + b) AS sc
+       |  FROM cdg),
+       |sc1 AS (SELECT id, j, p,
+       |    CASE WHEN isnan(sc) THEN '-infinity'::DOUBLE ELSE sc END AS sc
+       |  FROM sc0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY sc DESC, j ASC) AS r FROM sc1)
+       |SELECT id, p AS period,
+       |  roundbankers(sc * 1000.0, 0) / 1000.0 AS loocv,
+       |  CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_best
+       |FROM rk""".stripMargin
+  }
+
+  /** gp_predict, DERIVED-INPUT on the gp_harmonic_map dump for the
+    * MAP period (the grid join recovers that period's literal
+    * constants exactly — dump periods ARE the grid literals), then
+    * ONE factorization per series and μᵢ = Σ_b K_signal(tᵢ,t_b)·α_b
+    * in the kernel's ascending-b order (K is even, so abs(d) makes
+    * the mirrored upper triangle bit-identical). */
+  val gpPredictSql: String = {
+    val (cols, rows, entry) = harmonicSqlParts
+    val ii = "CAST(ii AS BIGINT)"
+    val bb = "CAST(bb AS BIGINT)"
+    val entryMu = entry.replace("__D__", s"(tarr[$ii + 1] - tarr[$bb + 1])")
+    s"""WITH ${CholeskySql.statsCtes(200)},
+       |grid(j, p${cols.map(", " + _).mkString}) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |best AS (SELECT id AS bid, period AS map_p
+       |  FROM read_parquet('__GRAFT_OUT__/gp_harmonic_map/*.parquet')
+       |  WHERE is_best = 1),
+       |src0 AS (SELECT s.*, g.* FROM st s
+       |  JOIN best b ON s.id = b.bid
+       |  JOIN grid g ON g.p = b.map_p),
+       |${CholeskySql.cholCtes("src0", Seq("p"), entry,
+          carry = "yraw" +: cols)},
+       |mu AS (SELECT id, p, n, tarr, yraw, mean,
+       |    list_transform(range(n), ii ->
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(range(n), bb ->
+       |          $entryMu * xrev[n - $bb])),
+       |        (a, b) -> a + b)) AS mus
+       |  FROM llv WHERE NOT isnan(llr))
+       |SELECT id, tarr[q.q + 1] AS t, yraw[q.q + 1] AS y,
+       |  roundbankers((mus[q.q + 1] + mean) * 10000.0, 0) / 10000.0 AS mu,
+       |  p AS map_period
+       |FROM mu, LATERAL (SELECT unnest(range(n)) AS q) q""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gp_brownian_map" -> gpBrownianMapSql,
+    "gp_harmonic_map" -> gpHarmonicMapSql,
+    "gp_loocv" -> gpLoocvSql,
+    "gp_predict" -> gpPredictSql,
     "gp_psd" -> gpPsdSql,
     "ts_envelope_coeffs" -> tsEnvelopeCoeffsSql,
     "gp_posterior" -> gpPosteriorSql,
