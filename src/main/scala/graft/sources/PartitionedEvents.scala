@@ -37,11 +37,15 @@ object PartitionedEvents {
       .drop("us")
   }
 
-  /** Write (once per JVM/path) the day-partitioned copy; returns its
-    * path. Lives under target/ — testdata is read-only. */
+  /** Write (once per source dir) the day-partitioned copy; returns
+    * its path. Lives under target/ — testdata is read-only. The
+    * output path is keyed on the SOURCE dir (advisor round 10): a
+    * _SUCCESS-only memo served a stale layout from the previous
+    * scale factor after switching sf dirs in one JVM. */
   def ensure(spark: SparkSession, dir: String,
       base: String = "target/tmp/events_by_day"): String = {
-    val path = new java.io.File(base).getAbsolutePath
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(s"$base-$key").getAbsolutePath
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       withDay(spark, dir).write.mode("overwrite")

@@ -326,7 +326,10 @@ object SeriesOps {
       : (Long, Array[Double], Array[Double]) => Iterator[(Long, Double, Double, Double)] =
     (id, t0, y0) => {
       val (gt, gy) = resampleUniform(t0, y0, 21600.0)
-      val n = Integer.highestOneBit(math.max(gy.length, 1))
+      // cap shared with the oracle's FftLens tables (advisor round 10):
+      // past 32767 resampled samples the kernel would otherwise take a
+      // longer FFT than the replay can decode, silently diverging
+      val n = math.min(Integer.highestOneBit(math.max(gy.length, 1)), 16384)
       if (n < 8) Iterator.empty
       else {
         val mean = gy.take(n).sum / n
@@ -403,7 +406,9 @@ object SeriesOps {
         (Long, Int, Double, Double, Double, Double)] =
     (id, t0, y0) => {
       val (gtAll, gyAll) = resampleUniform(t0, y0, 21600.0)
-      val n = Integer.highestOneBit(math.max(gtAll.length, 1))
+      // same 16384 cap as hhtAnalyticFn / the oracle's FftLens
+      val n = math.min(
+        Integer.highestOneBit(math.max(gtAll.length, 1)), 16384)
       if (n < 16) Iterator.empty
       else {
         val gt = gtAll.take(n)

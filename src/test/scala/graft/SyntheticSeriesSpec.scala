@@ -248,6 +248,39 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(corr > 0.7, s"mode-1 correlation with the sustained tone: $corr")
   }
 
+  test("ceemdan modes reconstruct the two-tone signal (ref rrse_x analog)") {
+    import org.apache.spark.sql.functions._
+    // reference test_decomposition.py:25-30: err = sum(imfs) − x with
+    // rrse_x < 1e-16 — the reference's IMF list ends with the residue,
+    // so the sum telescopes back to the input exactly. graft emits the
+    // true IMFs only (residue excluded), so the analog bound is the
+    // energy of the final low-frequency residue µ_{K−1}: for the
+    // zero-mean pure-tone pair it must be a small fraction of the
+    // signal, and the emitted modes must explain the rest. The same
+    // interior trim as the reference ([3, n−3)) drops spline edge
+    // effects.
+    val rows = tsa.SeriesOps2.ceemdan(spark, synDir)
+      .filter(col("id") === 6L)
+      .select("mode", "t", "y").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    def k(t: Double): Int = ((t - T0) / 21600.0).round.toInt
+    val recon = rows.groupBy(r => k(r._2))
+      .map { case (kk, ms) => kk -> ms.map(_._3).sum }
+    def sig(kk: Int): Double =
+      math.sin(2 * math.Pi * 0.065 * kk) +
+        (if (kk >= 128 && kk < 192)
+          math.sin(2 * math.Pi * 0.255 * (kk - 128)) else 0.0)
+    val interior = (3 until 253).filter(recon.contains)
+    assert(interior.size > 200, s"only ${interior.size} interior samples")
+    val num = interior.map(kk => {
+      val d = sig(kk) - recon(kk); d * d
+    }).sum
+    val den = interior.map(kk => sig(kk) * sig(kk)).sum
+    val rrse = math.sqrt(num / den)
+    assert(rrse < 0.35, s"reconstruction rrse $rrse (ref analog bound)")
+  }
+
   test("lmd_modes emits positive envelopes and bounded FM components") {
     import org.apache.spark.sql.functions._
     val lmd = tsa.SeriesOps2.lmdModes(spark, synDir)
