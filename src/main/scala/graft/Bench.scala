@@ -165,6 +165,8 @@ object Bench {
     // each kernel runs once for its standalone query AND its twin
     warm("lmd_modes", fam("lmd"))
       { p(graft.tsa.SeriesOps2.lmdModes(spark, sfDir)) }
+    warm("vmd_modes", fam("vmd"))
+      { p(graft.tsa.Vmd.vmdModes(spark, sfDir)) }
     warm("gp_brownian_map", fam("gp"))
       { p(graft.tsa.GpOps.gpBrownianMap(spark, sfDir)) }
     warm("gp_period_map", fam("gp"))

@@ -23,6 +23,7 @@ object SparkEntry {
       tsa.SeriesOps.queries ++
       tsa.SeriesOps2.queries ++
       tsa.GpOps.queries ++
+      tsa.Vmd.queries ++
       spectral.Gls.queries ++
       spectral.GlsAuto.queries ++
       spectral.FSeriesOps.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       tsa.SeriesOps.oracles ++
       tsa.SeriesOps2.oracles ++
       tsa.GpOps.oracles ++
+      tsa.Vmd.oracles ++
       spectral.Gls.oracles ++
       spectral.GlsAuto.oracles ++
       spectral.FSeriesOps.oracles ++

@@ -56,7 +56,7 @@ object SeriesOps {
   /** Linear interpolation of (t, y) onto a uniform grid with step dt
     * (reference core.py:636 interp): the resample step before IIR
     * filtering, done per-series in the executor. */
-  private def resampleUniform(t: Array[Double], y: Array[Double], dt: Double)
+  private[tsa] def resampleUniform(t: Array[Double], y: Array[Double], dt: Double)
       : (Array[Double], Array[Double]) = {
     if (t.length < 2) return (t, y)
     val k0 = math.ceil(t(0) / dt).toLong

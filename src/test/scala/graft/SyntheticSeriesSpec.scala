@@ -281,6 +281,46 @@ class SyntheticSeriesSpec extends AnyFunSuite {
     assert(rrse < 0.35, s"reconstruction rrse $rrse (ref analog bound)")
   }
 
+  test("vmd separates the two tones into spectrally compact modes") {
+    import org.apache.spark.sql.functions._
+    // VMD exceeds the reference's surface (decomposition.py:206 is an
+    // empty stub) — validate on the same two-tone series the CEEMDAN
+    // port uses: the converged center frequencies must bracket the
+    // injected 0.065 and 0.255 cycles/sample tones, and the matching
+    // modes must track them (scale-invariant corr over the regions
+    // where each tone is active).
+    val rows = tsa.Vmd.vmdModes(spark, synDir)
+      .filter(col("id") === 6L)
+      .select("mode", "t", "u", "omega").collect()
+      .map(r => (r.getInt(1 - 1), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty, "no vmd modes for the two-tone series")
+    val omegas = rows.groupBy(_._1).map { case (m, rs) => m -> rs.head._4 }
+    val slowMode = omegas.minBy { case (_, om) => math.abs(om - 0.065) }
+    val fastMode = omegas.minBy { case (_, om) => math.abs(om - 0.255) }
+    assert(math.abs(slowMode._2 - 0.065) < 0.03,
+      s"no mode near the 0.065 tone: $omegas")
+    assert(math.abs(fastMode._2 - 0.255) < 0.05,
+      s"no mode near the 0.255 tone: $omegas")
+    def k(t: Double): Int = ((t - T0) / 21600.0).round.toInt
+    def corrWith(mode: Int, active: Int => Boolean,
+        tone: Int => Double): Double = {
+      val m = rows.filter(r => r._1 == mode && active(k(r._2))).sortBy(_._2)
+      val v = m.map(_._3)
+      val s = m.map(r => tone(k(r._2)))
+      val (mv, ms) = (v.sum / v.length, s.sum / s.length)
+      v.indices.map(i => (v(i) - mv) * (s(i) - ms)).sum /
+        math.sqrt(v.map(x => (x - mv) * (x - mv)).sum *
+          s.map(x => (x - ms) * (x - ms)).sum)
+    }
+    val cSlow = corrWith(slowMode._1, _ => true,
+      kk => math.sin(2 * math.Pi * 0.065 * kk))
+    val cFast = corrWith(fastMode._1, kk => kk >= 128 && kk < 192,
+      kk => math.sin(2 * math.Pi * 0.255 * (kk - 128)))
+    assert(cSlow > 0.7, s"slow-tone correlation $cSlow")
+    assert(cFast > 0.7, s"fast-tone (gap region) correlation $cFast")
+  }
+
   test("lmd_modes emits positive envelopes and bounded FM components") {
     import org.apache.spark.sql.functions._
     val lmd = tsa.SeriesOps2.lmdModes(spark, synDir)
