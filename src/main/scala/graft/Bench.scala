@@ -268,10 +268,14 @@ object Bench {
     // capture keeps only a tail, which beheads the per-query map in
     // BENCH_r{N}.json — the file is the durable artifact. Targeted
     // dev passes (SPARK_GRAFT_ONLY) must NOT clobber the full-suite
-    // record with a partial one.
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    // record with a partial one — unless SPARK_GRAFT_BENCH_OUT names
+    // an explicit destination (the stress / scaling runs record their
+    // partial suites to their own files, e.g. BENCH_STRESS.json via
+    // SPARK_DRIVER_MEM=8g for the capped-heap GC-sensitivity check).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH.json") else None)
+      .foreach(f => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f), json + "\n"))
     spark.stop()
   }
 }
