@@ -601,7 +601,7 @@ object SeriesOps {
 
   /** CASE mapping the power-of-two length column `n` to its bit
     * count (shared by every FFT consumer). */
-  private def fftBitsCase: String = "CASE n " +
+  private[tsa] def fftBitsCase: String = "CASE n " +
     FftLens.zipWithIndex.map { case (l, i) => s"WHEN $l THEN ${i + 1}" }
       .mkString(" ") + " END"
 
@@ -611,8 +611,10 @@ object SeriesOps {
     * `res`(keys…, n, tarr[, extra…], rel, iml) the analytic signal.
     * keys and extra ride along untouched, so the same chain serves
     * per-id (hht_analytic) and per-(id, mode) (hht_nht_norm) flows. */
-  private def fftCtes(keys: Seq[String], extra: Seq[String] = Nil)
-      : String = {
+  /** Twiddle tables (both directions, every FftLens level) as the
+    * shared twb/tw/twl CTE block — the per-level complex-recurrence
+    * twiddle lists every FFT consumer (hht chains, vmd) joins on. */
+  private[tsa] val fftTwiddleCtes: String = {
     val twbase = FftLens.flatMap { len =>
       Seq(false, true).map { inv =>
         val ang = (if (inv) 2.0 else -2.0) * math.Pi / len
@@ -621,31 +623,6 @@ object SeriesOps {
           s"${SeriesMath.sqlDouble(math.sin(ang))})"
       }
     }.mkString(",\n       ")
-    def bitrev(v: String) = (0 to 13).map(b =>
-      s"(CASE WHEN bits > $b THEN ((($v >> $b) & 1) << (bits - 1 - $b))" +
-        s" ELSE 0 END)").mkString(" + ")
-    // one butterfly level over the packed state: q is the global
-    // element index, f the state row (rel/iml/len), tl the twiddles
-    val half = "(f.len // 2)"
-    val k = "(q % f.len)"
-    def vAt(j: String, kk: String, reExpr: Boolean) =
-      if (reExpr)
-        s"(f.rel[$j + 1] * tl.crl[$kk + 1] - f.iml[$j + 1] * tl.cil[$kk + 1])"
-      else
-        s"(f.rel[$j + 1] * tl.cil[$kk + 1] + f.iml[$j + 1] * tl.crl[$kk + 1])"
-    def lvl(reExpr: Boolean): String = {
-      val arr = if (reExpr) "f.rel" else "f.iml"
-      s"""list_transform(range(f.n), q ->
-         |        CASE WHEN $k < $half THEN
-         |          $arr[q + 1] + ${vAt(s"q + $half", k, reExpr)}
-         |        ELSE
-         |          $arr[q - $half + 1]
-         |            - ${vAt("q", s"($k - $half)", reExpr)}
-         |        END)""".stripMargin
-    }
-    val carried = keys ++ Seq("n", "tarr", "bits") ++ extra
-    val cs0 = carried.mkString(", ")
-    val csF = carried.map("f." + _).mkString(", ")
     s"""twb(len, dir, wr, wi) AS (VALUES
        |  $twbase),
        |tw AS (
@@ -660,7 +637,42 @@ object SeriesOps {
        |twl AS MATERIALIZED (
        |  SELECT len, dir, list(cr ORDER BY k) AS crl,
        |    list(ci ORDER BY k) AS cil
-       |  FROM tw GROUP BY 1, 2),
+       |  FROM tw GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The bit-reversal permutation of `v` given a `bits` column. */
+  private[tsa] def fftBitrev(v: String): String = (0 to 13).map(b =>
+    s"(CASE WHEN bits > $b THEN ((($v >> $b) & 1) << (bits - 1 - $b))" +
+      s" ELSE 0 END)").mkString(" + ")
+
+  /** One butterfly level over the packed state: q is the global
+    * element index, f the state row (rel/iml/len), tl the twiddles. */
+  private[tsa] def fftLevel(reExpr: Boolean): String = {
+    val half = "(f.len // 2)"
+    val k = "(q % f.len)"
+    def vAt(j: String, kk: String, re2: Boolean) =
+      if (re2)
+        s"(f.rel[$j + 1] * tl.crl[$kk + 1] - f.iml[$j + 1] * tl.cil[$kk + 1])"
+      else
+        s"(f.rel[$j + 1] * tl.cil[$kk + 1] + f.iml[$j + 1] * tl.crl[$kk + 1])"
+    val arr = if (reExpr) "f.rel" else "f.iml"
+    s"""list_transform(range(f.n), q ->
+       |        CASE WHEN $k < $half THEN
+       |          $arr[q + 1] + ${vAt(s"q + $half", k, reExpr)}
+       |        ELSE
+       |          $arr[q - $half + 1]
+       |            - ${vAt("q", s"($k - $half)", reExpr)}
+       |        END)""".stripMargin
+  }
+
+  private def fftCtes(keys: Seq[String], extra: Seq[String] = Nil)
+      : String = {
+    def bitrev(v: String) = fftBitrev(v)
+    def lvl(reExpr: Boolean): String = fftLevel(reExpr)
+    val carried = keys ++ Seq("n", "tarr", "bits") ++ extra
+    val cs0 = carried.mkString(", ")
+    val csF = carried.map("f." + _).mkString(", ")
+    s"""$fftTwiddleCtes,
        |bf AS MATERIALIZED (
        |  SELECT $cs0,
        |    list_transform(range(n), q -> xr[(${bitrev("q")}) + 1]) AS rel,

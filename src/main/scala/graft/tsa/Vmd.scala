@@ -142,10 +142,152 @@ object Vmd {
       |  max(omega) AS omega
       |FROM m GROUP BY id, mode""".stripMargin
 
+  /** vmd_modes, HASH-GATED (round 11): the WHOLE chain — resample,
+    * forward FFT, the fixed-30-iteration Gauss-Seidel ADMM, Hermitian
+    * mirror, inverse FFT — replayed cell-exactly in DuckDB.
+    *
+    * Structure: the shared hht FFT machinery (SeriesOps.fftTwiddleCtes
+    * / fftBitrev / fftLevel — Scala-literal twiddles, recursive
+    * butterfly levels) runs the forward transform; the ADMM loop is a
+    * `list_reduce` fold over 30 iteration tokens whose accumulator is
+    * ONE flat DOUBLE[] state [ur(0..K−1) ‖ ui(0..K−1) ‖ ω(0..K−1)]
+    * (the CholeskySql transient-fold lesson), with an inner fold over
+    * the K modes — each mode step rebuilds the state via one
+    * list_transform whose CASE regions hold the new Wiener-filtered
+    * spectrum (fr − Σ_{j≠k} u_j sums written 0.0-seeded in the
+    * kernel's ascending-j order so even signed zeros agree) and the
+    * center-of-gravity ω update (num/den as ascending-bin folds over
+    * the NEW spectrum, exactly the kernel's accumulation order). The
+    * per-mode inverse transform reuses the same twiddle tables with
+    * dir = 1. Validated cell-exact (u AND ω) against the Spark dump
+    * at sf0.01 (28 800/28 800 rows) before wiring. */
+  val vmdModesSql: String = {
+    val H = "(n // 2)"
+    val HP = "(n // 2 + 1)"
+    val OM = s"(2 * $K * $HP)"
+    def urOff(k: String) = s"($k * $HP)"
+    def uiOff(k: String) = s"(($K + $k) * $HP)"
+    val kk = "CAST(xk[1] AS BIGINT)"
+    val j1 = s"(CASE WHEN $kk = 0 THEN 1 ELSE 0 END)"
+    val j2 = s"(CASE WHEN $kk = 2 THEN 1 ELSE 2 END)"
+    def sr(i: String) =
+      s"(0.0 + s[$j1 * $HP + $i + 1] + s[$j2 * $HP + $i + 1])"
+    def si(i: String) =
+      s"(0.0 + s[($K + $j1) * $HP + $i + 1] + s[($K + $j2) * $HP + $i + 1])"
+    def w(i: String) = {
+      val nu = s"(CAST($i AS DOUBLE) / n)"
+      val dnu = s"($nu - s[$OM + $kk + 1])"
+      // 2.0 * α folds exactly (2.0 * 2000.0 = 4000.0 is an exact
+      // double), so the literal matches the kernel's product
+      s"(1.0 + ${2.0 * Alpha} * ($dnu * $dnu))"
+    }
+    def newUr(i: String) = s"((fr[$i + 1] - ${sr(i)}) / ${w(i)})"
+    def newUi(i: String) = s"((fi[$i + 1] - ${si(i)}) / ${w(i)})"
+    def p(i: String) =
+      s"(${newUr(i)} * ${newUr(i)} + ${newUi(i)} * ${newUi(i)})"
+    val num = s"list_reduce(list_prepend(0.0, list_transform(range($HP)," +
+      s" ib -> (CAST(ib AS DOUBLE) / n) * ${p("ib")})), (a, b) -> a + b)"
+    val den = s"list_reduce(list_prepend(0.0, list_transform(range($HP)," +
+      s" ib -> ${p("ib")})), (a, b) -> a + b)"
+    val modeStep =
+      s"""list_transform(range(len(s)), x -> CASE
+         |  WHEN x >= ${urOff(kk)} AND x < ${urOff(kk)} + $HP
+         |    THEN ${newUr(s"(x - ${urOff(kk)})")}
+         |  WHEN x >= ${uiOff(kk)} AND x < ${uiOff(kk)} + $HP
+         |    THEN ${newUi(s"(x - ${uiOff(kk)})")}
+         |  WHEN x = $OM + $kk
+         |    THEN CASE WHEN $den > 0.0 THEN $num / $den ELSE s[x + 1] END
+         |  ELSE s[x + 1] END)""".stripMargin
+    val iterStep =
+      s"""list_reduce(
+         |  list_prepend(st0,
+         |    list_transform(range($K), kx -> [CAST(kx AS DOUBLE)])),
+         |  (s, xk) -> $modeStep)""".stripMargin
+    val admm =
+      s"""list_reduce(
+         |  list_prepend(init,
+         |    list_transform(range($Iter), itx -> [CAST(itx AS DOUBLE)])),
+         |  (st0, xi) -> $iterStep)""".stripMargin
+    val pwLens = Seq(16, 32, 64, 128, 256, 512, 1024)
+    s"""WITH RECURSIVE ${SeriesOps2.resampleCtes(fracFirst = true)},
+       |gl AS (
+       |  SELECT id, list(gy ORDER BY j) AS garr, list(tg ORDER BY j) AS tarr
+       |  FROM tickv GROUP BY 1),
+       |pw AS (SELECT unnest([${pwLens.mkString(", ")}]) AS n),
+       |tr AS (SELECT gl.id, max(pw.n) AS n
+       |  FROM gl JOIN pw ON pw.n <= len(gl.garr) GROUP BY 1),
+       |xm AS (SELECT gl.id, tr.n, gl.tarr, gl.garr,
+       |    list_reduce(list_prepend(0.0, gl.garr[1:tr.n]), (a, b) -> a + b)
+       |      / tr.n AS mean
+       |  FROM gl JOIN tr ON tr.id = gl.id),
+       |xd AS (SELECT id, n, tarr, ${SeriesOps.fftBitsCase} AS bits,
+       |    list_transform(garr[1:n], v -> v - mean) AS xr
+       |  FROM xm),
+       |${SeriesOps.fftTwiddleCtes},
+       |bf AS MATERIALIZED (
+       |  SELECT id, n, tarr, bits,
+       |    list_transform(range(n), q -> xr[(${SeriesOps.fftBitrev("q")}) + 1]) AS rel,
+       |    list_transform(range(n), q -> CAST(0.0 AS DOUBLE)) AS iml
+       |  FROM xd),
+       |ff AS (
+       |  SELECT id, n, tarr, bits, 2 AS len, rel, iml FROM bf
+       |  UNION ALL
+       |  SELECT f.id, f.n, f.tarr, f.bits, f.len * 2,
+       |    ${SeriesOps.fftLevel(reExpr = true)},
+       |    ${SeriesOps.fftLevel(reExpr = false)}
+       |  FROM ff f JOIN twl tl ON tl.len = f.len AND tl.dir = 0
+       |  WHERE f.len <= f.n),
+       |fs AS MATERIALIZED (
+       |  SELECT id, n, tarr, bits,
+       |    rel[1 : n // 2 + 1] AS fr, iml[1 : n // 2 + 1] AS fi
+       |  FROM ff WHERE len = 2 * n),
+       |ini AS (SELECT id, n, tarr, bits, fr, fi,
+       |    list_transform(range(2 * $K * $HP + $K), x ->
+       |      CASE WHEN x >= $OM
+       |        THEN (CAST(x - $OM AS DOUBLE) + 0.5) / ${2.0 * K}
+       |        ELSE 0.0 END) AS init
+       |  FROM fs),
+       |admm AS MATERIALIZED (SELECT id, n, tarr, bits,
+       |    $admm AS st
+       |  FROM ini),
+       |mk(k) AS (VALUES ${(0 until K).map(k => s"($k)").mkString(", ")}),
+       |mm AS MATERIALIZED (SELECT a.id, mk.k, a.n, a.tarr, a.bits,
+       |    list_transform(range(a.n), q -> CASE WHEN q <= $H
+       |      THEN st[${urOff("mk.k")} + q + 1]
+       |      ELSE st[${urOff("mk.k")} + (a.n - q) + 1] END) AS sre,
+       |    list_transform(range(a.n), q -> CASE WHEN q <= $H
+       |      THEN st[${uiOff("mk.k")} + q + 1]
+       |      ELSE -st[${uiOff("mk.k")} + (a.n - q) + 1] END) AS sim,
+       |    roundbankers(st[$OM + mk.k + 1] * 1000000000.0, 0)
+       |      / 1000000000.0 AS omega
+       |  FROM admm a, mk),
+       |bi2 AS MATERIALIZED (
+       |  SELECT id, k, n, tarr, bits, omega,
+       |    list_transform(range(n), q -> sre[(${SeriesOps.fftBitrev("q")}) + 1]) AS rel,
+       |    list_transform(range(n), q -> sim[(${SeriesOps.fftBitrev("q")}) + 1]) AS iml
+       |  FROM mm),
+       |fi2 AS (
+       |  SELECT id, k, n, tarr, bits, omega, 2 AS len, rel, iml FROM bi2
+       |  UNION ALL
+       |  SELECT f.id, f.k, f.n, f.tarr, f.bits, f.omega, f.len * 2,
+       |    ${SeriesOps.fftLevel(reExpr = true)},
+       |    ${SeriesOps.fftLevel(reExpr = false)}
+       |  FROM fi2 f JOIN twl tl ON tl.len = f.len AND tl.dir = 1
+       |  WHERE f.len <= f.n),
+       |res2 AS (SELECT id, k, n, tarr, omega,
+       |    list_transform(rel, v -> v / n) AS rel
+       |  FROM fi2 WHERE len = 2 * n)
+       |SELECT id, CAST(k AS INTEGER) AS mode, tarr[q.q + 1] AS t,
+       |  roundbankers(rel[q.q + 1] * 1000000.0, 0) / 1000000.0 AS u,
+       |  omega
+       |FROM res2, LATERAL (SELECT unnest(range(n)) AS q) q""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vmd_modes" -> (vmdModes _),
     "vmd_energy" -> (vmdEnergy _))
 
   val oracles: Map[String, String] = Map(
+    "vmd_modes" -> vmdModesSql,
     "vmd_energy" -> vmdEnergySql)
 }
