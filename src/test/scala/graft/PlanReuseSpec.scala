@@ -46,6 +46,22 @@ class PlanReuseSpec extends AnyFunSuite {
     } finally cached.unpersist()
   }
 
+  test("two acf_band_quality invocations are canonically equal plans") {
+    assert(same(tsa.SeriesOps2.acfBandQuality(spark, dir),
+      tsa.SeriesOps2.acfBandQuality(spark, dir)))
+  }
+
+  test("persisted acf_band_quality is substituted into gaussian_prior") {
+    val cached = tsa.SeriesOps2.acfBandQuality(spark, dir).persist()
+    try {
+      cached.count()
+      val prior = tsa.SeriesOps2.gaussianPrior(spark, dir)
+      val planStr = prior.queryExecution.executedPlan.toString
+      assert(planStr.contains("InMemoryTableScan"),
+        s"cache not substituted:\n$planStr")
+    } finally cached.unpersist()
+  }
+
   test("two gp_harmonic_map invocations are canonically equal plans") {
     // would fail if gridMapFn's closure were rebuilt per invocation
     assert(same(tsa.GpOps.gpHarmonicMap(spark, dir),
