@@ -174,10 +174,30 @@ object Similarity {
     * buckets (8 deterministic hyperplanes) generate candidates, the
     * fused CosineSim expression re-scores, pairs above the near-dup threshold survive.
     * Candidate count ∝ bucket occupancy — the n² never materializes. */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** Occupancy cap for the near-dup pair join (the dedup.Dedup
+    * MaxBucket discipline): the 8-plane sign buckets concentrate on
+    * clustered corpora (measured: 16 occupied buckets, the largest
+    * holding 24.8k of 200k vectors at a 100× synthetic corpus —
+    * a 3×10⁸-pair bucket without the cap, the round-11 scaling run's
+    * one genuine quadratic). Capping pair GENERATION at 256 vectors
+    * per bucket (deterministic vec_id order, rank-limit pushed before
+    * the exchange) bounds pairs at buckets·cap²/2 regardless of
+    * corpus; at the driver gate scales the largest bucket holds ≤219
+    * vectors, so the cap is inert there. */
+  private val MaxEmbBucket = 256
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedding(spark, dir, MaxEmbBucket)
+
+  def dedupEmbedding(spark: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val embAll = Tables.table(spark, dir, "embeddings")
+    val w = Window.partitionBy("bucket").orderBy("vec_id")
     val emb = embAll.join(bucketsOf(embAll), "vec_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxBucket)
+      .drop("rk")
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -191,10 +211,13 @@ object Similarity {
        |pj AS (SELECT vec_id, p.p, sum(v * cos(p.p*131.0 + i*7.0)) AS proj
        |  FROM cp CROSS JOIN generate_series(0, 7) AS p(p)
        |  GROUP BY 1, 2),
-       |bk AS (SELECT vec_id,
+       |bk0 AS (SELECT vec_id,
        |  cast(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
        |       AS BIGINT) AS bucket
        |  FROM pj GROUP BY 1),
+       |bk AS (SELECT vec_id, bucket FROM bk0
+       |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+       |    <= $MaxEmbBucket),
        |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM bk a JOIN bk b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -353,7 +376,8 @@ object Similarity {
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" ->
+      ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopkSql,

@@ -61,6 +61,40 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(h == 0L)
   }
 
+  /** A corpus of k identical embeddings: every LSH sign bucket holds
+    * all k vectors — the hot-bucket worst case for the near-dup pair
+    * join (observed for real on the 100× synthetic corpus, where one
+    * bucket held 24.8k of 200k vectors). */
+  private lazy val hotEmbDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotemb").toString
+    val v = Array.tabulate(64)(i => math.sin(i * 0.37).toFloat)
+    (0 until 40).map(i => (i.toLong, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings")
+    val f = new java.io.File(s"$dir/embeddings")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("dedup_embedding pair output is capped under a hot LSH bucket") {
+    val cap = 8
+    val pairs = sim.Similarity.dedupEmbedding(spark, hotEmbDir, cap)
+    // 40 identical vectors share one sign bucket; uncapped would give
+    // 40*39/2 = 780 pairs — the cap keeps the first 8 by vec_id, and
+    // every surviving pair re-scores at cosine 1.0.
+    val rows = pairs.collect()
+    assert(rows.length == cap * (cap - 1) / 2,
+      s"expected ${cap * (cap - 1) / 2} capped pairs, got ${rows.length}")
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (0L until cap.toLong).toSet,
+      s"cap must keep the FIRST $cap vec_ids deterministically: $ids")
+  }
+
   /** Symmetric edge set from undirected (a, b) pairs. */
   private def edgesOf(pairs: Seq[(Long, Long)]) = {
     import spark.implicits._
