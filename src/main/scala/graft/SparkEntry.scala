@@ -25,6 +25,7 @@ object SparkEntry {
       tsa.GpOps.queries ++
       tsa.Vmd.queries ++
       spectral.Gls.queries ++
+      spectral.Bglst.queries ++
       spectral.GlsAuto.queries ++
       spectral.FSeriesOps.queries ++
       spectral.PhaseFold.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       tsa.GpOps.oracles ++
       tsa.Vmd.oracles ++
       spectral.Gls.oracles ++
+      spectral.Bglst.oracles ++
       spectral.GlsAuto.oracles ++
       spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++
