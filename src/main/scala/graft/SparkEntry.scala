@@ -24,8 +24,10 @@ object SparkEntry {
       tsa.SeriesOps2.queries ++
       tsa.GpOps.queries ++
       tsa.Vmd.queries ++
+      tsa.Supersmooth.queries ++
       spectral.Gls.queries ++
       spectral.Bglst.queries ++
+      spectral.PhaseFold2.queries ++
       spectral.GlsAuto.queries ++
       spectral.FSeriesOps.queries ++
       spectral.PhaseFold.queries ++
@@ -55,8 +57,10 @@ object SparkEntry {
       tsa.SeriesOps2.oracles ++
       tsa.GpOps.oracles ++
       tsa.Vmd.oracles ++
+      tsa.Supersmooth.oracles ++
       spectral.Gls.oracles ++
       spectral.Bglst.oracles ++
+      spectral.PhaseFold2.oracles ++
       spectral.GlsAuto.oracles ++
       spectral.FSeriesOps.oracles ++
       spectral.PhaseFold.oracles ++
