@@ -1,7 +1,7 @@
 package graft.spectral
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,20 +202,28 @@ object PhaseFold2 {
   // and libm lgamma would differ across engines anyway). The table
   // has max-series-length + 12 rows — broadcast, O(longest series).
   //
-  // Scale shape: the m grid is the DIVISOR LATTICE of 24, so the fold
-  // happens ONCE into 24 micro-bins (the only sample-proportional
-  // explode is the ×60 period grid, same as AOV/CE/PDM); each m's
-  // occupancies derive from the aggregated micro-bins by exact
-  // integer division — floor(phase·m) = floor(phase·24) div (24/m)
-  // for m | 24 — so the ×6 m fan-out touches only series×60×24
-  // bounded bin rows, never the data. The oracle derives each m's
-  // bins INDEPENDENTLY via floor(phase·m), pinning the identity.
+  // Scale shape — ONE data-proportional exchange, like AOV: the m
+  // grid is the DIVISOR LATTICE of 24, so the fold happens once into
+  // 24 micro-bins PIVOTED to fixed-width columns in a single
+  // groupBy(id, j) (map-side combine collapses samples to one wide
+  // row per cell); every m's occupancies are then LITERAL column
+  // sums — floor(phase·m) bins are unions of consecutive micro-bins
+  // for m | 24 — unpivoted by a Generate (projection, no shuffle)
+  // for the lnΓ lookup, and re-aggregated on the SAME (id, j) keys,
+  // which Catalyst recognises as already-partitioned: no second
+  // exchange. lnΓ(m) is a plan-time literal (ascending Σ ln v, the
+  // exact lf accumulation order) and lnΓ(N+m) = lf(N+11) −
+  // Σ_{v=m..11} ln(N+v), so ONE lf row per (id, j) serves all six
+  // m's. The log-sum-exp runs over six fixed columns via greatest()
+  // — no window. The oracle derives every m INDEPENDENTLY via
+  // floor(phase·m) and a direct lf(N+m−1) lookup, pinning both the
+  // micro-bin identity and the lnΓ decomposition (drift ~1e-12,
+  // absorbed by the 4-dp gate rounding).
   // -------------------------------------------------------------------
   private val M_GRID = Seq(2, 3, 4, 6, 8, 12) // divisors of 24
   private val M_HI = 12
 
   def glOdds(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val c = centered(spark, dir)
     // log-factorial lookup: lf(i) = Σ_{v=1..i} ln v, lf(0) = 0. Sizing
     // the table takes ONE column-pruned count-per-key stats pass (the
@@ -230,32 +238,58 @@ object PhaseFold2 {
         Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)))
       .select("i", "lf")
     val periods = spark.range(1, NP + 1).toDF("j")
-    val occ24 = c.crossJoin(broadcast(periods))
+    val pivotAggs = (0 until 24).map(b =>
+      sum(when(col("kf") === b, 1L).otherwise(0L)).as(s"nf$b"))
+    val wide = c.crossJoin(broadcast(periods))
       .withColumn("kf",
         floor(((col("tc") / (col("j") * lit(21600.0))) % 1.0) * 24))
-      .groupBy("id", "j", "kf")
-      .agg(count(lit(1)).as("nf"))
-    val occ = occ24.crossJoin(broadcast(M_GRID.toDF("m")))
-      .withColumn("k", expr("kf div (24 div m)"))
-      .groupBy("id", "j", "m", "k")
-      .agg(sum("nf").as("nk"))
-    // Σ_k lnΓ(n_k+1): empty bins contribute lf(0)=0 — no rows needed.
-    val perM = occ.join(broadcast(lf), occ("nk") === lf("i"))
-      .groupBy("id", "j", "m")
-      .agg(sum("lf").as("slf"), sum("nk").as("nt"))
-      .join(broadcast(lf.select(col("i").as("m1"), col("lf").as("lgm"))),
-        col("m") - 1 === col("m1"))
-      .join(broadcast(lf.select(col("i").as("nm1"), col("lf").as("lgnm"))),
-        col("nt") + col("m") - 1 === col("nm1"))
-      .select(col("id"), col("j"),
-        (col("nt") * log(col("m").cast("double")) + col("lgm")
-          + col("slf") - col("lgnm")).as("lno"))
-    // log-sum-exp over the m grid, uniform prior 1/|M_GRID|
-    val wm = Window.partitionBy("id", "j")
-    perM.withColumn("mx", max("lno").over(wm))
       .groupBy("id", "j")
-      .agg(round(first("mx") + log(sum(exp(col("lno") - col("mx"))))
-        - log(lit(M_GRID.size.toDouble)), 4).as("ln_odds"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .withColumn("nt", (0 until 24).map(b => col(s"nf$b")).reduce(_ + _))
+    // every (m, k) occupancy as a literal micro-bin column sum,
+    // unpivoted by explode — a projection, no shuffle
+    val mkStructs = M_GRID.flatMap { m =>
+      val span = 24 / m
+      (0 until m).map { k =>
+        val n = (k * span until (k + 1) * span)
+          .map(b => col(s"nf$b")).reduce(_ + _)
+        struct(lit(m).as("m"), n.as("n"))
+      }
+    }
+    val un = wide
+      .select(col("id"), col("j"), col("nt"),
+        explode(array(mkStructs: _*)).as("mk"))
+      .select(col("id"), col("j"), col("nt"),
+        col("mk.m").as("m"), col("mk.n").as("n"))
+      .filter(col("n") > 0) // empty bins contribute lf(0) = 0
+    // Σ_k lnΓ(n_k+1) per m as conditional sums on the SAME (id, j)
+    // grouping — Catalyst reuses the pivot's partitioning, no exchange
+    val slfAggs = M_GRID.map(m =>
+      sum(when(col("m") === m, col("lf")).otherwise(0.0)).as(s"slf_$m"))
+    val slf = un.join(broadcast(lf), un("n") === lf("i"))
+      .groupBy("id", "j")
+      .agg(max("nt").as("nt"), slfAggs: _*)
+      .join(broadcast(lf.select(col("i").as("itop"), col("lf").as("lftop"))),
+        col("nt") + (M_HI - 1) === col("itop"))
+    // ln O_m = N ln m + lnΓ(m) + slf_m − lnΓ(N+m), with
+    // lnΓ(m) a plan-time literal and lnΓ(N+m) = lftop − Σ ln(N+v)
+    val lnos = M_GRID.map { m =>
+      val lgm = (1 until m).map(v => math.log(v.toDouble)).sum
+      val corr = (m until M_HI)
+        .map(v => log(col("nt").cast("double") + lit(v.toDouble)))
+        .foldLeft(lit(0.0).cast("double"): Column)(_ + _)
+      (col("nt") * lit(math.log(m.toDouble)) + lit(lgm) + col(s"slf_$m")
+        - (col("lftop") - corr)).as(s"lno_$m")
+    }
+    val withLno = slf.select(col("id") +: col("j") +: lnos: _*)
+    // log-sum-exp over the six fixed m columns, uniform prior
+    val mx = greatest(M_GRID.map(m => col(s"lno_$m")): _*)
+    val sumExp = M_GRID.map(m => exp(col(s"lno_$m") - col("mx")))
+      .reduce(_ + _)
+    withLno.withColumn("mx", mx)
+      .select(col("id"), col("j"),
+        round(col("mx") + log(sumExp)
+          - log(lit(M_GRID.size.toDouble)), 4).as("ln_odds"))
   }
 
   val glOddsSql: String =
