@@ -78,6 +78,18 @@ object Bench {
       { p(graft.spectral.Gls.psdDft(spark, sfDir)) }
     warm("pdm", fam("pdm", "string_length"))
       { p(graft.spectral.PhaseFold.pdmTheta(spark, sfDir)) }
+    // round-11 periodogram families: each `_best` twin composes over
+    // its periodogram function (same cached-lambda plan), so one
+    // persisted instance serves both the standalone query and the
+    // argmax — without it each _best re-runs the ×60 fold explode
+    warm("aov", fam("aov"))
+      { p(graft.spectral.PhaseFold2.aovPeriodogram(spark, sfDir)) }
+    warm("ce", fam("ce_"))
+      { p(graft.spectral.PhaseFold2.cePeriodogram(spark, sfDir)) }
+    warm("gl", fam("gl_"))
+      { p(graft.spectral.PhaseFold2.glOdds(spark, sfDir)) }
+    warm("bglst", fam("bglst"))
+      { p(graft.spectral.Bglst.solvedGrid(spark, sfDir)) }
     // the binned-demeaned base feeds both ACF estimators
     warm("acf_base", fam("acf", "ts_acf", "composite", "gaussian_prior"))
       { p(graft.tsa.TimeSeriesOps.acfDemeaned(spark, sfDir)) }

@@ -175,9 +175,15 @@ object Bglst {
     * grid maximum (logp ≤ 0, = 0 at the winning frequency). The
     * normalisation drops the f-independent constants (priors, ‖yn‖²)
     * AND keeps the hashed values O(1–100). */
+  /** The solved grid — shared subplan between the periodogram and the
+    * best-period twin (they project different columns of it, so Bench
+    * persists THIS plan and CacheManager substitutes it into both). */
+  private[graft] def solvedGrid(spark: SparkSession, dir: String): DataFrame =
+    lnp(moments(spark, dir))
+
   def bglstPeriodogram(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("id")
-    lnp(moments(spark, dir))
+    solvedGrid(spark, dir)
       .withColumn("lmax", max(col("lnp")).over(w))
       .select(col("id"), col("k"),
         round(col("lnp") - col("lmax"), 6).as("logp"))
@@ -198,7 +204,7 @@ object Bglst {
     * back-substitution Lᵀθ = z (θ3 is the trend coefficient). */
   def bglstBest(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("id")
-    val scored = lnp(moments(spark, dir))
+    val scored = solvedGrid(spark, dir)
       .withColumn("lmax", max(col("lnp")).over(w))
       .withColumn("logp", round(col("lnp") - col("lmax"), 6))
     val wb = Window.partitionBy("id").orderBy(col("logp").desc, col("k").asc)
