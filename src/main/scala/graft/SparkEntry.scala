@@ -42,6 +42,7 @@ object SparkEntry {
       sim.EmbeddingStats.queries ++
       sim.Pq.queries ++
       text.TextOps.queries ++
+      text.CorpusOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
       sources.SyntheticData.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       sim.EmbeddingStats.oracles ++
       sim.Pq.oracles ++
       text.TextOps.oracles ++
+      text.CorpusOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++
       sources.SyntheticData.oracles ++
