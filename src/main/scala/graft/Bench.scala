@@ -91,13 +91,19 @@ object Bench {
     warm("bglst", fam("bglst"))
       { p(graft.spectral.Bglst.solvedGrid(spark, sfDir)) }
     // the binned-demeaned base feeds both ACF estimators
-    warm("acf_base", fam("acf", "ts_acf", "composite", "gaussian_prior"))
+    warm("acf_base", fam("acf", "ts_acf", "composite", "gaussian_prior",
+      "gp_psd"))
       { p(graft.tsa.TimeSeriesOps.acfDemeaned(spark, sfDir)) }
     // the median-filter residual feeds all three sigma-clip passes of
     // ts_estimate_noise — one window sort instead of three
     warm("noise_residue", fam("ts_estimate_noise"))
       { p(graft.tsa.TimeSeriesOps.noiseResidue(spark, sfDir)) }
-    warm("acf", fam("acf", "ts_acf", "composite", "gaussian_prior"))
+    // gp_psd composes over acfBestPeriod, so the ACF cache must outlive
+    // the gp family (release-order trap: without it the round-11 family
+    // release frees tsAcf after gaussian_prior and gp_psd re-runs the
+    // whole ACF chain)
+    warm("acf", fam("acf", "ts_acf", "composite", "gaussian_prior",
+      "gp_psd"))
       { p(graft.tsa.TimeSeriesOps.tsAcf(spark, sfDir)) }
     // the IVF quantizer (seed assign + Lloyd step + refined ranks) is
     // the write-once bucketed-corpus analogue — probe it, don't rebuild
