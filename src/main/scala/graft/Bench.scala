@@ -221,6 +221,23 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Fixed-work calibration probe: the same deterministic 2e7-step
+    // libm loop on every machine, timed single-threaded at suite start
+    // and end. Dividing two artifacts' calib_s normalizes away machine
+    // speed (the round-10/11 lesson: identical code measured 1.3-1.5x
+    // apart across machines/days with no way to prove it from the
+    // artifact). start-vs-end drift also exposes mid-suite thermal or
+    // contention shifts.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0.0
+      var i = 0
+      while (i < 20000000) { s += java.lang.Math.sin(i * 1e-6); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (s.isNaN) System.err.println("calib NaN") // keep s live
+      dt
+    }
+    val calibStart = calibrate()
     val wall0 = System.nanoTime()
     // sorted name order: families run contiguously (so the release
     // logic below frees each family's intermediates as soon as its
@@ -268,6 +285,7 @@ object Bench {
         osBean.getSystemLoadAverage)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
+    val calibEnd = calibrate()
     // bound executor memory for anything running after the suite
     spark.sharedState.cacheManager.clearCache()
     def jmap(f: ((String, Double, Double, Long, Double, Double)) => String)
@@ -280,7 +298,7 @@ object Bench {
     val loads = jmap(r => f"${r._6}%.2f")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads,"calib_s":[${f"$calibStart%.3f"},${f"$calibEnd%.3f"}]}"""
     println(json)
     // Also persist the full record to the repo: the driver's stdout
     // capture keeps only a tail, which beheads the per-query map in
