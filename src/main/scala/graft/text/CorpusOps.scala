@@ -34,8 +34,14 @@ object CorpusOps {
   // global window — the distributed prefix-sum shape that survives a
   // corpus that doesn't fit one partition.
   // -------------------------------------------------------------------
-  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
-    val nt = Tables.table(spark, dir, "documents")
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    packTape(Tables.table(spark, dir, "documents"))
+
+  /** The packing plan over any (doc_id, text) frame — split out so the
+    * property spec can drive it with generated corpora and compare
+    * against an independent in-memory packer. */
+  private[graft] def packTape(docs: DataFrame): DataFrame = {
+    val nt = docs
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t =!= lit("")))
           .cast("long").as("ntok"))
