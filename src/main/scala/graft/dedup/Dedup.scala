@@ -542,12 +542,135 @@ object Dedup {
        |  count(*) OVER (PARTITION BY min(lbl)) AS cluster_size
        |FROM reach GROUP BY node""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_substring — exact substring-level duplicate spans (Lee et
+  // al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better", arXiv:2107.06499, token-gram re-expression): a run of
+  // >= SubW consecutive tokens that also occurs in ANOTHER document is
+  // duplicated text; overlapping/adjacent duplicated grams merge into
+  // maximal spans, reported per document as span count / duplicated
+  // token mass / longest span / duplicated fraction.
+  //
+  // Scale posture: this is the dedup family's best 100 TB story —
+  // NO pair generation at all. The gram table is linear in corpus
+  // tokens; duplicate detection is ONE groupBy(gh) with map-side
+  // partial aggregation (a boilerplate gram shared by a million docs
+  // costs n occurrence rows, never n² pairs — contrast the capped
+  // band joins above); the island merge is a per-document window over
+  // only the duplicated occurrences (a small fraction of the corpus).
+
+  /** Gram width: a duplicated run must be at least this many tokens.
+    * The paper uses 50 BPE tokens on web-scale corpora; 8 word tokens
+    * matches the ~56-token synthetic documents the same way. */
+  private[graft] val SubW = 8
+
+  /** (doc_id, idx, gh): the 60-bit hash of the SubW-token gram
+    * starting at token idx. Same per-doc ordered window the 3-shingle
+    * table rides; concat_ws is null-free after the last-lead filter
+    * (lead(SubW-1) non-null implies all shorter leads non-null). */
+  /** (doc_id, idx, gh, tok_total): the 60-bit hash of the SubW-token
+    * gram starting at token idx, plus the doc's token count carried
+    * as a whole-partition window count on the SAME per-doc exchange
+    * the lead window already pays — the corpus is scanned ONCE. */
+  private def subGrams(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("idx")
+    // re-rank positions into contiguous token space: posexplode idx
+    // has gaps where empty tokens were dropped, and span token-mass
+    // arithmetic below assumes gram i covers tokens i..i+SubW-1
+    val t = tokens(spark, dir)
+      .withColumn("ri", row_number().over(wd) - 1)
+      .withColumn("tok_total",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+    val withLeads = (1 until SubW).foldLeft(t) {
+      (df, j) => df.withColumn(s"g$j", lead("tok", j).over(wd))
+    }
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until SubW).map(j => col(s"g$j")): _*)
+    withLeads.filter(col(s"g${SubW - 1}").isNotNull)
+      .select(col("doc_id"), col("ri").as("idx"),
+        h60(gram).as("gh"), col("tok_total"))
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    // grams present in >= 2 DISTINCT docs (cross-document duplication;
+    // within-doc repeats alone don't count — they're text_repetition's
+    // job). The distinct-doc count is first-in-doc markers summed over
+    // a gh window: both windows share ONE gh exchange, so the gram
+    // table is never joined back to itself (no second window pass, no
+    // join — contrast the groupBy+join-back alternative, which plans
+    // the whole gram subtree twice).
+    val wg = Window.partitionBy("gh").orderBy("doc_id", "idx")
+    val occ = subGrams(spark, dir)
+      .withColumn("fst",
+        when(lag("doc_id", 1).over(wg) === col("doc_id"), 0).otherwise(1))
+      .withColumn("nd", sum("fst").over(Window.partitionBy("gh")))
+      .filter(col("nd") >= 2)
+      .select("doc_id", "idx", "tok_total")
+    // gaps-and-islands: gram at idx covers [idx, idx+SubW-1]; a new
+    // span starts when the previous duplicated gram can't reach us.
+    // This window runs over only the DUPLICATED occurrences.
+    val wd = Window.partitionBy("doc_id").orderBy("idx")
+    val spans = occ
+      .withColumn("brk",
+        when(col("idx") - lag("idx", 1).over(wd) > SubW, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("idx")).as("s"),
+        (max(col("idx")) + lit(SubW - 1)).as("e"),
+        first(col("tok_total")).as("tok_total"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span"),
+        first(col("tok_total")).as("tok_total"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("max_span"), col("tok_total"),
+        (col("dup_tokens").cast("double") / col("tok_total"))
+          .as("dup_frac"))
+  }
+
+  val dedupSubstringSql: String = {
+    val gramExpr = (1 until SubW)
+      .map(j => s"lead(tok,$j) OVER w").mkString("tok || ' ' || ", " || ' ' || ", "")
+    s"""WITH $tokensSql,
+       |tkm AS MATERIALIZED (SELECT * FROM tk),
+       |g0 AS (SELECT doc_id,
+       |  row_number() OVER w - 1 AS ri, $gramExpr AS gram
+       |  FROM tkm WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |g AS MATERIALIZED (SELECT doc_id, ri AS idx, ${h60Sql("gram")} AS gh
+       |  FROM g0 WHERE gram IS NOT NULL),
+       |dup AS (SELECT gh FROM g GROUP BY gh
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (SELECT g.doc_id, g.idx FROM g JOIN dup ON dup.gh = g.gh),
+       |brk AS (SELECT doc_id, idx,
+       |  CASE WHEN idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+       |       > $SubW THEN 1 ELSE 0 END AS b
+       |  FROM occ),
+       |isl AS (SELECT doc_id, idx,
+       |  sum(b) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |  FROM brk),
+       |sp AS (SELECT doc_id, island, min(idx) AS s,
+       |  max(idx) + ${SubW - 1} AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+       |  FROM sp GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tok_total
+       |  FROM tkm GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_spans, a.dup_tokens, a.max_span,
+       |  t.tok_total, CAST(a.dup_tokens AS DOUBLE) / t.tok_total AS dup_frac
+       |FROM agg a JOIN tot t USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => dedupSimhashPairs(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
@@ -556,5 +679,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_clusters" -> dedupClustersSql)
 }
