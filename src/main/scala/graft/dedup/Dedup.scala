@@ -591,21 +591,26 @@ object Dedup {
         h60(gram).as("gh"), col("tok_total"))
   }
 
-  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    // grams present in >= 2 DISTINCT docs (cross-document duplication;
-    // within-doc repeats alone don't count — they're text_repetition's
-    // job). The distinct-doc count is first-in-doc markers summed over
-    // a gh window: both windows share ONE gh exchange, so the gram
-    // table is never joined back to itself (no second window pass, no
-    // join — contrast the groupBy+join-back alternative, which plans
-    // the whole gram subtree twice).
+  /** Duplicated gram starts: (doc_id, idx, tok_total) rows for grams
+    * present in >= 2 DISTINCT docs (cross-document duplication;
+    * within-doc repeats alone don't count — they're text_repetition's
+    * job). The distinct-doc count is first-in-doc markers summed over
+    * a gh window: both windows share ONE gh exchange, so the gram
+    * table is never joined back to itself (no second window pass, no
+    * join — contrast the groupBy+join-back alternative, which plans
+    * the whole gram subtree twice). */
+  private def dupStarts(spark: SparkSession, dir: String): DataFrame = {
     val wg = Window.partitionBy("gh").orderBy("doc_id", "idx")
-    val occ = subGrams(spark, dir)
+    subGrams(spark, dir)
       .withColumn("fst",
         when(lag("doc_id", 1).over(wg) === col("doc_id"), 0).otherwise(1))
       .withColumn("nd", sum("fst").over(Window.partitionBy("gh")))
       .filter(col("nd") >= 2)
       .select("doc_id", "idx", "tok_total")
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val occ = dupStarts(spark, dir)
     // gaps-and-islands: gram at idx covers [idx, idx+SubW-1]; a new
     // span starts when the previous duplicated gram can't reach us.
     // This window runs over only the DUPLICATED occurrences.
@@ -628,6 +633,84 @@ object Dedup {
         col("max_span"), col("tok_total"),
         (col("dup_tokens").cast("double") / col("tok_total"))
           .as("dup_frac"))
+  }
+
+  // dedup_substring_clean — the transformation half of the pipeline
+  // step: emit each document's token stream with EVERY occurrence of a
+  // cross-doc duplicated span removed (the paper's removal semantics —
+  // all copies go, not all-but-one). Output text is the normalized
+  // (lowercased, single-spaced) token stream, matching the detection
+  // tokenization.
+  //
+  // No range join anywhere: span coverage is a ±1 event sweep — each
+  // duplicated gram start contributes +1 at idx and -1 at idx+SubW,
+  // and a per-doc running sum over (position, events-first) marks a
+  // token covered when the sum is positive. Events exist only for
+  // duplicated occurrences, so the sweep's sort is corpus tokens plus
+  // a small event fraction; the final per-doc rebuild rides the SAME
+  // doc_id exchange the sweep window already paid.
+  def dedupSubstringClean(spark: SparkSession, dir: String): DataFrame = {
+    val wd0 = Window.partitionBy("doc_id").orderBy("idx")
+    val tok = tokens(spark, dir)
+      .withColumn("pos", row_number().over(wd0) - 1)
+      .select(col("doc_id"), col("pos"), lit(1).as("k"),
+        lit(0).as("d"), col("tok"))
+    val occ = dupStarts(spark, dir)
+    val ev = occ.select(col("doc_id"), col("idx").as("pos"),
+        lit(0).as("k"), lit(1).as("d"), lit(null).cast("string").as("tok"))
+      .unionByName(occ.select(col("doc_id"),
+        (col("idx") + lit(SubW)).as("pos"),
+        lit(0).as("k"), lit(-1).as("d"), lit(null).cast("string").as("tok")))
+    val ws = Window.partitionBy("doc_id").orderBy("pos", "k")
+    val covered = ev.unionByName(tok)
+      .withColumn("c", sum("d").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k") === 1) // keep token rows; c>0 = inside a span
+    covered.groupBy("doc_id")
+      .agg(
+        // collect_list skips nulls, so only kept tokens enter; the
+        // struct sorts by pos first — order restored after the shuffle
+        array_join(transform(array_sort(collect_list(
+          when(col("c") === 0, struct(col("pos"), col("tok"))))),
+          x => x("tok")), " ").as("clean_text"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("dropped_tokens"))
+  }
+
+  val dedupSubstringCleanSql: String = {
+    val gramExpr = (1 until SubW)
+      .map(j => s"lead(tok,$j) OVER w").mkString("tok || ' ' || ", " || ' ' || ", "")
+    s"""WITH $tokensSql,
+       |tkm AS MATERIALIZED (SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS pos,
+       |  tok FROM tk),
+       |g0 AS (SELECT doc_id, pos, $gramExpr AS gram
+       |  FROM tkm WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT doc_id, pos AS idx, ${h60Sql("gram")} AS gh
+       |  FROM g0 WHERE gram IS NOT NULL),
+       |fstm AS (SELECT doc_id, idx, gh,
+       |  CASE WHEN lag(doc_id) OVER (PARTITION BY gh
+       |        ORDER BY doc_id, idx) IS DISTINCT FROM doc_id
+       |      THEN 1 ELSE 0 END AS fst
+       |  FROM g),
+       |marked AS (SELECT doc_id, idx,
+       |  sum(fst) OVER (PARTITION BY gh) AS nd FROM fstm),
+       |occ AS (SELECT doc_id, idx FROM marked WHERE nd >= 2),
+       |ev AS (SELECT doc_id, idx AS pos, 0 AS k, 1 AS d,
+       |    CAST(NULL AS VARCHAR) AS tok FROM occ
+       |  UNION ALL
+       |  SELECT doc_id, idx + $SubW, 0, -1, NULL FROM occ
+       |  UNION ALL
+       |  SELECT doc_id, pos, 1, 0, tok FROM tkm),
+       |cov AS (SELECT doc_id, pos, k, tok,
+       |  sum(d) OVER (PARTITION BY doc_id ORDER BY pos, k) AS c
+       |  FROM ev)
+       |SELECT doc_id,
+       |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+       |    FILTER (WHERE c = 0), '') AS clean_text,
+       |  CAST(count(*) FILTER (WHERE c = 0) AS BIGINT) AS kept_tokens,
+       |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS dropped_tokens
+       |FROM cov WHERE k = 1 GROUP BY doc_id""".stripMargin
   }
 
   val dedupSubstringSql: String = {
@@ -671,6 +754,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => dedupSimhashPairs(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_clean" -> (dedupSubstringClean _),
     "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +764,6 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_clean" -> dedupSubstringCleanSql,
     "dedup_clusters" -> dedupClustersSql)
 }

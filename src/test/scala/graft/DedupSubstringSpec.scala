@@ -57,6 +57,32 @@ class DedupSubstringSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("clean removes every covered token and only covered tokens") {
+    val d0 = ((0 until 5).map(i => s"a$i") :+ shared).mkString(" ") +
+      " " + (0 until 5).map(i => s"b$i").mkString(" ")
+    val d1 = ((0 until 3).map(i => s"c$i") :+ shared).mkString(" ") +
+      " " + (0 until 7).map(i => s"d$i").mkString(" ")
+    val out = dedup.Dedup.dedupSubstringClean(spark, corpus(Seq(d0, d1)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // BOTH copies of the shared run go (all-copies removal semantics)
+    val c0 = (0 until 5).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")
+    val c1 = (0 until 3).map(i => s"c$i") ++ (0 until 7).map(i => s"d$i")
+    assert(out(0L) == ((c0.mkString(" "), 10L, 10L)), s"doc0: ${out(0L)}")
+    assert(out(1L) == ((c1.mkString(" "), 10L, 10L)), s"doc1: ${out(1L)}")
+  }
+
+  test("clean keeps an undup'd doc whole and empties a fully-dup'd one") {
+    val whole = (0 until 12).map(i => s"w$i").mkString(" ")
+    val out = dedup.Dedup.dedupSubstringClean(
+        spark, corpus(Seq(shared, shared, whole)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (("", 0L, 10L)))
+    assert(out(1L) == (("", 0L, 10L)))
+    assert(out(2L) == ((whole, 12L, 0L)))
+  }
+
   test("two disjoint shared runs stay two spans") {
     val run2 = (0 until 8).map(i => s"t$i").mkString(" ") // exactly 8
     // gap of 9 unique tokens (> SubW) between the runs in each doc
