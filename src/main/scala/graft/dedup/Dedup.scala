@@ -568,10 +568,13 @@ object Dedup {
     * starting at token idx. Same per-doc ordered window the 3-shingle
     * table rides; concat_ws is null-free after the last-lead filter
     * (lead(SubW-1) non-null implies all shorter leads non-null). */
-  /** (doc_id, idx, gh, tok_total): the 60-bit hash of the SubW-token
-    * gram starting at token idx, plus the doc's token count carried
-    * as a whole-partition window count on the SAME per-doc exchange
-    * the lead window already pays — the corpus is scanned ONCE. */
+  /** (doc_id, idx, gh): the 60-bit hash of the SubW-token gram
+    * starting at token idx. Deliberately does NOT carry the doc's
+    * token count as a window — `count() over (partition by doc_id)`
+    * has no ordering, so it can't fuse with the ordered lead window
+    * and costs a SECOND full buffered window pass over every token
+    * (measured 4 s of the 6 s total at the 100× corpus); the final
+    * per-doc join against a map-side-combined count is far cheaper. */
   private def subGrams(spark: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("idx")
     // re-rank positions into contiguous token space: posexplode idx
@@ -579,19 +582,16 @@ object Dedup {
     // arithmetic below assumes gram i covers tokens i..i+SubW-1
     val t = tokens(spark, dir)
       .withColumn("ri", row_number().over(wd) - 1)
-      .withColumn("tok_total",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
     val withLeads = (1 until SubW).foldLeft(t) {
       (df, j) => df.withColumn(s"g$j", lead("tok", j).over(wd))
     }
     val gram = concat_ws(" ",
       col("tok") +: (1 until SubW).map(j => col(s"g$j")): _*)
     withLeads.filter(col(s"g${SubW - 1}").isNotNull)
-      .select(col("doc_id"), col("ri").as("idx"),
-        h60(gram).as("gh"), col("tok_total"))
+      .select(col("doc_id"), col("ri").as("idx"), h60(gram).as("gh"))
   }
 
-  /** Duplicated gram starts: (doc_id, idx, tok_total) rows for grams
+  /** Duplicated gram starts: (doc_id, idx) rows for grams
     * present in >= 2 DISTINCT docs (cross-document duplication;
     * within-doc repeats alone don't count — they're text_repetition's
     * job). The distinct-doc count is first-in-doc markers summed over
@@ -606,7 +606,7 @@ object Dedup {
         when(lag("doc_id", 1).over(wg) === col("doc_id"), 0).otherwise(1))
       .withColumn("nd", sum("fst").over(Window.partitionBy("gh")))
       .filter(col("nd") >= 2)
-      .select("doc_id", "idx", "tok_total")
+      .select("doc_id", "idx")
   }
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
@@ -622,13 +622,17 @@ object Dedup {
         wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "island")
       .agg(min(col("idx")).as("s"),
-        (max(col("idx")) + lit(SubW - 1)).as("e"),
-        first(col("tok_total")).as("tok_total"))
-    spans.groupBy("doc_id")
+        (max(col("idx")) + lit(SubW - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"),
-        max(col("e") - col("s") + 1).cast("long").as("max_span"),
-        first(col("tok_total")).as("tok_total"))
+        max(col("e") - col("s") + 1).cast("long").as("max_span"))
+    // per-doc token counts as a map-side-combined hash aggregate (a
+    // tiny shuffle of one row per doc); perDoc is the docs-with-spans
+    // subset, so AQE broadcasts it at any realistic duplication rate
+    val tot = tokens(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("tok_total"))
+    perDoc.join(tot, "doc_id")
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
         col("max_span"), col("tok_total"),
         (col("dup_tokens").cast("double") / col("tok_total"))
@@ -675,6 +679,10 @@ object Dedup {
           x => x("tok")), " ").as("clean_text"),
         sum(when(col("c") === 0, 1L).otherwise(0L)).as("kept_tokens"),
         sum(when(col("c") > 0, 1L).otherwise(0L)).as("dropped_tokens"))
+      // a fully-duplicated document leaves the corpus entirely — and
+      // the output row count now DEPENDS on coverage, so a count-based
+      // consumer (Bench) cannot constant-fold the event branch away
+      .filter(col("kept_tokens") > 0)
   }
 
   val dedupSubstringCleanSql: String = {
@@ -710,7 +718,8 @@ object Dedup {
        |    FILTER (WHERE c = 0), '') AS clean_text,
        |  CAST(count(*) FILTER (WHERE c = 0) AS BIGINT) AS kept_tokens,
        |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS dropped_tokens
-       |FROM cov WHERE k = 1 GROUP BY doc_id""".stripMargin
+       |FROM cov WHERE k = 1 GROUP BY doc_id
+       |HAVING count(*) FILTER (WHERE c = 0) > 0""".stripMargin
   }
 
   val dedupSubstringSql: String = {

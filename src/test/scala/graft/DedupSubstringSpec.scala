@@ -72,14 +72,14 @@ class DedupSubstringSpec extends AnyFunSuite {
     assert(out(1L) == ((c1.mkString(" "), 10L, 10L)), s"doc1: ${out(1L)}")
   }
 
-  test("clean keeps an undup'd doc whole and empties a fully-dup'd one") {
+  test("clean keeps an undup'd doc whole and DROPS a fully-dup'd one") {
     val whole = (0 until 12).map(i => s"w$i").mkString(" ")
     val out = dedup.Dedup.dedupSubstringClean(
         spark, corpus(Seq(shared, shared, whole)))
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3))).toMap
-    assert(out(0L) == (("", 0L, 10L)))
-    assert(out(1L) == (("", 0L, 10L)))
+    // fully-duplicated docs leave the corpus entirely
+    assert(out.keySet == Set(2L), s"kept docs: ${out.keySet}")
     assert(out(2L) == ((whole, 12L, 0L)))
   }
 
