@@ -918,21 +918,31 @@ object SeriesOps {
        |                 FROM $srcCte r) s0 ) s1 ) s2 ) s3 ) s4 ) s5 ) s6 ) s7
        |              ) s8 ) s9 ) sa ) sb ) sc ) sd ) se""".stripMargin
 
-  /** The emd recursion over any base CTE exposing (id, tarr, yarr) —
-    * raw series for emd_imfs/hht_norm, the power-of-two-truncated
-    * 6 h resample for hht_nht_norm. */
-  private def emdRec(baseCte: String): String =
-    s"""emd AS (
-       |  SELECT id, 0 AS k, 0 AS it, false AS accepted,
+  /** The emd recursion over any base CTE exposing (keys…, tarr, yarr),
+    * generalized (round 11) so the ceemdan replay can instantiate it
+    * with its (maxModes=4/1/2, maxIter=15) ensemble parameters and
+    * composite (id, r) keys — raw series for emd_imfs/hht_norm, the
+    * power-of-two-truncated 6 h resample for hht_nht_norm, per-
+    * realization noise/extraction series for ceemdan_dump. Mirrors
+    * SeriesMath.emd exactly: isimf acceptance keeps the sifted w,
+    * maxIter exhaustion accepts w − muv (the kernel subtracts before
+    * the loop exits), a broke sift ends the series' decomposition
+    * (row dropped), and continuation after an accepted mode requires
+    * both extrema families present in the residue. */
+  private[tsa] def emdRecGen(name: String, baseCte: String,
+      keys: Seq[String], maxModes: Int, maxIter: Int): String = {
+    val ks = keys.mkString(", ")
+    s"""$name AS (
+       |  SELECT $ks, 0 AS k, 0 AS it, false AS accepted,
        |    tarr, yarr AS marr, yarr AS rarr
        |  FROM $baseCte
        |  UNION ALL
-       |  SELECT id,
+       |  SELECT $ks,
        |    CASE WHEN accepted THEN k + 1 ELSE k END AS k,
        |    CASE WHEN accepted THEN 0 WHEN isimf THEN it ELSE it + 1 END
        |      AS it,
        |    CASE WHEN accepted THEN false
-       |         WHEN isimf OR it + 1 >= 200 THEN true ELSE false END
+       |         WHEN isimf OR it + 1 >= $maxIter THEN true ELSE false END
        |      AS accepted,
        |    tarr,
        |    CASE WHEN accepted THEN rarr WHEN isimf THEN w ELSE sub END
@@ -940,15 +950,19 @@ object SeriesOps {
        |    CASE WHEN accepted THEN rarr
        |         WHEN isimf THEN list_transform(range(n),
        |           q -> rarr[q+1] - w[q+1])
-       |         WHEN it + 1 >= 200 THEN list_transform(range(n),
+       |         WHEN it + 1 >= $maxIter THEN list_transform(range(n),
        |           q -> rarr[q+1] - (w[q+1] - muv[q+1]))
        |         ELSE rarr END AS rarr
-       |  ${siftStack("emd")}
+       |  ${siftStack(name)}
 
        |  WHERE CASE WHEN accepted
-       |             THEN k + 1 < 8 AND len(pk) > 0 AND len(dp) > 0
+       |             THEN k + 1 < $maxModes AND len(pk) > 0 AND len(dp) > 0
        |             ELSE NOT broke END
        |)""".stripMargin
+  }
+
+  private def emdRec(baseCte: String): String =
+    emdRecGen("emd", baseCte, Seq("id"), maxModes = 8, maxIter = 200)
 
   private val emdCtes: String =
     s"""ser AS MATERIALIZED (${graft.Tables.seriesSql}),

@@ -146,27 +146,39 @@ object SeriesOps2 {
 
   // -------------------------------------------------------------------
   // ceemdan — reference decomposition.py:210 (CEEMDAN): ensemble EMD
-  // with adaptive deterministic noise (splitmix64-seeded per
-  // (series, realization) so results are reproducible cluster-wide).
+  // with adaptive deterministic noise, stateless per (series,
+  // realization, sample) so results are reproducible cluster-wide
+  // AND replayable cross-engine. Round-11 promotion move: the former
+  // splitmix64 stream needed 64-bit wrap-around arithmetic (not
+  // portable to the oracle) and its Box-Muller ran libm log/cos whose
+  // JVM-vs-C ulps preclude bit-replay. Both fall to the gls_fap
+  // discipline: uniforms from the SHARED md5 hash h60 (bit-identical
+  // on both engines), Box-Muller on top, and the result QUANTIZED on
+  // the repo's 1e-6 rint grid — the ~1e-15 cross-engine libm drift
+  // would have to land within ~1e-15 of a 5e-7 tie boundary to flip a
+  // cell (≪1e-9 per draw), the same tolerance class every quantized
+  // gate in this file already carries. Downstream of the quantized
+  // noise, every operation (spline sifts, means, stds) is IEEE
+  // rational arithmetic the DuckDB twin replays operand-exactly.
   // -------------------------------------------------------------------
-  private def splitmix64(seed0: Long): () => Double = {
-    var state = seed0
-    () => {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      // two 26-bit chunks -> uniform(0,1); Box-Muller for gaussian
-      (z >>> 11).toDouble / (1L << 53).toDouble
-    }
+  private[graft] def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  private def gaussianNoise(seed: Long, n: Int): Array[Double] = {
-    val u = splitmix64(seed)
-    Array.fill(n) {
-      val u1 = math.max(u(), 1e-12); val u2 = u()
-      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  /** N(0,1) draw g(id,r,i) = rint(1e6·√(−2 ln u1)·cos(2π u2))/1e6 with
+    * u1 = (h60(id_r_i_a)+1)/2^60 ∈ (0,1], u2 = h60(id_r_i_b)/2^60.
+    * The 2^60 scaling is a pure exponent shift (exact), and int64 →
+    * double rounds identically on both engines. */
+  private[graft] def gaussianNoise(id: Long, r: Int, n: Int): Array[Double] = {
+    val inv = 1.0 / (1L << 60).toDouble
+    Array.tabulate(n) { i =>
+      val u1 = (h60Jvm(s"${id}_${r}_${i}_a").toDouble + 1.0) * inv
+      val u2 = h60Jvm(s"${id}_${r}_${i}_b").toDouble * inv
+      val g = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      math.rint(g * 1e6) / 1e6
     }
   }
 
@@ -196,7 +208,7 @@ object SeriesOps2 {
       }
       val y = y0.map(_ / sigma)
       val noiseModes = (0 until ensembleSize).map { r =>
-        SeriesMath.emd(t, gaussianNoise(id * 7919 + r, n), maxModes = 4, maxIter = 15)
+        SeriesMath.emd(t, gaussianNoise(id, r, n), maxModes = 4, maxIter = 15)
       }
       var residue = y.clone()
       var imfs = List.empty[Array[Double]]
@@ -240,14 +252,17 @@ object SeriesOps2 {
   }
 
   // -------------------------------------------------------------------
-  // ceemdan_dump — the CEEMDAN kernel tier (round 10): per (mode k,
-  // realization r, sample) the ensemble input `noisy` (residue +
-  // scaled noise mode) and the single extracted `mode` from it, plus
-  // σ and the normalized starting residue y/σ. Rows-only by design
-  // (the noise construction runs libm log/cos whose JVM-vs-C ulps
-  // preclude cross-engine replay, and each extraction is a sift) —
-  // but everything DOWNSTREAM of it is plain arithmetic, which the
-  // hash-gated `ceemdan` twin replays (see below).
+  // ceemdan_dump — the CEEMDAN kernel tier: per (mode k, realization
+  // r, sample) the ensemble input `noisy` (residue + scaled noise
+  // mode) and the single extracted `mode` from it, plus σ and the
+  // normalized starting residue y/σ. HASH-GATED (round 11, full
+  // bit-equality on the raw doubles): with the noise tier quantized
+  // (see gaussianNoise above) both engines sift identical inputs, and
+  // [[CeemdanSql.ceemdanDumpSql]] replays the ENTIRE ensemble — noise
+  // synthesis, 10 per-realization noise EMDs, the four unrolled
+  // per-mode blocks (β scaling, one-mode extraction sifts, r-ordered
+  // ensemble mean, residue propagation, maxModes=2 stop checks) —
+  // on the generalized emdRecGen recursion.
   // -------------------------------------------------------------------
   private val ceemdanDumpFn
       : (Long, Array[Double], Array[Double]) => Iterator[
@@ -1406,6 +1421,7 @@ object SeriesOps2 {
     "lmd_energy" -> lmdEnergySql,
     "lmd_modes" -> lmdModesSql,
     "ceemdan" -> ceemdanSql,
+    "ceemdan_dump" -> CeemdanSql.ceemdanDumpSql,
     "ceemdan_post" -> ceemdanPostSql,
     "ts_dwt_coeffs" -> tsDwtCoeffsSql,
     "ts_denoise" -> tsDenoiseSql,
