@@ -118,6 +118,9 @@ object Bench {
     // PQ codebook + compressed code table feed emb_pq_codes and both
     // ann_pq_topk stages
     warm("pq", _.contains("pq")) { graft.sim.Pq.warm(spark, sfDir) }
+    // the k-means assignment feeds emb_kmeans AND dedup_semantic
+    warm("semdedup", fam("emb_kmeans", "dedup_semantic"))
+      { graft.sim.SemDedup.warm(spark, sfDir) }
     warm("wavelet", fam("wavelet", "composite"))
       { p(graft.spectral.Wavelet.waveletPower(spark, sfDir)) }
     warm("dedup", fam("dedup", "corpus", "docs_corpus"))

@@ -41,6 +41,7 @@ object SparkEntry {
       sim.Similarity.queries ++
       sim.EmbeddingStats.queries ++
       sim.Pq.queries ++
+      sim.SemDedup.queries ++
       text.TextOps.queries ++
       text.CorpusOps.queries ++
       text.Corpus.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       sim.Similarity.oracles ++
       sim.EmbeddingStats.oracles ++
       sim.Pq.oracles ++
+      sim.SemDedup.oracles ++
       text.TextOps.oracles ++
       text.CorpusOps.oracles ++
       text.Corpus.oracles ++

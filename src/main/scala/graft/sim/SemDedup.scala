@@ -1,0 +1,243 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over the embedding corpus — the SemDeDup
+  * pipeline step (Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540): k-means clusters the embedding space, pairwise
+  * cosine similarity is evaluated ONLY within a cluster, and of each
+  * near-duplicate pair the member MORE similar to its centroid is
+  * dropped (the paper keeps the examples farthest from the centroid —
+  * the "semantically peripheral" ones carry more training signal).
+  *
+  * This complements `dedup_embedding` (Similarity.scala) as the
+  * second bounded-candidate scale path: there the buckets are
+  * data-independent LSH sign patterns; here they are LEARNED k-means
+  * cells, which track the corpus's actual density so near-duplicates
+  * land in the same cell without multiprobing.
+  *
+  * Clustering mirrors the IVF/PQ quantizer discipline (Pq.scala:17):
+  * K seed vectors (vec_id < K), ONE Lloyd step with exact integer-µ
+  * means over 1e-6-quantized components, every ranking by micro-unit
+  * integer distance with centroid-id/vec-id tiebreaks — so both
+  * engines pick identical clusters and identical losers.
+  *
+  * 100 TB shape: centroids are K·d doubles → broadcast; assignment is
+  * one corpus pass (corpus·K·d component work, partial-aggregated);
+  * K grows ∝ corpus / target-cell-size on a real corpus, keeping
+  * cells ~constant; pair generation is occupancy-capped at 256
+  * members per cell (the dedup.Dedup MaxBucket discipline — a
+  * WindowGroupLimit BEFORE the pair exchange), so pairs are bounded
+  * by cells·cap²/2 regardless of corpus size and the n² never
+  * materializes. The keep decision is a pair→loser projection + one
+  * anti-join — no iteration, no driver state.
+  */
+object SemDedup {
+
+  private val K = 16 // clusters (∝ corpus/cell-size at scale)
+  private val MaxCluster = 256 // pair-generation occupancy cap
+  private val Tau = 0.4 // near-duplicate cosine threshold (corpus band)
+
+  /** (vec_id, i, rc): 1e-6-quantized components (Pq discipline). */
+  private def comps(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col").cast("double") * 1000000.0, 0).cast("long").as("rc"))
+
+  private val compsSql: String =
+    """cq AS MATERIALIZED (
+      |  SELECT vec_id, idx - 1 AS i,
+      |         cast(round(cast(v AS double) * 1000000.0) AS BIGINT) AS rc
+      |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |               unnest(embedding) AS v
+      |        FROM embeddings))""".stripMargin
+
+  /** Full-dimension k-means codebook: K seeds → argmin assign → one
+    * Lloyd step of exact integer-µ component means. (code, i, cv).
+    * Every seed assigns to itself at distance 0, so no cell empties. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame = {
+    val c = comps(spark, dir)
+    val seeds = c.filter(col("vec_id") < K)
+      .select(col("vec_id").as("code"), col("i"),
+        (col("rc").cast("double") / 1000000.0).as("cv"))
+    val d0 = c.join(broadcast(seeds), Seq("i"))
+      .groupBy("vec_id", "code")
+      .agg(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"), 2.0))
+        .as("dist"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("dist"), 6).asc, col("code").asc)
+    val asg0 = d0.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("vec_id", "code")
+    c.join(asg0, Seq("vec_id"))
+      .groupBy("code", "i")
+      .agg((sum("rc").cast("double") / count(lit(1)) / 1000000.0).as("cv"))
+  }
+
+  private val centroidsSql: String =
+    s"""seeds AS (SELECT vec_id AS code, i,
+       |    cast(rc AS double) / 1000000.0 AS cv
+       |  FROM cq WHERE vec_id < $K),
+       |d0 AS (SELECT c.vec_id, s.code,
+       |    sum(pow(cast(c.rc AS double) / 1000000.0 - s.cv, 2)) AS dist
+       |  FROM cq c JOIN seeds s ON s.i = c.i
+       |  GROUP BY 1, 2),
+       |asg0 AS (SELECT vec_id, code FROM (
+       |    SELECT vec_id, code, row_number() OVER (
+       |      PARTITION BY vec_id
+       |      ORDER BY round(dist, 6) ASC, code ASC) AS rk
+       |    FROM d0)
+       |  WHERE rk = 1),
+       |cents AS MATERIALIZED (SELECT a.code, c.i,
+       |    cast(sum(c.rc) AS double) / count(*) / 1000000.0 AS cv
+       |  FROM cq c JOIN asg0 a ON a.vec_id = c.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Final assignment + centroid-cosine: (vec_id, cluster, dist_u
+    * [micro-unit integer L2²], c2c [cosine to own centroid, 6 dp]). */
+  private def assign(spark: SparkSession, dir: String): DataFrame = {
+    val c = comps(spark, dir)
+    val cents = centroids(spark, dir)
+    val cn = cents.groupBy("code")
+      .agg(sqrt(sum(pow(col("cv"), 2.0))).as("cnrm"))
+    val vn = c.groupBy("vec_id")
+      .agg(sqrt(sum(pow(col("rc").cast("double") / 1000000.0, 2.0)))
+        .as("vnrm"))
+    val d1 = c.join(broadcast(cents), Seq("i"))
+      .groupBy("vec_id", "code")
+      .agg(
+        round(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"), 2.0))
+          * 1000000.0, 0).cast("long").as("dist_u"),
+        sum(col("rc").cast("double") / 1000000.0 * col("cv")).as("dot"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist_u").asc, col("code").asc)
+    d1.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(broadcast(cn), Seq("code"))
+      .join(vn, Seq("vec_id"))
+      .select(col("vec_id"), col("code").as("cluster"), col("dist_u"),
+        round(col("dot") / (col("vnrm") * col("cnrm")), 6).as("c2c"))
+  }
+
+  private val assignSql: String =
+    s"""cn AS (SELECT code, sqrt(sum(cv * cv)) AS cnrm
+       |  FROM cents GROUP BY 1),
+       |vn AS (SELECT vec_id,
+       |    sqrt(sum(pow(cast(rc AS double) / 1000000.0, 2))) AS vnrm
+       |  FROM cq GROUP BY 1),
+       |d1 AS (SELECT c.vec_id, ct.code,
+       |    cast(round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2))
+       |      * 1000000.0) AS BIGINT) AS dist_u,
+       |    sum(cast(c.rc AS double) / 1000000.0 * ct.cv) AS dot
+       |  FROM cq c JOIN cents ct ON ct.i = c.i
+       |  GROUP BY 1, 2),
+       |asg AS MATERIALIZED (SELECT d.vec_id, d.code AS cluster, d.dist_u,
+       |    round(d.dot / (v.vnrm * n.cnrm), 6) AS c2c
+       |  FROM (SELECT vec_id, code, dist_u, dot, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist_u ASC, code ASC) AS rk
+       |    FROM d1) d
+       |  JOIN cn n ON n.code = d.code
+       |  JOIN vn v ON v.vec_id = d.vec_id
+       |  WHERE d.rk = 1)""".stripMargin
+
+  /** Persist the assignment table (called from Bench): the cluster
+    * analogue of training the cells once and storing the assignment —
+    * emb_kmeans and dedup_semantic both substitute the one persisted
+    * instance (the plan is declarative and capture-free, so repeated
+    * invocations stay canonically equal). */
+  private[graft] def warm(spark: SparkSession, dir: String)
+      : Seq[org.apache.spark.sql.Dataset[_]] = {
+    val a = assign(spark, dir).persist(); a.count(); Seq(a)
+  }
+
+  /** emb_kmeans — the clustering itself as a diagnostic: per cell,
+    * member count and inertia (exact micro-unit integer sum of the
+    * rounded L2² distances, so the cross-engine sum order is moot). */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    assign(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+        (sum("dist_u").cast("double") / 1000000.0).as("inertia"))
+
+  val embKmeansSql: String =
+    s"""WITH $compsSql,
+       |$centroidsSql,
+       |$assignSql
+       |SELECT cluster, count(*) AS size,
+       |  cast(sum(dist_u) AS double) / 1000000.0 AS inertia
+       |FROM asg GROUP BY 1""".stripMargin
+
+  /** dedup_semantic — per vector: its cell, its centroid cosine, and
+    * whether SemDeDup keeps it. Within each (occupancy-capped) cell,
+    * pairs with cosine ≥ τ mark ONE loser: the member with the HIGHER
+    * centroid cosine (rounded 6 dp), vec_id as the tiebreak — keep =
+    * the vector loses no pair. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.table(spark, dir, "embeddings")
+    val a = assign(spark, dir)
+    val w = Window.partitionBy("cluster").orderBy("vec_id")
+    // cap BEFORE the self-join: rank-limit runs as a WindowGroupLimit
+    // under the pair exchange, so a hot cell can never square
+    val capped = emb.join(a, "vec_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxCluster)
+      .select("vec_id", "cluster", "c2c", "embedding")
+    val losers = capped.as("a").join(capped.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+        >= Tau)
+      .select(
+        when(col("a.c2c") > col("b.c2c"), col("a.vec_id"))
+          .when(col("b.c2c") > col("a.c2c"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id")))
+          .as("vec_id"))
+      .distinct()
+    a.join(losers.withColumn("lost", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("c2c"),
+        coalesce(col("lost").isNull, lit(false)).as("keep"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $compsSql,
+       |$centroidsSql,
+       |$assignSql,
+       |cap AS (SELECT vec_id, cluster, c2c FROM asg
+       |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+       |    <= $MaxCluster),
+       |nr AS (SELECT vec_id, sqrt(sum(pow(cast(rc AS double) / 1000000.0, 2)))
+       |    AS nrm
+       |  FROM cq GROUP BY 1),
+       |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.c2c AS c1,
+       |    b.c2c AS c2, sum(ca.rc * cb.rc) AS dotq
+       |  FROM cap a JOIN cap b
+       |    ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+       |  JOIN cq ca ON ca.vec_id = a.vec_id
+       |  JOIN cq cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+       |  GROUP BY 1, 2, 3, 4),
+       |losers AS (SELECT DISTINCT
+       |    CASE WHEN c1 > c2 THEN id1
+       |         WHEN c2 > c1 THEN id2
+       |         ELSE greatest(id1, id2) END AS vec_id
+       |  FROM dots d
+       |  JOIN nr n1 ON n1.vec_id = d.id1
+       |  JOIN nr n2 ON n2.vec_id = d.id2
+       |  WHERE round(cast(d.dotq AS double) / 1000000.0 / 1000000.0
+       |    / (n1.nrm * n2.nrm), 6) >= $Tau)
+       |SELECT a.vec_id, a.cluster, a.c2c,
+       |  (l.vec_id IS NULL) AS keep
+       |FROM asg a LEFT JOIN losers l ON l.vec_id = a.vec_id"""
+      .stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans _),
+    "dedup_semantic" -> (dedupSemantic _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> embKmeansSql,
+    "dedup_semantic" -> dedupSemanticSql)
+}
