@@ -233,6 +233,83 @@ object SemDedup {
        |FROM asg a LEFT JOIN losers l ON l.vec_id = a.vec_id"""
       .stripMargin
 
+  // -------------------------------------------------------------------
+  // Row-local Scala mirrors for the STREAMING twin (the
+  // nearDedupStream discipline: bit-identical keys/values pinned
+  // against the batch plan by the parity spec). The batch aggregation
+  // sums components in arbitrary order but quantizes every ranked or
+  // compared value (micro-unit integer dist, 6 dp cosines), so the
+  // index-ordered mirror lands on identical decisions.
+  // -------------------------------------------------------------------
+
+  /** Spark `round(x, s)` twin: BigDecimal.valueOf (shortest decimal
+    * repr) + HALF_UP — NOT math.round, which rounds half toward +∞
+    * on negatives where Spark rounds away from zero. */
+  private def rnd(x: Double, scale: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+
+  private[graft] def round6(x: Double): Double = rnd(x, 6).doubleValue
+
+  /** The trained centroid table as driver-side arrays — the static
+    * model the streaming twin broadcasts (the lm-table analogue in
+    * scoreDocs): (code, components ordered by i, cnrm). */
+  private[graft] def centroidArrays(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Double])] =
+    centroids(spark, dir).collect()
+      .map(r => (r.getAs[Number]("code").longValue,
+        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (code, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach { case (_, i, cv) => arr(i) = cv }
+        (code, arr)
+      }
+
+  /** Row-local twin of the batch assignment: (cell, c2c) for one
+    * embedding against the static centroids — quantized components,
+    * micro-unit integer distance argmin with code tiebreak, 6 dp
+    * centroid cosine. */
+  private[graft] def assignOf(emb: Array[Float],
+      cents: Array[(Long, Array[Double])]): (Long, Double) = {
+    val v = emb.map(f =>
+      rnd(f.toDouble * 1000000.0, 0).longValue / 1000000.0)
+    var bestCode = Long.MaxValue; var bestDu = Long.MaxValue
+    var bestDot = 0.0; var bestCn = 0.0
+    cents.foreach { case (code, cv) =>
+      var d = 0.0; var dot = 0.0; var cn = 0.0
+      var i = 0
+      while (i < v.length) {
+        val df = v(i) - cv(i)
+        d += df * df; dot += v(i) * cv(i); cn += cv(i) * cv(i)
+        i += 1
+      }
+      val du = rnd(d * 1000000.0, 0).longValue
+      if (du < bestDu || (du == bestDu && code < bestCode)) {
+        bestCode = code; bestDu = du; bestDot = dot
+        bestCn = math.sqrt(cn)
+      }
+    }
+    var vn = 0.0
+    v.foreach(x => vn += x * x)
+    (bestCode, round6(bestDot / (math.sqrt(vn) * bestCn)))
+  }
+
+  /** [[graft.functions.CosineSim]] twin: sequential left-to-right
+    * double accumulation over the float components. */
+  private[graft] def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = a(i).toDouble; val yv = b(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
     "dedup_semantic" -> (dedupSemantic _))

@@ -148,6 +148,85 @@ object StreamingOps {
   // band-bucket membership, capped like the batch MaxBucket
   private[streaming] case class BucketState(ids: Array[Long])
 
+  case class Vec(vec_id: Long, embedding: Array[Float])
+
+  case class SemDrop(cluster: Long, vec_id: Long)
+
+  // k-means-cell membership for the semantic-dedup twin: parallel
+  // arrays (id, 6 dp centroid cosine, raw embedding, dropped flag),
+  // capped like the batch MaxCluster
+  private[streaming] case class SemCellState(ids: Array[Long],
+      c2c: Array[Double], embs: Array[Array[Float]],
+      dropped: Array[Boolean])
+
+  /** Streaming SEMANTIC dedup — the stream–static twin of the batch
+    * `dedup_semantic` query (sim/SemDedup.scala): arriving vectors are
+    * assigned to their k-means cell against the STATIC trained
+    * centroids (row-local Scala mirror of the batch argmin —
+    * identical micro-unit integer distances and 6 dp centroid
+    * cosines, pinned by the parity spec), and keyed state per cell
+    * holds the capped member set. A new member pairs against every
+    * live member of its cell; each pair at cosine ≥ τ drops its loser
+    * — the HIGHER-centroid-cosine member (vec_id tiebreak), exactly
+    * the batch keep rule — and a drop event is emitted ONCE per
+    * vector, across micro-batches. The keep rule is pair-local and
+    * symmetric, so the accumulated drop set equals the batch loser
+    * set regardless of how the stream is micro-batched (given the
+    * same arrival order the occupancy cap admits the same members).
+    * State is O(cells × cap) vectors, never the corpus. */
+  def semanticDedupStream(vecs: Dataset[Vec],
+      cents: Array[(Long, Array[Double])], tau: Double = 0.4,
+      maxCell: Int = 256): Dataset[SemDrop] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .map { v =>
+        val (cell, c2c) = graft.sim.SemDedup.assignOf(v.embedding, cents)
+        (cell, v.vec_id, c2c, v.embedding)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SemCellState, SemDrop](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[(Long, Long, Double, Array[Float])],
+            state: GroupState[SemCellState]) =>
+          var ids = state.getOption.map(_.ids.toVector)
+            .getOrElse(Vector.empty)
+          var c2cs = state.getOption.map(_.c2c.toVector)
+            .getOrElse(Vector.empty)
+          var embs = state.getOption.map(_.embs.toVector)
+            .getOrElse(Vector.empty)
+          var dropped = state.getOption.map(_.dropped.toVector)
+            .getOrElse(Vector.empty)
+          val out = Seq.newBuilder[SemDrop]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, c2c, emb) =>
+            if (!ids.contains(id) && ids.size < maxCell) {
+              var newDropped = false
+              ids.indices.foreach { j =>
+                val cos = graft.sim.SemDedup.round6(
+                  graft.sim.SemDedup.cosineOf(emb, embs(j)))
+                if (cos >= tau) {
+                  val loserIsNew =
+                    if (c2c > c2cs(j)) true
+                    else if (c2cs(j) > c2c) false
+                    else id > ids(j)
+                  if (loserIsNew) {
+                    if (!newDropped) { out += SemDrop(cell, id) }
+                    newDropped = true
+                  } else if (!dropped(j)) {
+                    out += SemDrop(cell, ids(j))
+                    dropped = dropped.updated(j, true)
+                  }
+                }
+              }
+              ids :+= id; c2cs :+= c2c; embs :+= emb
+              dropped :+= newDropped
+            }
+          }
+          state.update(SemCellState(ids.toArray, c2cs.toArray,
+            embs.toArray, dropped.toArray))
+          out.result().iterator
+      }
+  }
+
   /** Streaming NEAR-duplicate candidates — the streaming twin of the
     * batch `dedup_minhash_lsh` pipeline: each arriving document is
     * fanned out to its 4 minhash band keys (computed row-locally by

@@ -161,11 +161,24 @@ object SeriesOps2 {
   // noise, every operation (spline sifts, means, stds) is IEEE
   // rational arithmetic the DuckDB twin replays operand-exactly.
   // -------------------------------------------------------------------
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 15 hex chars of md5(s) as a long — the h60 twin. The top
+    * 60 bits of the digest ARE the first 15 hex chars, so read the
+    * first 8 bytes big-endian and drop the low nibble (no hex-string
+    * round-trip: this runs 2× per noise draw in the ceemdan kernel). */
   private[graft] def h60Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** N(0,1) draw g(id,r,i) = rint(1e6·√(−2 ln u1)·cos(2π u2))/1e6 with
