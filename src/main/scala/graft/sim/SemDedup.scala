@@ -60,7 +60,7 @@ object SemDedup {
   /** Full-dimension k-means codebook: K seeds → argmin assign → one
     * Lloyd step of exact integer-µ component means. (code, i, cv).
     * Every seed assigns to itself at distance 0, so no cell empties. */
-  private def centroids(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def centroids(spark: SparkSession, dir: String): DataFrame = {
     val c = comps(spark, dir)
     val seeds = c.filter(col("vec_id") < K)
       .select(col("vec_id").as("code"), col("i"),
@@ -115,11 +115,16 @@ object SemDedup {
         sum(col("rc").cast("double") / 1000000.0 * col("cv")).as("dot"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("dist_u").asc, col("code").asc)
+    // zero-norm guard mirrors CosineSim's 0.0 convention — Spark's
+    // x/0.0 is Inf/NaN where DuckDB's double division is NULL, so an
+    // unguarded degenerate vector would diverge cross-engine
     d1.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .join(broadcast(cn), Seq("code"))
       .join(vn, Seq("vec_id"))
       .select(col("vec_id"), col("code").as("cluster"), col("dist_u"),
-        round(col("dot") / (col("vnrm") * col("cnrm")), 6).as("c2c"))
+        round(when(col("vnrm") * col("cnrm") === 0.0, 0.0)
+          .otherwise(col("dot") / (col("vnrm") * col("cnrm"))), 6)
+          .as("c2c"))
   }
 
   private val assignSql: String =
@@ -135,7 +140,8 @@ object SemDedup {
        |  FROM cq c JOIN cents ct ON ct.i = c.i
        |  GROUP BY 1, 2),
        |asg AS MATERIALIZED (SELECT d.vec_id, d.code AS cluster, d.dist_u,
-       |    round(d.dot / (v.vnrm * n.cnrm), 6) AS c2c
+       |    round(CASE WHEN v.vnrm * n.cnrm = 0 THEN 0.0
+       |               ELSE d.dot / (v.vnrm * n.cnrm) END, 6) AS c2c
        |  FROM (SELECT vec_id, code, dist_u, dot, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY dist_u ASC, code ASC) AS rk
        |    FROM d1) d
@@ -202,22 +208,34 @@ object SemDedup {
         coalesce(col("lost").isNull, lit(false)).as("keep"))
   }
 
+  // The pair cosine runs on the RAW float components on both engines
+  // (the ann_cosine_topk discipline): the execution path is the fused
+  // CosineSim expression over the raw arrays, the oracle the
+  // relational sum over `cast(v AS double)` — cross-engine the only
+  // difference is float-sum order (~1e-15), which the 6 dp rounding
+  // absorbs. Scoring the QUANTIZED cq components here instead would
+  // sit a ~1e-7 disagreement against the 1e-6 rounding grid — a
+  // boundary flip waiting for a corpus.
   val dedupSemanticSql: String =
     s"""WITH $compsSql,
+       |cr AS (
+       |  SELECT vec_id, idx - 1 AS i, cast(v AS double) AS v FROM (
+       |    SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |           unnest(embedding) AS v
+       |    FROM embeddings)),
        |$centroidsSql,
        |$assignSql,
        |cap AS (SELECT vec_id, cluster, c2c FROM asg
        |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
        |    <= $MaxCluster),
-       |nr AS (SELECT vec_id, sqrt(sum(pow(cast(rc AS double) / 1000000.0, 2)))
-       |    AS nrm
-       |  FROM cq GROUP BY 1),
+       |nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+       |  FROM cr GROUP BY 1),
        |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.c2c AS c1,
-       |    b.c2c AS c2, sum(ca.rc * cb.rc) AS dotq
+       |    b.c2c AS c2, sum(ca.v * cb.v) AS dot
        |  FROM cap a JOIN cap b
        |    ON b.cluster = a.cluster AND b.vec_id > a.vec_id
-       |  JOIN cq ca ON ca.vec_id = a.vec_id
-       |  JOIN cq cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+       |  JOIN cr ca ON ca.vec_id = a.vec_id
+       |  JOIN cr cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
        |  GROUP BY 1, 2, 3, 4),
        |losers AS (SELECT DISTINCT
        |    CASE WHEN c1 > c2 THEN id1
@@ -226,8 +244,7 @@ object SemDedup {
        |  FROM dots d
        |  JOIN nr n1 ON n1.vec_id = d.id1
        |  JOIN nr n2 ON n2.vec_id = d.id2
-       |  WHERE round(cast(d.dotq AS double) / 1000000.0 / 1000000.0
-       |    / (n1.nrm * n2.nrm), 6) >= $Tau)
+       |  WHERE round(d.dot / (n1.nrm * n2.nrm), 6) >= $Tau)
        |SELECT a.vec_id, a.cluster, a.c2c,
        |  (l.vec_id IS NULL) AS keep
        |FROM asg a LEFT JOIN losers l ON l.vec_id = a.vec_id"""
@@ -250,21 +267,6 @@ object SemDedup {
       .setScale(scale, java.math.RoundingMode.HALF_UP)
 
   private[graft] def round6(x: Double): Double = rnd(x, 6).doubleValue
-
-  /** The trained centroid table as driver-side arrays — the static
-    * model the streaming twin broadcasts (the lm-table analogue in
-    * scoreDocs): (code, components ordered by i, cnrm). */
-  private[graft] def centroidArrays(spark: SparkSession, dir: String)
-      : Array[(Long, Array[Double])] =
-    centroids(spark, dir).collect()
-      .map(r => (r.getAs[Number]("code").longValue,
-        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (code, rows) =>
-        val arr = new Array[Double](rows.length)
-        rows.foreach { case (_, i, cv) => arr(i) = cv }
-        (code, arr)
-      }
 
   /** Row-local twin of the batch assignment: (cell, c2c) for one
     * embedding against the static centroids — quantized components,
@@ -292,7 +294,8 @@ object SemDedup {
     }
     var vn = 0.0
     v.foreach(x => vn += x * x)
-    (bestCode, round6(bestDot / (math.sqrt(vn) * bestCn)))
+    val denom = math.sqrt(vn) * bestCn
+    (bestCode, if (denom == 0.0) 0.0 else round6(bestDot / denom))
   }
 
   /** [[graft.functions.CosineSim]] twin: sequential left-to-right

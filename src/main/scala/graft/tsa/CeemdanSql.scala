@@ -166,7 +166,8 @@ object CeemdanSql {
        |sg AS MATERIALIZED (
        |  SELECT id, tarr, n, sd AS sigma,
        |    list_transform(arr, v -> v / sd) AS yn
-       |  FROM (${stdLayer("SELECT id, tarr, n, ys AS arr, n AS na FROM st")})),
+       |  FROM (${stdLayer("SELECT id, tarr, n, ys AS arr, n AS na FROM st")})
+       |  WHERE sd > 0),
        |rs0 AS (SELECT id, tarr, n, yn AS res FROM sg),
        |rz AS (SELECT unnest(range(10)) AS r),
        |nzb AS MATERIALIZED (

@@ -219,6 +219,11 @@ object SeriesOps2 {
         val m = y0.sum / n
         math.sqrt(y0.map(v => (v - m) * (v - m)).sum / n)
       }
+      // constant series: Spark would propagate Inf/NaN through the
+      // sift while DuckDB's double division yields NULL — drop the
+      // degenerate series deterministically on BOTH engines instead
+      // (oracle twin: sg ... WHERE sd > 0)
+      if (sigma == 0.0) return None
       val y = y0.map(_ / sigma)
       val noiseModes = (0 until ensembleSize).map { r =>
         SeriesMath.emd(t, gaussianNoise(id, r, n), maxModes = 4, maxIter = 15)

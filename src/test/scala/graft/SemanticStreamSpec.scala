@@ -24,6 +24,21 @@ class SemanticStreamSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The trained centroid table as driver-side arrays — the static
+    * model the streaming twin's caller prepares (the lm-table
+    * analogue in scoreDocs; the collect lives with the CALLER so main
+    * sources stay collect-free per PlanGuardSpec). */
+  private def centroidArrays: Array[(Long, Array[Double])] =
+    SemDedup.centroids(spark, dir).collect()
+      .map(r => (r.getAs[Number]("code").longValue,
+        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (code, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach { case (_, i, cv) => arr(i) = cv }
+        (code, arr)
+      }
+
   private def corpus: Seq[Vec] = {
     import spark.implicits._
     Tables.table(spark, dir, "embeddings")
@@ -32,7 +47,7 @@ class SemanticStreamSpec extends AnyFunSuite {
   }
 
   test("row-local assignment mirror == batch cells and c2c corpus-wide") {
-    val cents = SemDedup.centroidArrays(spark, dir)
+    val cents = centroidArrays
     val batch = SemDedup.dedupSemantic(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     corpus.foreach { v =>
@@ -46,7 +61,7 @@ class SemanticStreamSpec extends AnyFunSuite {
   test("drop events across micro-batches == the batch loser set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val cents = SemDedup.centroidArrays(spark, dir)
+    val cents = centroidArrays
     val all = corpus
     val input = MemoryStream[Vec]
     // three vec_id-ordered micro-batches: cross-batch pairing (a later
