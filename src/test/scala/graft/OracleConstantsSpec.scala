@@ -74,4 +74,26 @@ class OracleConstantsSpec extends AnyFunSuite {
           "generate_series(1, 16384) — widen textFingerprintSql")
     }
   }
+
+  test("h60 three-way equivalence: JVM kernel == Spark expression " +
+    "(the DuckDB twin shares the md5 spec by construction)") {
+    // The ceemdan noise tier (tsa.SeriesOps2.h60Jvm — digest top-60-
+    // bits fast path) must agree with the Spark h60 column expression
+    // (dedup.Dedup.h60 — conv(substring(md5,1,15),16,10)) that the
+    // rest of the repo pins against DuckDB's ('0x'||substr(md5,1,15))
+    // cast. Drift here silently de-synchronizes every ceemdan gate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val samples = (for {
+      id <- Seq(0L, 1L, 42L, 123456789L); r <- 0 until 3; i <- 0 until 5
+      s <- Seq("a", "b")
+    } yield s"${id}_${r}_${i}_$s").toSeq
+    val viaSpark = samples.toDF("s")
+      .select(col("s"), graft.dedup.Dedup.h60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(graft.tsa.SeriesOps2.h60Jvm(s) == viaSpark(s),
+        s"h60 mismatch for '$s'")
+    }
+  }
 }
