@@ -43,6 +43,7 @@ object SparkEntry {
       sim.Pq.queries ++
       sim.SemDedup.queries ++
       text.TextOps.queries ++
+      text.Pii.queries ++
       text.CorpusOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
@@ -78,6 +79,7 @@ object SparkEntry {
       sim.Pq.oracles ++
       sim.SemDedup.oracles ++
       text.TextOps.oracles ++
+      text.Pii.oracles ++
       text.CorpusOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++
