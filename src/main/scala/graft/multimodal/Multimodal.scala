@@ -149,14 +149,70 @@ object Multimodal {
        |  (${h60Sql("text")} >> 20) % 512 + 64 AS height
        |FROM documents""".stripMargin
 
+  // -------------------------------------------------------------------
+  // multimodal_resize — the resize planning step (round 11): map each
+  // payload's decoded (width, height) to the trainer's input box
+  // (max side 224, aspect preserved, never upscale) and account the
+  // pixel mass the resize drops. In production this arithmetic runs
+  // INSIDE the batch decode pass (decode + resize share one codec
+  // handle); here it is the expression tier over the SAME gated stub
+  // dimensions so the plan itself sits under the hash gate. All
+  // integer arithmetic — out_w = w·224 div max(w,h) — so there is no
+  // float rounding to diverge cross-engine, and the off-by-one
+  // convention (floor) is pinned by the gate rather than left to a
+  // codec library.
+  // -------------------------------------------------------------------
+  val TargetSide = 224
+
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val hh = h60(col("text"))
+    val meta = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (hh % 512 + 64).as("width"),
+        (shiftright(hh, 20) % 512 + 64).as("height"))
+    val mx = greatest(col("width"), col("height"))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      when(mx <= TargetSide, col("width"))
+        .otherwise(expr(s"width * $TargetSide div greatest(width, height)"))
+        .as("out_w"),
+      when(mx <= TargetSide, col("height"))
+        .otherwise(expr(s"height * $TargetSide div greatest(width, height)"))
+        .as("out_h"))
+      .withColumn("px_dropped",
+        col("width") * col("height") - col("out_w") * col("out_h"))
+  }
+
+  val multimodalResizeSql: String = {
+    val w = s"(${h60Sql("text")} % 512 + 64)"
+    val h = s"(${h60Sql("text")} >> 20) % 512 + 64"
+    s"""WITH m AS (SELECT doc_id, $w AS width, $h AS height
+       |  FROM documents)
+       |SELECT doc_id, width, height,
+       |  CASE WHEN greatest(width, height) <= $TargetSide THEN width
+       |       ELSE width * $TargetSide // greatest(width, height) END
+       |    AS out_w,
+       |  CASE WHEN greatest(width, height) <= $TargetSide THEN height
+       |       ELSE height * $TargetSide // greatest(width, height) END
+       |    AS out_h,
+       |  width * height
+       |    - (CASE WHEN greatest(width, height) <= $TargetSide THEN width
+       |            ELSE width * $TargetSide // greatest(width, height) END)
+       |    * (CASE WHEN greatest(width, height) <= $TargetSide THEN height
+       |            ELSE height * $TargetSide // greatest(width, height) END)
+       |    AS px_dropped
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_batch" -> (multimodalBatch _),
-    "multimodal_batch_meta" -> (multimodalBatchMeta _))
+    "multimodal_batch_meta" -> (multimodalBatchMeta _),
+    "multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_frame_dedup" -> multimodalFrameDedupSql,
-    "multimodal_batch_meta" -> multimodalBatchMetaSql)
+    "multimodal_batch_meta" -> multimodalBatchMetaSql,
+    "multimodal_resize" -> multimodalResizeSql)
 }

@@ -52,4 +52,34 @@ class MultimodalSpec extends AnyFunSuite {
       col("offset") > col("frame_idx") * 16384).count()
     assert(bad == 0)
   }
+
+  test("resize plan: box-bounded, never upscales, preserves aspect " +
+    "within floor granularity, matches the batch tier's dims") {
+    import org.apache.spark.sql.functions._
+    val r = multimodal.Multimodal.multimodalResize(spark, dir)
+    val T = multimodal.Multimodal.TargetSide
+    // the long side lands exactly on the box; the short side floors
+    val badBox = r.filter(
+      (greatest(col("width"), col("height")) > T &&
+        greatest(col("out_w"), col("out_h")) =!= T) ||
+        (greatest(col("width"), col("height")) <= T &&
+          (col("out_w") =!= col("width") || col("out_h") =!= col("height"))))
+      .count()
+    assert(badBox == 0, s"$badBox rows violate the resize box contract")
+    val upscaled = r.filter(col("out_w") > col("width") ||
+      col("out_h") > col("height") || col("px_dropped") < 0).count()
+    assert(upscaled == 0)
+    // aspect: floor(short·T/long) is within 1 of exact proportionality
+    val skewed = r.filter(greatest(col("width"), col("height")) > T &&
+      abs(least(col("out_w"), col("out_h")).cast("double") -
+        least(col("width"), col("height")).cast("double") * T /
+          greatest(col("width"), col("height"))) > 1.0).count()
+    assert(skewed == 0, s"$skewed rows break aspect within floor granularity")
+    // the dims this plan consumes ARE the batch tier's decoded dims
+    val bm = multimodal.Multimodal.multimodalBatchMeta(spark, dir)
+      .select(col("doc_id"), col("width").as("bw"), col("height").as("bh"))
+    assert(r.join(bm, "doc_id")
+      .filter(col("width") =!= col("bw") || col("height") =!= col("bh"))
+      .count() == 0, "resize dims diverge from the batch decode tier")
+  }
 }
