@@ -20,34 +20,40 @@ import org.apache.spark.sql.functions._
   * cells, which track the corpus's actual density so near-duplicates
   * land in the same cell without multiprobing.
   *
-  * Clustering mirrors the IVF/PQ quantizer discipline (Pq.scala:17):
-  * K seed vectors (vec_id < K), ONE Lloyd step with exact integer-µ
-  * means over 1e-6-quantized components, every ranking by micro-unit
-  * integer distance with centroid-id/vec-id tiebreaks — so both
-  * engines pick identical clusters and identical losers.
+  * Clustering is TWO-LEVEL (round 12, the IVF coarse×fine probe
+  * structure ann_ivf_topk pioneered): a KC-cell coarse quantizer
+  * (seeds vec_id < KC, one Lloyd step — the Pq.scala:17 discipline)
+  * partitions the corpus; within each coarse cell, KF fine seeds (the
+  * KF lowest vec_ids of the cell, an in-plan window rank — no driver
+  * scan) get their own Lloyd step, and each vector's cluster is the
+  * fine argmin WITHIN ITS OWN coarse cell. K = KC·KF cells, but the
+  * per-vector assignment work is (KC + KF)·d — 2√K·d at KC = KF = √K
+  * — instead of the flat argmin's K·d, so growing K ∝ corpus /
+  * target-cell-size (SemDeDup's own protocol) never materializes a
+  * corpus×K explode: every joined intermediate is corpus×KC or
+  * corpus×KF component rows, and both codebook tables (KC·KF·d
+  * doubles) stay broadcast-size far past 10⁶ cells. Deeper corpora
+  * nest the same construction (coarse→mid→fine), exactly like the
+  * corpus_pack prefix-sum recursion.
   *
-  * 100 TB shape: centroids are K·d doubles → broadcast; assignment is
-  * one corpus pass (corpus·K·d component work, partial-aggregated);
-  * K grows ∝ corpus / target-cell-size on a real corpus, keeping
-  * cells ~constant; pair generation is occupancy-capped at 256
-  * members per cell (the dedup.Dedup MaxBucket discipline — a
-  * WindowGroupLimit BEFORE the pair exchange), so pairs are bounded
-  * by cells·cap²/2 regardless of corpus size and the n² never
-  * materializes. The keep decision is a pair→loser projection + one
-  * anti-join — no iteration, no driver state.
+  * Determinism (both engines pick identical clusters and losers):
+  * exact integer-µ Lloyd means over 1e-6-quantized components,
+  * seed-assignment ranks on round(dist, 6) with code/f tiebreaks,
+  * final assignments on micro-unit integer L2² with code/f tiebreaks.
   *
-  * Honest large-K caveat: with K ∝ corpus, the FLAT argmin
-  * (corpus·K·d) turns quadratic. The scale path past ~10⁴ cells is
-  * hierarchical assignment — a coarse √K-cell quantizer prunes each
-  * vector to a few candidate fine cells before the argmin, exactly
-  * the probe structure `ann_ivf_topk` already ships (broadcast
-  * coarse centroids → probe nearest cells → fine argmin within), so
-  * the per-vector work drops to √K·d + (K/√K)·d. At the fixed K=16
-  * here the flat pass is the right plan and the measured 100×-corpus
-  * step is 1.28×. */
+  * 100 TB shape: pair generation is occupancy-capped at 256 members
+  * per cell (the dedup.Dedup MaxBucket discipline — a WindowGroupLimit
+  * BEFORE the pair exchange), so pairs are bounded by cells·cap²/2.
+  * With K ∝ corpus the cells hold ~target-cell-size members and the
+  * cap is inert — the round-11 recall concern (small fixed K
+  * saturating the cap and silently discarding candidates) is exactly
+  * what the two-level corpus-derived K removes. The keep decision is
+  * a pair→loser projection + one anti-join — no iteration, no driver
+  * state. */
 object SemDedup {
 
-  private val K = 16 // clusters (∝ corpus/cell-size at scale)
+  private val KC = 16 // coarse cells
+  private val KF = 16 // fine cells per coarse cell → K = KC·KF = 256
   private val MaxCluster = 256 // pair-generation occupancy cap
   private val Tau = 0.4 // near-duplicate cosine threshold (corpus band)
 
@@ -66,12 +72,13 @@ object SemDedup {
       |               unnest(embedding) AS v
       |        FROM embeddings))""".stripMargin
 
-  /** Full-dimension k-means codebook: K seeds → argmin assign → one
-    * Lloyd step of exact integer-µ component means. (code, i, cv).
-    * Every seed assigns to itself at distance 0, so no cell empties. */
-  private[graft] def centroids(spark: SparkSession, dir: String): DataFrame = {
+  /** Coarse codebook: KC seeds → argmin assign → one Lloyd step of
+    * exact integer-µ component means. (code, i, cv). Every seed
+    * assigns to itself at distance 0, so no cell empties. */
+  private[graft] def coarseCentroids(spark: SparkSession, dir: String,
+      kc: Int = KC): DataFrame = {
     val c = comps(spark, dir)
-    val seeds = c.filter(col("vec_id") < K)
+    val seeds = c.filter(col("vec_id") < kc)
       .select(col("vec_id").as("code"), col("i"),
         (col("rc").cast("double") / 1000000.0).as("cv"))
     val d0 = c.join(broadcast(seeds), Seq("i"))
@@ -87,10 +94,10 @@ object SemDedup {
       .agg((sum("rc").cast("double") / count(lit(1)) / 1000000.0).as("cv"))
   }
 
-  private val centroidsSql: String =
+  private def coarseCentroidsSql(kc: Int): String =
     s"""seeds AS (SELECT vec_id AS code, i,
        |    cast(rc AS double) / 1000000.0 AS cv
-       |  FROM cq WHERE vec_id < $K),
+       |  FROM cq WHERE vec_id < $kc),
        |d0 AS (SELECT c.vec_id, s.code,
        |    sum(pow(cast(c.rc AS double) / 1000000.0 - s.cv, 2)) AS dist
        |  FROM cq c JOIN seeds s ON s.i = c.i
@@ -106,55 +113,150 @@ object SemDedup {
        |  FROM cq c JOIN asg0 a ON a.vec_id = c.vec_id
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** Final assignment + centroid-cosine: (vec_id, cluster, dist_u
-    * [micro-unit integer L2²], c2c [cosine to own centroid, 6 dp]). */
-  private def assign(spark: SparkSession, dir: String): DataFrame = {
+  /** Coarse assignment (vec_id, code): micro-unit integer L2² argmin
+    * against the refined coarse centroids, code tiebreak. */
+  private[graft] def coarseAssign(spark: SparkSession, dir: String,
+      kc: Int = KC): DataFrame = {
     val c = comps(spark, dir)
-    val cents = centroids(spark, dir)
-    val cn = cents.groupBy("code")
+    val cents = coarseCentroids(spark, dir, kc)
+    val dC = c.join(broadcast(cents), Seq("i"))
+      .groupBy("vec_id", "code")
+      .agg(round(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"),
+        2.0)) * 1000000.0, 0).cast("long").as("dist_u"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist_u").asc, col("code").asc)
+    dC.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("vec_id", "code")
+  }
+
+  private val coarseAssignSql: String =
+    s"""dC AS (SELECT c.vec_id, ct.code,
+       |    cast(round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2))
+       |      * 1000000.0) AS BIGINT) AS dist_u
+       |  FROM cq c JOIN cents ct ON ct.i = c.i
+       |  GROUP BY 1, 2),
+       |asgC AS MATERIALIZED (SELECT vec_id, code FROM (
+       |    SELECT vec_id, code, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist_u ASC, code ASC) AS rk
+       |    FROM dC)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** Fine codebook per coarse cell: KF seeds = the cell's KF lowest
+    * vec_ids (window rank, in-plan), one Lloyd step restricted to the
+    * cell. (code, f, i, cv) — ≤ KC·KF·d rows, broadcast-size. */
+  private[graft] def fineCentroids(spark: SparkSession, dir: String,
+      kc: Int = KC, kf: Int = KF): DataFrame = {
+    val c = comps(spark, dir)
+    val asgC = coarseAssign(spark, dir, kc)
+    val mem = c.join(asgC, Seq("vec_id")) // (vec_id, code, i, rc)
+    val wCell = Window.partitionBy("code").orderBy("vec_id")
+    val fs = asgC.withColumn("f", row_number().over(wCell) - 1)
+      .filter(col("f") < kf)
+    val fseed = c.join(fs, Seq("vec_id"))
+      .select(col("code"), col("f"), col("i"),
+        (col("rc").cast("double") / 1000000.0).as("cv"))
+    val dF0 = mem.join(broadcast(fseed), Seq("code", "i"))
+      .groupBy("vec_id", "code", "f")
+      .agg(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"), 2.0))
+        .as("dist"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("dist"), 6).asc, col("f").asc)
+    val fasg0 = dF0.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("vec_id", "f")
+    mem.join(fasg0, Seq("vec_id"))
+      .groupBy("code", "f", "i")
+      .agg((sum("rc").cast("double") / count(lit(1)) / 1000000.0).as("cv"))
+  }
+
+  private def fineCentroidsSql(kf: Int): String =
+    s"""fs AS (SELECT vec_id, code,
+       |    row_number() OVER (PARTITION BY code ORDER BY vec_id) - 1 AS f
+       |  FROM asgC
+       |  QUALIFY row_number() OVER (PARTITION BY code ORDER BY vec_id)
+       |    <= $kf),
+       |fseed AS (SELECT fs.code, fs.f, c.i,
+       |    cast(c.rc AS double) / 1000000.0 AS cv
+       |  FROM cq c JOIN fs ON fs.vec_id = c.vec_id),
+       |mem AS MATERIALIZED (SELECT c.vec_id, a.code, c.i, c.rc
+       |  FROM cq c JOIN asgC a ON a.vec_id = c.vec_id),
+       |dF0 AS (SELECT m.vec_id, m.code, s.f,
+       |    sum(pow(cast(m.rc AS double) / 1000000.0 - s.cv, 2)) AS dist
+       |  FROM mem m JOIN fseed s ON s.code = m.code AND s.i = m.i
+       |  GROUP BY 1, 2, 3),
+       |fasg0 AS (SELECT vec_id, f FROM (
+       |    SELECT vec_id, f, row_number() OVER (
+       |      PARTITION BY vec_id
+       |      ORDER BY round(dist, 6) ASC, f ASC) AS rk
+       |    FROM dF0)
+       |  WHERE rk = 1),
+       |fcents AS MATERIALIZED (SELECT m.code, a.f, m.i,
+       |    cast(sum(m.rc) AS double) / count(*) / 1000000.0 AS cv
+       |  FROM mem m JOIN fasg0 a ON a.vec_id = m.vec_id
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Final two-level assignment + centroid-cosine: (vec_id, cluster =
+    * code·KF + f, dist_u [micro-unit integer L2² to the fine
+    * centroid], c2c [cosine to own fine centroid, 6 dp]). Each vector
+    * scores ONLY its own coarse cell's ≤ KF fine centroids — the
+    * (code, i) join key is the probe restriction. */
+  private[graft] def assign(spark: SparkSession, dir: String,
+      kc: Int = KC, kf: Int = KF): DataFrame = {
+    val c = comps(spark, dir)
+    val mem = c.join(coarseAssign(spark, dir, kc), Seq("vec_id"))
+    val fcents = fineCentroids(spark, dir, kc, kf)
+    val cn = fcents.groupBy("code", "f")
       .agg(sqrt(sum(pow(col("cv"), 2.0))).as("cnrm"))
     val vn = c.groupBy("vec_id")
       .agg(sqrt(sum(pow(col("rc").cast("double") / 1000000.0, 2.0)))
         .as("vnrm"))
-    val d1 = c.join(broadcast(cents), Seq("i"))
-      .groupBy("vec_id", "code")
+    val dF = mem.join(broadcast(fcents), Seq("code", "i"))
+      .groupBy("vec_id", "code", "f")
       .agg(
         round(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"), 2.0))
           * 1000000.0, 0).cast("long").as("dist_u"),
         sum(col("rc").cast("double") / 1000000.0 * col("cv")).as("dot"))
     val w = Window.partitionBy("vec_id")
-      .orderBy(col("dist_u").asc, col("code").asc)
+      .orderBy(col("dist_u").asc, col("f").asc)
     // zero-norm guard mirrors CosineSim's 0.0 convention — Spark's
     // x/0.0 is Inf/NaN where DuckDB's double division is NULL, so an
     // unguarded degenerate vector would diverge cross-engine
-    d1.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .join(broadcast(cn), Seq("code"))
+    dF.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(broadcast(cn), Seq("code", "f"))
       .join(vn, Seq("vec_id"))
-      .select(col("vec_id"), col("code").as("cluster"), col("dist_u"),
+      .select(col("vec_id"),
+        (col("code") * kf + col("f")).as("cluster"), col("dist_u"),
         round(when(col("vnrm") * col("cnrm") === 0.0, 0.0)
           .otherwise(col("dot") / (col("vnrm") * col("cnrm"))), 6)
           .as("c2c"))
   }
 
-  private val assignSql: String =
-    s"""cn AS (SELECT code, sqrt(sum(cv * cv)) AS cnrm
-       |  FROM cents GROUP BY 1),
+  /** The full codebook+assignment CTE chain for a given (kc, kf) —
+    * ends at `asg(vec_id, cluster, dist_u, c2c)`, the same contract
+    * the flat round-11 oracle exposed, so the emb_kmeans /
+    * dedup_semantic tails compose unchanged. */
+  private def assignSqlFor(kc: Int, kf: Int): String =
+    s"""${coarseCentroidsSql(kc)},
+       |$coarseAssignSql,
+       |${fineCentroidsSql(kf)},
+       |cn AS (SELECT code, f, sqrt(sum(cv * cv)) AS cnrm
+       |  FROM fcents GROUP BY 1, 2),
        |vn AS (SELECT vec_id,
        |    sqrt(sum(pow(cast(rc AS double) / 1000000.0, 2))) AS vnrm
        |  FROM cq GROUP BY 1),
-       |d1 AS (SELECT c.vec_id, ct.code,
-       |    cast(round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2))
+       |dF AS (SELECT m.vec_id, m.code, ct.f,
+       |    cast(round(sum(pow(cast(m.rc AS double) / 1000000.0 - ct.cv, 2))
        |      * 1000000.0) AS BIGINT) AS dist_u,
-       |    sum(cast(c.rc AS double) / 1000000.0 * ct.cv) AS dot
-       |  FROM cq c JOIN cents ct ON ct.i = c.i
-       |  GROUP BY 1, 2),
-       |asg AS MATERIALIZED (SELECT d.vec_id, d.code AS cluster, d.dist_u,
+       |    sum(cast(m.rc AS double) / 1000000.0 * ct.cv) AS dot
+       |  FROM mem m JOIN fcents ct ON ct.code = m.code AND ct.i = m.i
+       |  GROUP BY 1, 2, 3),
+       |asg AS MATERIALIZED (SELECT d.vec_id,
+       |    d.code * $kf + d.f AS cluster, d.dist_u,
        |    round(CASE WHEN v.vnrm * n.cnrm = 0 THEN 0.0
        |               ELSE d.dot / (v.vnrm * n.cnrm) END, 6) AS c2c
-       |  FROM (SELECT vec_id, code, dist_u, dot, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY dist_u ASC, code ASC) AS rk
-       |    FROM d1) d
-       |  JOIN cn n ON n.code = d.code
+       |  FROM (SELECT vec_id, code, f, dist_u, dot, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist_u ASC, f ASC) AS rk
+       |    FROM dF) d
+       |  JOIN cn n ON n.code = d.code AND n.f = d.f
        |  JOIN vn v ON v.vec_id = d.vec_id
        |  WHERE d.rk = 1)""".stripMargin
 
@@ -172,28 +274,37 @@ object SemDedup {
     * member count and inertia (exact micro-unit integer sum of the
     * rounded L2² distances, so the cross-engine sum order is moot). */
   def embKmeans(spark: SparkSession, dir: String): DataFrame =
-    assign(spark, dir)
+    embKmeansAt(spark, dir, KC, KF)
+
+  private[graft] def embKmeansAt(spark: SparkSession, dir: String,
+      kc: Int, kf: Int): DataFrame =
+    assign(spark, dir, kc, kf)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("size"),
         (sum("dist_u").cast("double") / 1000000.0).as("inertia"))
 
-  val embKmeansSql: String =
+  private[graft] def embKmeansSqlFor(kc: Int, kf: Int): String =
     s"""WITH $compsSql,
-       |$centroidsSql,
-       |$assignSql
+       |${assignSqlFor(kc, kf)}
        |SELECT cluster, count(*) AS size,
        |  cast(sum(dist_u) AS double) / 1000000.0 AS inertia
        |FROM asg GROUP BY 1""".stripMargin
+
+  val embKmeansSql: String = embKmeansSqlFor(KC, KF)
 
   /** dedup_semantic — per vector: its cell, its centroid cosine, and
     * whether SemDeDup keeps it. Within each (occupancy-capped) cell,
     * pairs with cosine ≥ τ mark ONE loser: the member with the HIGHER
     * centroid cosine (rounded 6 dp), vec_id as the tiebreak — keep =
     * the vector loses no pair. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticAt(spark, dir, KC, KF)
+
+  private[graft] def dedupSemanticAt(spark: SparkSession, dir: String,
+      kc: Int, kf: Int): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val emb = Tables.table(spark, dir, "embeddings")
-    val a = assign(spark, dir)
+    val a = assign(spark, dir, kc, kf)
     val w = Window.partitionBy("cluster").orderBy("vec_id")
     // cap BEFORE the self-join: rank-limit runs as a WindowGroupLimit
     // under the pair exchange, so a hot cell can never square
@@ -214,7 +325,7 @@ object SemDedup {
       .distinct()
     a.join(losers.withColumn("lost", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("c2c"),
-        coalesce(col("lost").isNull, lit(false)).as("keep"))
+        col("lost").isNull.as("keep"))
   }
 
   // The pair cosine runs on the RAW float components on both engines
@@ -225,15 +336,14 @@ object SemDedup {
   // absorbs. Scoring the QUANTIZED cq components here instead would
   // sit a ~1e-7 disagreement against the 1e-6 rounding grid — a
   // boundary flip waiting for a corpus.
-  val dedupSemanticSql: String =
+  private[graft] def dedupSemanticSqlFor(kc: Int, kf: Int): String =
     s"""WITH $compsSql,
        |cr AS (
        |  SELECT vec_id, idx - 1 AS i, cast(v AS double) AS v FROM (
        |    SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
        |           unnest(embedding) AS v
        |    FROM embeddings)),
-       |$centroidsSql,
-       |$assignSql,
+       |${assignSqlFor(kc, kf)},
        |cap AS (SELECT vec_id, cluster, c2c FROM asg
        |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
        |    <= $MaxCluster),
@@ -259,6 +369,8 @@ object SemDedup {
        |FROM asg a LEFT JOIN losers l ON l.vec_id = a.vec_id"""
       .stripMargin
 
+  val dedupSemanticSql: String = dedupSemanticSqlFor(KC, KF)
+
   // -------------------------------------------------------------------
   // Row-local Scala mirrors for the STREAMING twin (the
   // nearDedupStream discipline: bit-identical keys/values pinned
@@ -277,17 +389,14 @@ object SemDedup {
 
   private[graft] def round6(x: Double): Double = rnd(x, 6).doubleValue
 
-  /** Row-local twin of the batch assignment: (cell, c2c) for one
-    * embedding against the static centroids — quantized components,
-    * micro-unit integer distance argmin with code tiebreak, 6 dp
-    * centroid cosine. */
-  private[graft] def assignOf(emb: Array[Float],
-      cents: Array[(Long, Array[Double])]): (Long, Double) = {
-    val v = emb.map(f =>
-      rnd(f.toDouble * 1000000.0, 0).longValue / 1000000.0)
-    var bestCode = Long.MaxValue; var bestDu = Long.MaxValue
+  /** Micro-unit integer L2² argmin over a centroid list — the
+    * row-local twin of both batch assignment ranks (dist_u asc, id
+    * asc). Returns (id, dot, cnrm) of the winner. */
+  private def argminOf(v: Array[Double],
+      cents: Array[(Long, Array[Double])]): (Long, Double, Double) = {
+    var bestId = Long.MaxValue; var bestDu = Long.MaxValue
     var bestDot = 0.0; var bestCn = 0.0
-    cents.foreach { case (code, cv) =>
+    cents.foreach { case (id, cv) =>
       var d = 0.0; var dot = 0.0; var cn = 0.0
       var i = 0
       while (i < v.length) {
@@ -296,15 +405,35 @@ object SemDedup {
         i += 1
       }
       val du = rnd(d * 1000000.0, 0).longValue
-      if (du < bestDu || (du == bestDu && code < bestCode)) {
-        bestCode = code; bestDu = du; bestDot = dot
+      if (du < bestDu || (du == bestDu && id < bestId)) {
+        bestId = id; bestDu = du; bestDot = dot
         bestCn = math.sqrt(cn)
       }
     }
+    (bestId, bestDot, bestCn)
+  }
+
+  /** Row-local twin of the TWO-LEVEL batch assignment: (cluster, c2c)
+    * for one embedding — coarse micro-unit argmin over the coarse
+    * centroids, then fine argmin over ONLY the winning coarse cell's
+    * fine centroids (keyed cluster = code·KF + f), 6 dp cosine to the
+    * winning fine centroid. `fine` holds (cluster, cv) rows for ALL
+    * cells; the coarse winner selects its slice — the probe
+    * restriction, mirrored. */
+  private[graft] def assignOf(emb: Array[Float],
+      coarse: Array[(Long, Array[Double])],
+      fine: Array[(Long, Array[Double])], kf: Int = KF): (Long, Double) = {
+    val v = emb.map(f =>
+      rnd(f.toDouble * 1000000.0, 0).longValue / 1000000.0)
+    val (code, _, _) = argminOf(v, coarse)
+    val mine = fine.filter { case (cl, _) => cl / kf == code }
+    // rank fine by (dist_u, f): cluster ids within one cell are
+    // code·kf + f, so the id order IS the f order
+    val (cluster, dot, cnrm) = argminOf(v, mine)
     var vn = 0.0
     v.foreach(x => vn += x * x)
-    val denom = math.sqrt(vn) * bestCn
-    (bestCode, if (denom == 0.0) 0.0 else round6(bestDot / denom))
+    val denom = math.sqrt(vn) * cnrm
+    (cluster, if (denom == 0.0) 0.0 else round6(dot / denom))
   }
 
   /** [[graft.functions.CosineSim]] twin: sequential left-to-right

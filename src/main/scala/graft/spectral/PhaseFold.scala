@@ -169,7 +169,7 @@ object PhaseFold {
   val pdmBestPeriodSql: String =
     s"""WITH th0 AS (${pdmThetaSql}),
        |best AS (SELECT id, min(theta) AS best_theta FROM th0 GROUP BY id)
-       |SELECT th0.id, min(th0.j * 21600.0) AS best_period, best.best_theta
+       |SELECT th0.id, min(th0.j * CAST(21600.0 AS DOUBLE)) AS best_period, best.best_theta
        |FROM th0 JOIN best ON th0.id = best.id
        |  AND th0.theta = best.best_theta
        |GROUP BY th0.id, best.best_theta""".stripMargin

@@ -113,7 +113,7 @@ object PhaseFold2 {
   val aovBestSql: String =
     s"""WITH a0 AS (${aovPeriodogramSql}),
        |best AS (SELECT id, max(aov) AS best_aov FROM a0 GROUP BY id)
-       |SELECT a0.id, min(a0.j * 21600.0) AS best_period, best.best_aov
+       |SELECT a0.id, min(a0.j * CAST(21600.0 AS DOUBLE)) AS best_period, best.best_aov
        |FROM a0 JOIN best ON a0.id = best.id AND a0.aov = best.best_aov
        |GROUP BY a0.id, best.best_aov""".stripMargin
 
@@ -183,7 +183,7 @@ object PhaseFold2 {
   val ceBestSql: String =
     s"""WITH e0 AS (${cePeriodogramSql}),
        |best AS (SELECT id, min(ce) AS best_ce FROM e0 GROUP BY id)
-       |SELECT e0.id, min(e0.j * 21600.0) AS best_period, best.best_ce
+       |SELECT e0.id, min(e0.j * CAST(21600.0 AS DOUBLE)) AS best_period, best.best_ce
        |FROM e0 JOIN best ON e0.id = best.id AND e0.ce = best.best_ce
        |GROUP BY e0.id, best.best_ce""".stripMargin
 
@@ -223,15 +223,21 @@ object PhaseFold2 {
   private val M_GRID = Seq(2, 3, 4, 6, 8, 12) // divisors of 24
   private val M_HI = 12
 
+  /** Static log-factorial table bound, identical to the oracle's
+    * `generate_series(0, 65536)`: serves series up to 65525 samples.
+    * A 100 TB corpus scales in the NUMBER of series, not per-series
+    * length, so a documented cap (≈1 MB broadcast) beats the blocking
+    * max-length pre-scan it replaced — the query plans as ONE job. A
+    * longer series fails LOUDLY via the in-plan guard below, never
+    * silently (an unguarded lookup join would drop its rows). */
+  private val LfMax = 65536L
+
   def glOdds(spark: SparkSession, dir: String): DataFrame = {
     val c = centered(spark, dir)
-    // log-factorial lookup: lf(i) = Σ_{v=1..i} ln v, lf(0) = 0. Sizing
-    // the table takes ONE column-pruned count-per-key stats pass (the
-    // cheapest possible full scan; analogous to an AQE stats job) —
-    // the table itself is O(longest series), ~hundred rows, broadcast.
-    val nmax = c.groupBy("id").agg(count(lit(1)).as("cnt"))
-      .agg(max("cnt")).first().getLong(0)
-    val lf = spark.range(0, nmax + M_HI + 1).toDF("i")
+    // log-factorial lookup: lf(i) = Σ_{v=1..i} ln v, lf(0) = 0 —
+    // constant 65537 rows, broadcast; the window is over the constant
+    // range, never over data.
+    val lf = spark.range(0, LfMax + 1).toDF("i")
       .withColumn("lnv",
         when(col("i") === 0, 0.0).otherwise(log(col("i").cast("double"))))
       .withColumn("lf", sum("lnv").over(
@@ -269,6 +275,14 @@ object PhaseFold2 {
     val slf = un.join(broadcast(lf), un("n") === lf("i"))
       .groupBy("id", "j")
       .agg(max("nt").as("nt"), slfAggs: _*)
+      // loud cap guard: the guarded nt feeds the lftop join key, so
+      // Catalyst cannot prune it — an over-cap series raises instead
+      // of silently vanishing from the inner lookup join
+      .withColumn("nt",
+        when(col("nt") <= lit(LfMax - M_HI + 1), col("nt"))
+          .otherwise(raise_error(format_string(
+            s"gl_odds: series of %d samples exceeds the static " +
+              s"lf-table cap ${LfMax - M_HI + 1}", col("nt")))))
       .join(broadcast(lf.select(col("i").as("itop"), col("lf").as("lftop"))),
         col("nt") + (M_HI - 1) === col("itop"))
     // ln O_m = N ln m + lnΓ(m) + slf_m − lnΓ(N+m), with
@@ -338,7 +352,7 @@ object PhaseFold2 {
   val glBestSql: String =
     s"""WITH g0 AS (${glOddsSql}),
        |best AS (SELECT id, max(ln_odds) AS best_odds FROM g0 GROUP BY id)
-       |SELECT g0.id, min(g0.j * 21600.0) AS best_period, best.best_odds
+       |SELECT g0.id, min(g0.j * CAST(21600.0 AS DOUBLE)) AS best_period, best.best_odds
        |FROM g0 JOIN best ON g0.id = best.id AND g0.ln_odds = best.best_odds
        |GROUP BY g0.id, best.best_odds""".stripMargin
 

@@ -104,7 +104,22 @@ object StreamingOps {
   /** Gap-based sessionization (30 min inactivity closes a session) —
     * the streaming twin of the batch `events_sessionize` query. Emits
     * one row per closed session; processing-time timeout flushes the
-    * last session of a quiet key. */
+    * last session of a quiet key.
+    *
+    * Late-data contract (round 12): within a micro-batch rows process
+    * in event-time order, so intra-batch disorder is exact. A
+    * CROSS-batch late event (t ≤ the open session's lastSeen) is
+    *  - ABSORBED into the open session without regressing the
+    *    inactivity clock when it falls inside the session's reach
+    *    (t ≥ start − gap; the clock regression the round-11 code
+    *    allowed could wrongly split a later on-time event);
+    *  - DROPPED when older than the open session's reach — the
+    *    watermark-drop analogue: by then the batch-equivalent session
+    *    it belonged to is already closed and emitted, so counting it
+    *    anywhere would be wrong on BOTH semantics.
+    * Lates that land after their batch session CLOSED therefore
+    * diverge from batch by design (append mode cannot retract an
+    * emitted row); StreamingLateDataSpec pins all three cases. */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800,
       useTimeout: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -126,12 +141,24 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
               cur match {
-                case Some(s) if t - s.lastSeen <= gapSec =>
-                  cur = Some(s.copy(lastSeen = t, n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  closed += SessionOut(uid, s.start, s.n, s.total)
-                  cur = Some(SessState(t, t, 1, e.value))
+                case Some(s) if t >= s.lastSeen =>
+                  if (t - s.lastSeen <= gapSec)
+                    cur = Some(s.copy(lastSeen = t, n = s.n + 1,
+                      total = s.total + e.value))
+                  else {
+                    closed += SessionOut(uid, s.start, s.n, s.total)
+                    cur = Some(SessState(t, t, 1, e.value))
+                  }
+                case Some(s) if t >= s.start - gapSec =>
+                  // cross-batch late arrival inside the open session's
+                  // reach: absorb (extending start if it precedes it)
+                  // WITHOUT regressing lastSeen — the inactivity clock
+                  // only moves forward
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(_) =>
+                  // older than the open session's reach: past the
+                  // lateness horizon — dropped (see scaladoc)
                 case None =>
                   cur = Some(SessState(t, t, 1, e.value))
               }
@@ -170,17 +197,23 @@ object StreamingOps {
     * — the HIGHER-centroid-cosine member (vec_id tiebreak), exactly
     * the batch keep rule — and a drop event is emitted ONCE per
     * vector, across micro-batches. The keep rule is pair-local and
-    * symmetric, so the accumulated drop set equals the batch loser
-    * set regardless of how the stream is micro-batched (given the
-    * same arrival order the occupancy cap admits the same members).
-    * State is O(cells × cap) vectors, never the corpus. */
+    * symmetric, so for cells that stay BELOW the occupancy cap the
+    * accumulated drop set equals the batch loser set regardless of
+    * how the stream is micro-batched. AT the cap the two diverge by
+    * construction: batch admits the `maxCell` LOWEST vec_ids of a
+    * cell, while the stream admits the first `maxCell` in arrival
+    * order (vec_id-sorted only within a micro-batch) — so cap-
+    * overflowed cells are batch-equal only under vec_id-ordered
+    * arrival. State is O(cells × cap) vectors, never the corpus. */
   def semanticDedupStream(vecs: Dataset[Vec],
-      cents: Array[(Long, Array[Double])], tau: Double = 0.4,
+      coarse: Array[(Long, Array[Double])],
+      fine: Array[(Long, Array[Double])], tau: Double = 0.4,
       maxCell: Int = 256): Dataset[SemDrop] = {
     import vecs.sparkSession.implicits._
     vecs
       .map { v =>
-        val (cell, c2c) = graft.sim.SemDedup.assignOf(v.embedding, cents)
+        val (cell, c2c) =
+          graft.sim.SemDedup.assignOf(v.embedding, coarse, fine)
         (cell, v.vec_id, c2c, v.embedding)
       }
       .groupByKey(_._1)

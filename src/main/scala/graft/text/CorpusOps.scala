@@ -15,13 +15,51 @@ object CorpusOps {
   /** Fixed training-sequence token budget (GPT-style packing). */
   private val BinTokens = 512
 
-  /** Prefix-sum chunk width: doc_id div 64 gives order-preserving
-    * chunks so the global token prefix sum runs as ONE narrow window
-    * per chunk + ONE tiny window over chunk totals (never a global
-    * single-partition window over the corpus). At 100 TB the same
-    * two-phase pattern nests — chunk totals are themselves chunkable,
-    * depth log_W(N) — so no level ever exceeds W·(N/W^k) rows. */
+  /** Prefix-sum fanout: each recursion level chunks the ordering key
+    * by `div ChunkDocs`, runs a narrow per-chunk window, and recurses
+    * on the 64×-smaller chunk totals. See [[exclusivePrefix]]. */
   private val ChunkDocs = 64
+
+  /** Recursion depth for the distributed prefix sum. The terminal
+    * global window sees N / 64^3 ≈ N / 262144 rows, so doc counts up
+    * to ~2.6×10¹¹ keep the last level under a million rows — bounded
+    * at any corpus this engine targets. Extra levels are ~free on
+    * small data (a window over a handful of rows). */
+  private val PrefixLevels = 3
+
+  /** Distributed EXCLUSIVE prefix sum: adds column `off` = Σ `v` over
+    * all rows with smaller `ord` (ord non-negative, unique, long).
+    * Each level partitions ord into `ChunkDocs`-wide chunks, computes
+    * the in-chunk exclusive prefix with a partitioned window (bounded
+    * rows per partition), aggregates per-chunk totals (64× fewer
+    * rows), and recurses for the chunk offsets; `levels == 0` is the
+    * terminal global window, guaranteed bounded by [[PrefixLevels]].
+    * No level ever runs a corpus-sized single-partition window. The
+    * offsets join is left to the optimizer: AQE broadcasts the small
+    * side at test scale and shuffle-joins on the chunk key at 100 TB.
+    */
+  private[graft] def exclusivePrefix(df: DataFrame, ord: String,
+      v: String, levels: Int): DataFrame = {
+    if (levels == 0) {
+      val w = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("off", coalesce(sum(v).over(w).cast("long"), lit(0L)))
+    } else {
+      val bkt = s"__chunk$levels"
+      val chunked = df.withColumn(bkt, expr(s"$ord div $ChunkDocs"))
+      val wIn = Window.partitionBy(bkt).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val intra = chunked
+        .withColumn("__intra", coalesce(sum(v).over(wIn).cast("long"), lit(0L)))
+      val totals = chunked.groupBy(bkt)
+        .agg(sum(v).cast("long").as("__tot"))
+        .withColumnRenamed(bkt, "__ord")
+      val offs = exclusivePrefix(totals, "__ord", "__tot", levels - 1)
+        .select(col("__ord").as(bkt), col("off").as("__chunkoff"))
+      intra.join(offs, bkt)
+        .withColumn("off", col("__intra") + col("__chunkoff"))
+        .drop(bkt, "__intra", "__chunkoff")
+    }
+  }
 
   // -------------------------------------------------------------------
   // corpus_pack — concat-and-chunk sequence packing: lay every doc's
@@ -29,10 +67,11 @@ object CorpusOps {
   // tape into fixed 512-token training sequences, and account each
   // bin: docs starting in it, their token mass, and how many of them
   // straddle a sequence boundary (the packing-efficiency stat every
-  // pretraining run reports). The global tape offset is a TWO-PHASE
-  // prefix sum (intra-chunk window + broadcast chunk offsets), not a
-  // global window — the distributed prefix-sum shape that survives a
-  // corpus that doesn't fit one partition.
+  // pretraining run reports). The global tape offset is a RECURSIVE
+  // distributed prefix sum ([[exclusivePrefix]], depth 3): every level
+  // is a bounded-row partitioned window over 64×-shrinking chunk
+  // totals, so no corpus-sized single-partition window exists at any
+  // scale.
   // -------------------------------------------------------------------
   def corpusPack(spark: SparkSession, dir: String): DataFrame =
     packTape(Tables.table(spark, dir, "documents"))
@@ -40,24 +79,18 @@ object CorpusOps {
   /** The packing plan over any (doc_id, text) frame — split out so the
     * property spec can drive it with generated corpora and compare
     * against an independent in-memory packer. */
-  private[graft] def packTape(docs: DataFrame): DataFrame = {
-    val nt = docs
+  private[graft] def packTape(docs: DataFrame): DataFrame =
+    packFromCounts(docs
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t =!= lit("")))
-          .cast("long").as("ntok"))
-      .filter(col("ntok") > 0)
-      .withColumn("bucket", expr(s"doc_id div $ChunkDocs"))
-    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = nt.withColumn("cum", sum("ntok").over(wIn))
-    // chunk totals: bounded rows (N / ChunkDocs), broadcast back
-    val wOff = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = nt.groupBy("bucket").agg(sum("ntok").as("btok"))
-      .withColumn("off", coalesce(sum("btok").over(wOff), lit(0L)))
-      .select("bucket", "off")
-    cum.join(broadcast(off), "bucket")
-      .withColumn("start", col("off") + col("cum") - col("ntok"))
+          .cast("long").as("ntok")))
+
+  /** Packing over pre-tokenized counts (doc_id, ntok) — the tier the
+    * million-doc property spec drives directly, skipping string work. */
+  private[graft] def packFromCounts(counts: DataFrame): DataFrame = {
+    val nt = counts.filter(col("ntok") > 0)
+    exclusivePrefix(nt, "doc_id", "ntok", PrefixLevels)
+      .withColumn("start", col("off"))
       .withColumn("bin", expr(s"start div $BinTokens"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
@@ -67,6 +100,10 @@ object CorpusOps {
         min("doc_id").as("first_doc"))
   }
 
+  /** DuckDB twin. Every window-`sum()` descendant is CAST to BIGINT:
+    * DuckDB widens integer sums to HUGEINT, which serializes
+    * differently from Spark's BIGINT at the driver's hash gate even
+    * when the values are identical (round-11 `corpus_pack` red row). */
   val corpusPackSql: String =
     s"""WITH nt AS (
        |  SELECT doc_id,
@@ -76,18 +113,18 @@ object CorpusOps {
        |  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0),
        |c AS (
        |  SELECT doc_id, ntok, bucket,
-       |    sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |    CAST(sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM nt),
        |o AS (
        |  SELECT bucket,
-       |    coalesce(sum(btok) OVER (ORDER BY bucket
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |    CAST(coalesce(sum(btok) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
        |  FROM (SELECT bucket, sum(ntok) AS btok FROM nt GROUP BY 1)),
        |s AS (
-       |  SELECT c.doc_id, c.ntok, o.off + c.cum - c.ntok AS start
+       |  SELECT c.doc_id, c.ntok, CAST(o.off + c.cum - c.ntok AS BIGINT) AS start
        |  FROM c JOIN o USING (bucket))
-       |SELECT start // $BinTokens AS bin,
+       |SELECT CAST(start // $BinTokens AS BIGINT) AS bin,
        |  count(*) AS n_docs,
        |  cast(sum(ntok) AS BIGINT) AS n_tokens,
        |  cast(sum(CASE WHEN (start + ntok - 1) // $BinTokens > start // $BinTokens

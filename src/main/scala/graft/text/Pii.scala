@@ -35,7 +35,15 @@ object Pii {
   private[graft] val Ipv4 =
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Per doc: match counts per PII class + the redacted text. */
+  /** Per doc: match counts per PII class + the redacted text.
+    *
+    * Contract: `n_email`/`n_phone`/`n_ip` are RAW per-pattern match
+    * counts on the UNREDACTED text, not a partition of redacted
+    * spans — redaction is sequential (email → phone → IPv4), so a
+    * span matching two classes is counted in both but redacted once
+    * by the first pattern that claims it. Identical on both engines
+    * (the oracle counts the same way), documented here because the
+    * counts can exceed the number of `[…]` markers in `redacted`. */
   def textPii(spark: SparkSession, dir: String): DataFrame =
     piiOf(Tables.table(spark, dir, "documents"))
 

@@ -862,7 +862,7 @@ object GpOps {
       val w2 = 8.0 * math.Pi * q2 / (p * math.sqrt(4.0 * q2 * q2 - 1.0))
       val (c1, ew1, sc1) = underConsts(w1, q1)
       val (c2, ew2, sc2) = underConsts(w2, q2)
-      s"($j, $p, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
+      s"($j, ${L(p)}, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
         s"${L(w2)}, ${L(q2)}, ${L(c2)}, ${L(ew2)}, ${L(sc2)})"
     }
     val s1 = s"((vy / ${L(onefr)}) / (w1 * q1))"
@@ -894,7 +894,7 @@ object GpOps {
       val ca = eta * w2
       val pp1 = 0.5 + 1.0 / (4.0 * eta * q2)
       val pp2 = 0.5 - 1.0 / (4.0 * eta * q2)
-      s"($j, $p, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
+      s"($j, ${L(p)}, ${L(w1)}, ${L(q1)}, ${L(c1)}, ${L(ew1)}, ${L(sc1)}, " +
         s"${L(w2)}, ${L(ca - cb)}, ${L(-ca - cb)}, ${L(pp1)}, ${L(pp2)}, " +
         s"${L(den2)})"
     }

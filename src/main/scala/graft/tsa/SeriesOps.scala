@@ -1114,7 +1114,7 @@ object SeriesOps {
       val wp = math.Pi / p
       val ell = 3.0 * p
       val il2 = 1.0 / (2.0 * ell * ell)
-      s"($j, $p, ${SeriesMath.sqlDouble(wp)}, ${SeriesMath.sqlDouble(il2)})"
+      s"($j, ${SeriesMath.sqlDouble(p)}, ${SeriesMath.sqlDouble(wp)}, ${SeriesMath.sqlDouble(il2)})"
     }
     CholeskySql.gridMapSql(200, Seq("wp", "il2"), gridRows,
       "vy * exp(-5.0 * sin(wp * __D__) * sin(wp * __D__) " +

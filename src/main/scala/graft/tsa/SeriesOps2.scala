@@ -639,7 +639,7 @@ object SeriesOps2 {
        |pk AS (SELECT *, lag(acf) OVER win AS pv, lead(acf) OVER win AS nx
        |  FROM acf WINDOW win AS (PARTITION BY id ORDER BY lg)),
        |best AS (SELECT * FROM (
-       |  SELECT id, lg * $QDt AS best_period, acf AS height,
+       |  SELECT id, lg * CAST($QDt AS DOUBLE) AS best_period, acf AS height,
        |    row_number() OVER (PARTITION BY id ORDER BY acf DESC, lg ASC)
        |      AS rk
        |  FROM pk
@@ -1101,7 +1101,7 @@ object SeriesOps2 {
        |    cast(ceil(min(t)/21600.0) AS bigint) AS k0,
        |    cast(floor(max(t)/21600.0) AS bigint) AS k1
        |  FROM pos WHERE np >= 2 GROUP BY id),
-       |ticks AS (SELECT bounds.id, g.k - k0 AS j, g.k * 21600.0 AS tg
+       |ticks AS (SELECT bounds.id, g.k - k0 AS j, g.k * CAST(21600.0 AS DOUBLE) AS tg
        |  FROM bounds, generate_series(70000, 90000) AS g(k)
        |  WHERE g.k BETWEEN bounds.k0 AND bounds.k1),
        |mg AS (
@@ -1218,7 +1218,7 @@ object SeriesOps2 {
        |    cast(ceil(min(t)/21600.0) AS bigint) AS k0,
        |    cast(floor(max(t)/21600.0) AS bigint) AS k1
        |  FROM ser GROUP BY id HAVING count(*) >= 2),
-       |ticks AS (SELECT bounds.id, gg.k - k0 AS j, gg.k * 21600.0 AS tg
+       |ticks AS (SELECT bounds.id, gg.k - k0 AS j, gg.k * CAST(21600.0 AS DOUBLE) AS tg
        |  FROM bounds, generate_series(70000, 90000) AS gg(k)
        |  WHERE gg.k BETWEEN bounds.k0 AND bounds.k1)
        |SELECT r.id, tk.tg AS t,

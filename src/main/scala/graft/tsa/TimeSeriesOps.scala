@@ -421,7 +421,7 @@ object TimeSeriesOps {
        |  WHERE k >= 1 AND am IS NOT NULL AND ap IS NOT NULL
        |    AND acf > am AND acf > ap),
        |best AS (SELECT id, max(acf) AS best_acf FROM peaks GROUP BY id)
-       |SELECT peaks.id, min(peaks.k * 21600.0) AS best_period,
+       |SELECT peaks.id, min(peaks.k * CAST(21600.0 AS DOUBLE)) AS best_period,
        |       best.best_acf
        |FROM peaks JOIN best ON peaks.id = best.id
        |       AND peaks.acf = best.best_acf

@@ -68,4 +68,39 @@ class CorpusPackPropertySpec extends AnyFunSuite {
     val r = check(params, prop)
     assert(r.passed, s"property failed: ${r.status}")
   }
+
+  // Million-doc corpus: exercises the RECURSIVE prefix-sum nesting
+  // (three chunk levels genuinely populated: 10^6 docs → 15625 → 245
+  // → 4 chunk-total rows) against the same sequential tape walk.
+  // Drives packFromCounts directly so no 10^6-string corpus is built.
+  test("nested prefix sum packs a million-doc corpus correctly") {
+    import spark.implicits._
+    val n = 1000000L
+    // deterministic pseudo-random lengths incl. zeros and straddlers;
+    // sparse ids (every 3rd missing) so chunks are unequal
+    def len(id: Long): Long = {
+      val h = id * 2654435761L
+      val m = ((h >>> 16) % 97L + 94L * ((h >>> 40) % 13L) / 12L)
+      if (h % 11L == 0L) 0L else if (h % 211L == 0L) 400L + (h >>> 8) % 900L else m % 81L
+    }
+    val docs = (0L until n).filter(_ % 3 != 2).map(id => (id, len(id)))
+    val got = CorpusOps.packFromCounts(
+        docs.toDF("doc_id", "ntok").repartition(8))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // sequential reference walk
+    var start = 0L
+    val ref = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Long)]
+    for ((id, tk) <- docs if tk > 0) {
+      val bin = start / B
+      val split = if ((start + tk - 1) / B > bin) 1L else 0L
+      val (d, t, s, f) = ref.getOrElse(bin, (0L, 0L, 0L, Long.MaxValue))
+      ref(bin) = (d + 1, t + tk, s + split, math.min(f, id))
+      start += tk
+    }
+    assert(got.size == ref.size, s"bins got=${got.size} ref=${ref.size}")
+    assert(got == ref.toMap)
+  }
 }

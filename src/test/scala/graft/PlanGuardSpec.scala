@@ -55,7 +55,7 @@ class PlanGuardSpec extends AnyFunSuite {
       s"cross-joins with a fat small side: ${offenders.toList.sorted}")
   }
 
-  test("main sources: no driver collect() and no Scala UDFs outside diagnostics") {
+  test("main sources: no driver collect()/first()/head() and no Scala UDFs outside diagnostics") {
     val root = java.nio.file.Paths.get("/root/repo/src/main/scala/graft")
     val allowCollect = Set("Prof.scala", "Explain.scala")
     val bad = java.nio.file.Files.walk(root).iterator().asScala
@@ -65,6 +65,11 @@ class PlanGuardSpec extends AnyFunSuite {
         val src = java.nio.file.Files.readString(p)
         val hits = Seq(
           ".collect()" -> src.contains(".collect()"),
+          // .first()/.head() are collects too: a blocking scalar job
+          // serialized before the main job (round-11 gl_odds finding)
+          ".first()" -> src.contains(".first()"),
+          ".head()" -> src.contains(".head()"),
+          ".head(" -> src.contains(".head("),
           "functions.udf(" -> src.contains("functions.udf("),
           "spark.udf.register" -> src.contains("spark.udf.register"))
           .collect { case (what, true) => what }

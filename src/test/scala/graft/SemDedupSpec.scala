@@ -19,13 +19,29 @@ class SemDedupSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("kmeans: every vector in exactly one cell, all K cells alive") {
+  test("kmeans: every vector in exactly one cell, every seeded fine cell alive") {
     val km = SemDedup.embKmeans(spark, dir).collect()
     val n = Tables.table(spark, dir, "embeddings").count()
-    assert(km.length == 16, s"expected 16 cells, got ${km.length}")
+    // two-level structure: the number of live clusters is exactly the
+    // number of fine seeds, Σ_coarse-cell min(16, cell size) — every
+    // fine seed assigns to itself, and non-seeded (code, f) pairs
+    // don't exist
+    val coarseSizes = SemDedup.coarseAssign(spark, dir)
+      .groupBy("code").count().collect().map(_.getLong(1))
+    assert(coarseSizes.sum == n, "coarse cells must partition the corpus")
+    // the Lloyd step can in principle empty a seeded fine cell (a
+    // seed may land nearer another refined centroid), so the live
+    // count is bounded by the seed count, and must show real
+    // fan-out beyond the 16 coarse cells
+    val seededClusters = coarseSizes.map(s => math.min(16L, s)).sum
+    assert(km.length <= seededClusters,
+      s"${km.length} live fine cells exceed $seededClusters seeds")
+    assert(km.length > 16, "fine tier must fan out beyond the coarse cells")
     assert(km.map(_.getLong(1)).sum == n, "cell sizes must partition the corpus")
     assert(km.forall(_.getLong(1) >= 1), "a seed always assigns to itself")
     assert(km.forall(_.getDouble(2) >= 0.0), "inertia is a sum of squares")
+    // cluster ids live on the code·16 + f lattice
+    assert(km.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16 * 16))
   }
 
   test("every dropped vector has a kept-or-dropped near-dup partner " +

@@ -24,20 +24,30 @@ class SemanticStreamSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** The trained centroid table as driver-side arrays — the static
-    * model the streaming twin's caller prepares (the lm-table
+  /** The trained two-level codebook as driver-side arrays — the
+    * static model the streaming twin's caller prepares (the lm-table
     * analogue in scoreDocs; the collect lives with the CALLER so main
-    * sources stay collect-free per PlanGuardSpec). */
-  private def centroidArrays: Array[(Long, Array[Double])] =
-    SemDedup.centroids(spark, dir).collect()
-      .map(r => (r.getAs[Number]("code").longValue,
-        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (code, rows) =>
-        val arr = new Array[Double](rows.length)
-        rows.foreach { case (_, i, cv) => arr(i) = cv }
-        (code, arr)
+    * sources stay collect-free per PlanGuardSpec). Coarse rows are
+    * keyed by code, fine rows by cluster = code·16 + f. */
+  private def toArrays(rows: Array[(Long, Int, Double)])
+      : Array[(Long, Array[Double])] =
+    rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (key, rs) =>
+        val arr = new Array[Double](rs.length)
+        rs.foreach { case (_, i, cv) => arr(i) = cv }
+        (key, arr)
       }
+
+  private def coarseArrays: Array[(Long, Array[Double])] =
+    toArrays(SemDedup.coarseCentroids(spark, dir).collect()
+      .map(r => (r.getAs[Number]("code").longValue,
+        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue)))
+
+  private def fineArrays: Array[(Long, Array[Double])] =
+    toArrays(SemDedup.fineCentroids(spark, dir).collect()
+      .map(r => (r.getAs[Number]("code").longValue * 16 +
+        r.getAs[Number]("f").longValue,
+        r.getAs[Number]("i").intValue, r.getAs[Number]("cv").doubleValue)))
 
   private def corpus: Seq[Vec] = {
     import spark.implicits._
@@ -47,11 +57,12 @@ class SemanticStreamSpec extends AnyFunSuite {
   }
 
   test("row-local assignment mirror == batch cells and c2c corpus-wide") {
-    val cents = centroidArrays
+    val coarse = coarseArrays
+    val fine = fineArrays
     val batch = SemDedup.dedupSemantic(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     corpus.foreach { v =>
-      val (cell, c2c) = SemDedup.assignOf(v.embedding, cents)
+      val (cell, c2c) = SemDedup.assignOf(v.embedding, coarse, fine)
       val (bCell, bC2c) = batch(v.vec_id)
       assert(cell == bCell, s"cell mismatch at ${v.vec_id}: $cell != $bCell")
       assert(c2c == bC2c, s"c2c mismatch at ${v.vec_id}: $c2c != $bC2c")
@@ -61,7 +72,8 @@ class SemanticStreamSpec extends AnyFunSuite {
   test("drop events across micro-batches == the batch loser set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val cents = centroidArrays
+    val coarse = coarseArrays
+    val fine = fineArrays
     val all = corpus
     val input = MemoryStream[Vec]
     // three vec_id-ordered micro-batches: cross-batch pairing (a later
@@ -69,7 +81,7 @@ class SemanticStreamSpec extends AnyFunSuite {
     // the batch set
     val (b1, rest) = all.splitAt(all.size / 3)
     val (b2, b3) = rest.splitAt(rest.size / 2)
-    val q = StreamingOps.semanticDedupStream(input.toDS(), cents)
+    val q = StreamingOps.semanticDedupStream(input.toDS(), coarse, fine)
       .writeStream.outputMode("append")
       .format("memory").queryName("sem_drops")
       .trigger(Trigger.AvailableNow())

@@ -12,13 +12,31 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # synthetic corpora (CorpusGen) carry only documents/embeddings —
+    # skip absent tables so the same gate runs on the 10×/100× dirs
+    try:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    except Exception:
+        pass
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.execute(sql).df()
+        rel = con.sql(sql)
+        # STRICT DTYPE GATE: the driver hashes the SERIALIZED value, so a
+        # DuckDB HUGEINT (what integer sum() widens to) or DECIMAL column
+        # hashes differently from Spark's BIGINT/DOUBLE even when every
+        # value is identical (round-11 corpus_pack). Fail loudly here so
+        # the dev gate can never again pass a row the driver hashes red.
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT")
+               or str(t).startswith("DECIMAL")]
+        if bad:
+            print(f"{name:24s} ORACLE-DTYPE {bad} (cast to BIGINT/DOUBLE in the SQL)")
+            fails.append(name)
+            continue
+        exp = rel.df()
     except Exception as e:
         print(f"{name:24s} ORACLE-ERROR {str(e)[:160]}")
         fails.append(name)
@@ -42,10 +60,17 @@ for name, sql in sorted(oracle.items()):
         print(f"{name:24s} ROWS exp={len(exp)} got={len(got)}")
         fails.append(name)
         continue
-    # normalize dtypes for value compare
+    # normalize dtypes for value compare — but first require the two
+    # sides to agree on the int/float/other CLASS: the driver hashes
+    # serialized values, so int 50 vs float 50.0 is a driver mismatch
+    # even though a normalized compare says equal.
     ok = True
     for c in exp.columns:
         e, g = exp[c], got[c]
+        if (e.dtype.kind in "iu") != (g.dtype.kind in "iu"):
+            print(f"{name:24s} DTYPE col={c} exp={e.dtype} got={g.dtype}")
+            ok = False
+            break
         if e.dtype.kind in "fc" or g.dtype.kind in "fc":
             import numpy as np
             ee, gg = e.astype(float).values, g.astype(float).values
