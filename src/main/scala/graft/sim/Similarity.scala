@@ -310,7 +310,10 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(expr("cosine_sim(qemb, embedding)"), 6).as("cosine"))
-      .distinct() // a candidate may share several probed cells
+      // no distinct: every candidate lives in exactly ONE cell
+      // (cells is the crank=1 row per vec_id), so a (qid, cid) pair
+      // can only arise from that one cell even when the query probes
+      // several — the round-11 distinct was a full exchange for free
       .withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= TOPK)
       .select("qid", "cid", "cosine", "rank")

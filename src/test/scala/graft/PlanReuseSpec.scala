@@ -78,4 +78,26 @@ class PlanReuseSpec extends AnyFunSuite {
         s"harmonic map cache not substituted into gp_predict:\n$planStr")
     } finally cached.unpersist()
   }
+
+  test("two ivfRanked invocations are canonically equal plans") {
+    assert(same(sim.Similarity.ivfRanked(spark, dir),
+      sim.Similarity.ivfRanked(spark, dir)))
+  }
+
+  test("persisted ivfRanked is substituted into BOTH its consumers " +
+    "inside ann_ivf_topk (cells + probes)") {
+    // ann_ivf_topk derives two frames from the ranked quantizer; if
+    // substitution fails the Lloyd chain runs TWICE per execution —
+    // the round-11 bench regression (0.45 → 1.01 s)
+    val cached = sim.Similarity.ivfRanked(spark, dir).persist()
+    try {
+      cached.count()
+      val q = sim.Similarity.annIvfTopk(spark, dir)
+      val planStr = q.queryExecution.executedPlan.toString
+      val hits = "InMemoryTableScan".r.findAllIn(planStr).length
+      assert(hits >= 2,
+        s"expected >=2 InMemoryTableScan (cells + probes), got $hits:\n" +
+          planStr.take(4000))
+    } finally cached.unpersist()
+  }
 }
