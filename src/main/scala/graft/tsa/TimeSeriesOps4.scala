@@ -334,12 +334,36 @@ object TimeSeriesOps4 {
        |  t, y
        |FROM p WHERE pos % 100 <> 0""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ts_dropna — reference core.py:557 (TSeries.dropna): drop the NA
+  // samples along time, keeping the survivors' original order. The
+  // series table carries no literal NaN, so the NA convention is the
+  // repo's ts_interpolate_na mask (y < 2.0 → NA); where interpolate_na
+  // fills those samples, dropna REMOVES them (xarray dropna("time")
+  // semantics). Row-local filter — no shuffle at any size; survivors
+  // are re-indexed so downstream positional kernels see a dense grid.
+  // -------------------------------------------------------------------
+  def tsDropna(spark: SparkSession, dir: String): DataFrame =
+    Tables.series(spark, dir)
+      .filter(!(col("y") < 2.0))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("id", "pos", "t", "y")
+
+  val tsDropnaSql: String =
+    s"""WITH s AS (${Tables.seriesSql})
+       |SELECT id,
+       |  cast(row_number() OVER (PARTITION BY id ORDER BY t, eid) - 1
+       |       AS BIGINT) AS pos,
+       |  t, y
+       |FROM s WHERE NOT (y < 2.0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_interp" -> (tsInterp _),
     "ts_spline_coeffs" -> (tsSplineCoeffs _),
     "ts_interp_spline" -> (tsInterpSpline _),
     "ts_join" -> (tsJoin _),
     "ts_pad" -> (tsPad _),
+    "ts_dropna" -> (tsDropna _),
     "ts_drop" -> (tsDrop _))
 
   /** The Thomas-algorithm recurrences (SeriesMath.splineCoeffs) as a
@@ -426,5 +450,6 @@ object TimeSeriesOps4 {
     "ts_spline_coeffs" -> tsSplineCoeffsSql,
     "ts_join" -> tsJoinSql,
     "ts_pad" -> tsPadSql,
+    "ts_dropna" -> tsDropnaSql,
     "ts_drop" -> tsDropSql)
 }
