@@ -172,4 +172,32 @@ class StreamingLateDataSpec extends AnyFunSuite {
       s"extra=${shuffled.diff(expected).take(3)} " +
         s"missing=${expected.diff(shuffled).take(3)}")
   }
+
+  test("semantic dedup AT the occupancy cap: stream admits FIRST-" +
+    "ARRIVED, batch admits LOWEST vec_ids — divergence pinned") {
+    // The scaladoc documents this boundary: below the cap the twins
+    // agree (test above); at the cap they diverge by construction.
+    // Five identical vectors, one cell, cap 3. Batch would admit
+    // {1,2,3} (lowest ids) and drop {2,3}; the stream sees micro-batch
+    // [5,4] first (in-batch vec_id sort admits 4 then 5) and then
+    // [1,2,3] of which only 1 fits — so its drop set is {5,4}.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val coarse = Array((0L, Array(0.0, 0.0)))
+    val fine = Array((0L, Array(0.0, 0.0)))
+    val emb = Array(1f, 1f)
+    val input = MemoryStream[Vec]
+    val q = StreamingOps.semanticDedupStream(input.toDS(), coarse, fine,
+        maxCell = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_cap_drops")
+    val run = q.start()
+    Seq(Seq(Vec(5, emb), Vec(4, emb)), Seq(Vec(1, emb), Vec(2, emb),
+      Vec(3, emb))).foreach { b => input.addData(b); run.processAllAvailable() }
+    run.stop()
+    val got = spark.sql("SELECT vec_id FROM sem_cap_drops")
+      .as[Long].collect().toSet
+    assert(got == Set(4L, 5L),
+      s"cap-boundary admission drifted from the documented contract: $got")
+  }
 }
