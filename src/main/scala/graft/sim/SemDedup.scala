@@ -76,8 +76,10 @@ object SemDedup {
     * exact integer-µ component means. (code, i, cv). Every seed
     * assigns to itself at distance 0, so no cell empties. */
   private[graft] def coarseCentroids(spark: SparkSession, dir: String,
-      kc: Int = KC): DataFrame = {
-    val c = comps(spark, dir)
+      kc: Int = KC): DataFrame =
+    coarseCentroidsFrom(comps(spark, dir), kc)
+
+  private def coarseCentroidsFrom(c: DataFrame, kc: Int): DataFrame = {
     val seeds = c.filter(col("vec_id") < kc)
       .select(col("vec_id").as("code"), col("i"),
         (col("rc").cast("double") / 1000000.0).as("cv"))
@@ -116,9 +118,17 @@ object SemDedup {
   /** Coarse assignment (vec_id, code): micro-unit integer L2² argmin
     * against the refined coarse centroids, code tiebreak. */
   private[graft] def coarseAssign(spark: SparkSession, dir: String,
-      kc: Int = KC): DataFrame = {
-    val c = comps(spark, dir)
-    val cents = coarseCentroids(spark, dir, kc)
+      kc: Int = KC): DataFrame =
+    coarseAssignFrom(comps(spark, dir), kc)
+
+  /** Shared-subtree variants: the multi-tier builders thread ONE comps
+    * Dataset instance through every tier — plan shape (and canonical
+    * equality across invocations) is unchanged, but the driver
+    * analyzes each deep subtree once instead of once per tier (the
+    * ann_ivf_topk round-12 lesson: repeated analysis of a deep
+    * quantizer tree is a constant ~0.3 s driver tax per rebuild). */
+  private def coarseAssignFrom(c: DataFrame, kc: Int): DataFrame = {
+    val cents = coarseCentroidsFrom(c, kc)
     val dC = c.join(broadcast(cents), Seq("i"))
       .groupBy("vec_id", "code")
       .agg(round(sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"),
@@ -147,7 +157,11 @@ object SemDedup {
   private[graft] def fineCentroids(spark: SparkSession, dir: String,
       kc: Int = KC, kf: Int = KF): DataFrame = {
     val c = comps(spark, dir)
-    val asgC = coarseAssign(spark, dir, kc)
+    fineCentroidsFrom(c, coarseAssignFrom(c, kc), kf)
+  }
+
+  private def fineCentroidsFrom(c: DataFrame, asgC: DataFrame,
+      kf: Int): DataFrame = {
     val mem = c.join(asgC, Seq("vec_id")) // (vec_id, code, i, rc)
     val wCell = Window.partitionBy("code").orderBy("vec_id")
     val fs = asgC.withColumn("f", row_number().over(wCell) - 1)
@@ -202,8 +216,9 @@ object SemDedup {
   private[graft] def assign(spark: SparkSession, dir: String,
       kc: Int = KC, kf: Int = KF): DataFrame = {
     val c = comps(spark, dir)
-    val mem = c.join(coarseAssign(spark, dir, kc), Seq("vec_id"))
-    val fcents = fineCentroids(spark, dir, kc, kf)
+    val asgC = coarseAssignFrom(c, kc)
+    val mem = c.join(asgC, Seq("vec_id"))
+    val fcents = fineCentroidsFrom(c, asgC, kf)
     val cn = fcents.groupBy("code", "f")
       .agg(sqrt(sum(pow(col("cv"), 2.0))).as("cnrm"))
     val vn = c.groupBy("vec_id")
