@@ -76,6 +76,16 @@ object Bench {
     // curvefit/downsample) — one NF-point trig aggregate shared by all
     warm("psd_dft", fam("psd"))
       { p(graft.spectral.Gls.psdDft(spark, sfDir)) }
+    // the per-series auto-grid periodogram (stats pass + trig sums
+    // over a data-derived grid) feeds both gls_autogrid and the _best
+    // peak scan — round 12: _best was recomputing the whole chain
+    warm("gls_autogrid", fam("gls_autogrid"))
+      { p(graft.spectral.GlsAuto.glsAutogrid(spark, sfDir)) }
+    // the prominence scan over the GLS periodogram feeds three
+    // queries (peak/best/half-width prominence)
+    warm("gls_prominence", fam("gls_peak_prominence",
+      "gls_best_prominence", "gls_half_width_prominence"))
+      { p(graft.spectral.FSeriesOps.glsPeakProminence(spark, sfDir)) }
     warm("pdm", fam("pdm", "string_length"))
       { p(graft.spectral.PhaseFold.pdmTheta(spark, sfDir)) }
     // round-11 periodogram families: each `_best` twin composes over

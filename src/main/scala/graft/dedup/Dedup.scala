@@ -47,7 +47,10 @@ object Dedup {
       : Seq[org.apache.spark.sql.Dataset[_]] = {
     val sh = shingles(spark, dir).persist(); sh.count()
     val cand = minhashCand(spark, dir, MaxBucket).persist(); cand.count()
-    Seq(sh, cand)
+    // the 60-bit signature pass is shared verbatim by dedup_simhash
+    // and dedup_simhash_pairs (round 12)
+    val sig = simhashSig(spark, dir).persist(); sig.count()
+    Seq(sh, cand, sig)
   }
 
   /** Word 3-shingles via window leads: (doc_id, shingle). */

@@ -105,10 +105,18 @@ object EventsOps {
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("us") > col("c_us"))
       .groupBy("user_id").agg(min("us").as("p_us"))
-    v.select(lit("1_view").as("stage"), col("user_id"))
-      .unionAll(c.select(lit("2_click").as("stage"), col("user_id")))
-      .unionAll(p.select(lit("3_purchase").as("stage"), col("user_id")))
-      .groupBy("stage").agg(countDistinct("user_id").as("n_users"))
+    // one per-user funnel row (each stage frame is already unique per
+    // user), counted conditionally — the union-of-three-frames +
+    // countDistinct form re-aggregated every stage chain (round 12)
+    val u = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    u.agg(count("v_us").as("n1"), count("c_us").as("n2"),
+        count("p_us").as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("n_users"))))
+        .as("s"))
+      .select(col("s.stage"), col("s.n_users"))
   }
 
   val eventsFunnelSql: String =
