@@ -125,6 +125,15 @@ object Bench {
     // the (doc_id, tok) term-frequency base feeds tfidf + unigram LM
     warm("tf", fam("text", "corpus", "docs_corpus"))
       { p(graft.text.TextOps.termFreq(spark, sfDir)) }
+    // the DSIR weight table feeds both corpus_dsir_weights and the
+    // Gumbel-top-k sample (the cluster analogue: score the corpus
+    // once, store the weights, resample per training run)
+    warm("dsir", fam("corpus_dsir"))
+      { p(graft.text.Dsir.corpusDsirWeights(spark, sfDir)) }
+    // the corpus-LM per-doc scores feed text_unigram_logprob AND the
+    // CCNet bucket assignment (threshold cut + corpus-wide compare)
+    warm("lp_doc", fam("text_unigram", "corpus_ccnet"))
+      { p(graft.text.TextOps.textUnigramLogprob(spark, sfDir)) }
     // PQ codebook + compressed code table feed emb_pq_codes and both
     // ann_pq_topk stages
     warm("pq", _.contains("pq")) { graft.sim.Pq.warm(spark, sfDir) }

@@ -41,9 +41,12 @@ object SparkEntry {
       sim.Similarity.queries ++
       sim.EmbeddingStats.queries ++
       sim.Pq.queries ++
+      sim.IvfPq.queries ++
       sim.SemDedup.queries ++
       text.TextOps.queries ++
       text.Pii.queries ++
+      text.Quality.queries ++
+      text.Dsir.queries ++
       text.CorpusOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
@@ -77,9 +80,12 @@ object SparkEntry {
       sim.Similarity.oracles ++
       sim.EmbeddingStats.oracles ++
       sim.Pq.oracles ++
+      sim.IvfPq.oracles ++
       sim.SemDedup.oracles ++
       text.TextOps.oracles ++
       text.Pii.oracles ++
+      text.Quality.oracles ++
+      text.Dsir.oracles ++
       text.CorpusOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++

@@ -37,7 +37,7 @@ object Pq {
   private val TOPK = 5
 
   /** (vec_id, m, si, rc): µ-quantized components keyed by subspace. */
-  private def comps(spark: SparkSession, dir: String): DataFrame =
+  private[sim] def comps(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"),
@@ -45,7 +45,7 @@ object Pq {
         pmod(col("pos"), lit(SUBD)).as("si"),
         round(col("col").cast("double") * 1000000.0, 0).cast("long").as("rc"))
 
-  private val compsSql: String =
+  private[sim] val compsSql: String =
     """cq AS MATERIALIZED (
       |  SELECT vec_id, cast(floor((idx - 1) / 8.0) AS INT) AS m,
       |         cast((idx - 1) % 8 AS INT) AS si,
@@ -56,7 +56,7 @@ object Pq {
 
   /** Per-subspace codebook: K seeds → argmin assign → one Lloyd step
     * of exact integer-µ component means. (m, code, si, cv). */
-  private def centroids(spark: SparkSession, dir: String): DataFrame = {
+  private[sim] def centroids(spark: SparkSession, dir: String): DataFrame = {
     val c = comps(spark, dir)
     val seeds = c.filter(col("vec_id") < K)
       .select(col("vec_id").as("code"), col("m"), col("si"),
@@ -74,7 +74,7 @@ object Pq {
       .agg((sum("rc").cast("double") / count(lit(1)) / 1000000.0).as("cv"))
   }
 
-  private val centroidsSql: String =
+  private[sim] val centroidsSql: String =
     s"""seeds AS (SELECT vec_id AS code, m, si,
        |    cast(rc AS double) / 1000000.0 AS cv
        |  FROM cq WHERE vec_id < $K),
@@ -82,7 +82,7 @@ object Pq {
        |    sum(pow(cast(c.rc AS double) / 1000000.0 - s.cv, 2)) AS dist
        |  FROM cq c JOIN seeds s ON s.m = c.m AND s.si = c.si
        |  GROUP BY 1, 2, 3),
-       |asg0 AS (SELECT vec_id, m, code FROM (
+       |asg0p AS (SELECT vec_id, m, code FROM (
        |    SELECT vec_id, m, code, row_number() OVER (
        |      PARTITION BY vec_id, m
        |      ORDER BY round(dist, 6) ASC, code ASC) AS rk
@@ -90,7 +90,7 @@ object Pq {
        |  WHERE rk = 1),
        |cents AS MATERIALIZED (SELECT c.m, a.code, c.si,
        |    cast(sum(c.rc) AS double) / count(*) / 1000000.0 AS cv
-       |  FROM cq c JOIN asg0 a ON a.vec_id = c.vec_id AND a.m = c.m
+       |  FROM cq c JOIN asg0p a ON a.vec_id = c.vec_id AND a.m = c.m
        |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Persist the codebook and code table (called from Bench): the
@@ -118,7 +118,7 @@ object Pq {
       .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
   }
 
-  private val codesSql: String =
+  private[sim] val codesSql: String =
     s"""d1 AS (SELECT c.vec_id, c.m, ct.code,
        |    round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2)), 6)
        |      AS dist
@@ -150,20 +150,34 @@ object Pq {
     * uniformly random data badly — the known PQ worst case); the
     * shortlist recalls ~0.9, which the exact re-rank then orders
     * perfectly. */
-  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val cents = centroids(spark, dir)
-    val c = comps(spark, dir)
-    val qlut = c.filter(col("vec_id") < NQ)
+  /** Per-query ADC lookup table (qid, m, code, pd): sub-distance of
+    * each query sub-vector to every per-subspace centroid —
+    * NQ·M·K rows, broadcast-sized at any corpus scale. Shared with
+    * the IVF-PQ composition ([[IvfPq]]). */
+  private[sim] def qlut(spark: SparkSession, dir: String): DataFrame =
+    comps(spark, dir).filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("m"), col("si"), col("rc"))
-      .join(broadcast(cents), Seq("m", "si"))
+      .join(broadcast(centroids(spark, dir)), Seq("m", "si"))
       .groupBy("qid", "m", "code")
       .agg(round(
         sum(pow(col("rc").cast("double") / 1000000.0 - col("cv"), 2.0)),
         6).as("pd"))
+
+  private[sim] val qlutSql: String =
+    s"""qlut AS (SELECT c.vec_id AS qid, c.m, ct.code,
+       |    round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2)), 6)
+       |      AS pd
+       |  FROM cq c JOIN cents ct ON ct.m = c.m AND ct.si = c.si
+       |  WHERE c.vec_id < $NQ
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = comps(spark, dir)
+    val qlutDf = qlut(spark, dir)
     val wa = Window.partitionBy("qid")
       .orderBy(col("adist").asc, col("cid").asc)
     val shortlist = embPqCodes(spark, dir)
-      .join(broadcast(qlut), Seq("m", "code"))
+      .join(broadcast(qlutDf), Seq("m", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("cid"))
       .agg(round(sum("pd"), 6).as("adist"))
@@ -190,12 +204,7 @@ object Pq {
     s"""WITH $compsSql,
        |$centroidsSql,
        |$codesSql,
-       |qlut AS (SELECT c.vec_id AS qid, c.m, ct.code,
-       |    round(sum(pow(cast(c.rc AS double) / 1000000.0 - ct.cv, 2)), 6)
-       |      AS pd
-       |  FROM cq c JOIN cents ct ON ct.m = c.m AND ct.si = c.si
-       |  WHERE c.vec_id < $NQ
-       |  GROUP BY 1, 2, 3),
+       |$qlutSql,
        |adist AS (SELECT q.qid, co.vec_id AS cid,
        |    round(sum(q.pd), 6) AS adist
        |  FROM codes co JOIN qlut q ON q.m = co.m AND q.code = co.code

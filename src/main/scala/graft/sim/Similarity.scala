@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val NQ = 10 // query vectors: vec_id < NQ
-  private val TOPK = 5
+  private[sim] val NQ = 10 // query vectors: vec_id < NQ
+  private[sim] val TOPK = 5
 
   /** (vec_id, i, v) exploded components — oracle-side formulation. */
-  private val compsSql: String =
+  private[sim] val compsSql: String =
     """cp AS (
       |  SELECT vec_id, idx - 1 AS i, cast(v AS double) AS v FROM (
       |    SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
@@ -250,8 +250,8 @@ object Similarity {
   // (and its 100 TB posture) is unchanged while the cells track the
   // data instead of the luck of the seeds.
   // -------------------------------------------------------------------
-  private val NC = 16
-  private val NPROBE = 4
+  private[sim] val NC = 16
+  private[sim] val NPROBE = 4
 
   /** The quantizer pipeline (seed assign → Lloyd step → refined
     * rank-vs-centroid frame), shared so Bench can persist ONE instance
@@ -319,9 +319,12 @@ object Similarity {
       .select("qid", "cid", "cosine", "rank")
   }
 
-  val annIvfTopkSql: String =
-    s"""WITH $compsSql,
-       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
+  /** The IVF quantizer + probe CTE chain (seed assign, one Lloyd
+    * step, refined ranks, crank=1 cells, NPROBE query probes) —
+    * shared verbatim by ann_ivf_topk and the IVF-PQ composition
+    * ([[IvfPq]]). */
+  private[sim] val ivfRankSql: String =
+    s"""nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM cp GROUP BY 1),
        |cdots0 AS (SELECT c.vec_id, s.vec_id AS cell, sum(c.v * s.v) AS dot
        |  FROM cp c JOIN cp s ON s.i = c.i AND s.vec_id < $NC
        |  GROUP BY 1, 2),
@@ -355,7 +358,11 @@ object Similarity {
        |  FROM csim),
        |cells AS (SELECT vec_id, cell FROM rkc WHERE crank = 1),
        |probes AS (SELECT vec_id AS qid, cell FROM rkc
-       |  WHERE vec_id < $NQ AND crank <= $NPROBE),
+       |  WHERE vec_id < $NQ AND crank <= $NPROBE)""".stripMargin
+
+  val annIvfTopkSql: String =
+    s"""WITH $compsSql,
+       |$ivfRankSql,
        |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
        |  FROM probes p JOIN cells c ON c.cell = p.cell
        |  WHERE c.vec_id <> p.qid),

@@ -341,6 +341,32 @@ object StreamingOps {
         round(col("sum_lp").cast("double") / col("n_tok") / 1000000.0, 6)
           .as("lp_mean"))
 
+  /** Stream–static DSIR scoring — the streaming twin of the batch
+    * `corpus_dsir_weights` query: an unbounded document feed is
+    * scored against the STATIC per-bucket log-ratio table
+    * (graft.text.Dsir.lambdaTable — train once on the reference
+    * corpus, score forever). Feature hashing is the row-local Scala
+    * mirror of the batch uni+bigram pipeline (bit-identical, pinned
+    * by spec), so the join needs no window and no state; the only
+    * state is the per-doc aggregation. Buckets the static model never
+    * observed (possible only for an external feed — the batch query's
+    * model is its own corpus) take `oovLamMicro`, default 0 µ-nats =
+    * "no evidence either way", matching DSIR's equal-smoothing limit.
+    */
+  def dsirScoreStream(docs: Dataset[Doc], lam: DataFrame,
+      oovLamMicro: Long = 0L): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => graft.text.Dsir.featureBucketsOf(d.text).toSeq
+        .map { case (b, c) => (d.doc_id, b, c) })
+      .toDF("doc_id", "b", "c")
+      .join(broadcast(lam), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feat"),
+        sum(col("c") * coalesce(col("lam"), lit(oovLamMicro))).as("s"))
+      .select(col("doc_id"), col("n_feat"),
+        round(col("s").cast("double") / 1000000.0, 6).as("logw"))
+  }
+
   /** Streaming GLS periodogram — the Zechmeister–Kürster power
     * (reference spectral.py:109-132, the same closed form as the batch
     * `gls_periodogram` query) per watermarked tumbling window and

@@ -432,7 +432,7 @@ object TextOps {
     toks.sliding(NGram).map(w => h60Of(w.mkString(" "))).toSet
   }
 
-  private def h60Of(s: String): Long =
+  private[graft] def h60Of(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
