@@ -357,6 +357,49 @@ object TimeSeriesOps4 {
        |  t, y
        |FROM s WHERE NOT (y < 2.0)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ts_hist — reference core.py:855 (Signal.hist, the one plot-only
+  // member left): the DATA behind the plot — a per-series 16-bin
+  // histogram of y. Binning is ENTIRELY in integers so both engines
+  // agree at every bin boundary: y quantizes to exact µ-units
+  // (round(y·1e6) BIGINT — the repo discipline), per-series min/max
+  // are integer aggregates, and bin = (yq−mn)·16 div (mx−mn+1) is
+  // BIGINT arithmetic with no float division anywhere (a float
+  // boundary would let a 1-ulp engine difference flip a sample's
+  // bin). Constant series land in bin 0 (mx−mn+1 = 1, no div-0).
+  //
+  // 100 TB shape: one per-series min/max aggregate (map-side
+  // combined), a broadcast-or-colocated join back on id, then ONE
+  // (id, bin) count — shuffle rows bounded by series × 16.
+  // -------------------------------------------------------------------
+  def tsHist(spark: SparkSession, dir: String): DataFrame = {
+    val NB = 16
+    val s = Tables.series(spark, dir)
+      .select(col("id"), round(col("y") * 1000000.0, 0).cast("long").as("yq"))
+    val mm = s.groupBy("id").agg(min("yq").as("mn"), max("yq").as("mx"))
+    s.join(mm, "id")
+      .select(col("id"),
+        expr(s"((yq - mn) * $NB) div (mx - mn + 1)").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy("id", "bin", "mn", "mx")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("bin"), col("cnt"),
+        round(col("mn").cast("double") / 1000000.0, 6).as("y_min"),
+        round(col("mx").cast("double") / 1000000.0, 6).as("y_max"))
+  }
+
+  val tsHistSql: String =
+    s"""WITH s AS (SELECT id, cast(round(y * 1000000.0) AS BIGINT) AS yq
+       |  FROM (${Tables.seriesSql})),
+       |mm AS (SELECT id, min(yq) AS mn, max(yq) AS mx FROM s GROUP BY 1),
+       |b AS (SELECT s.id, ((s.yq - mm.mn) * 16) // (mm.mx - mm.mn + 1)
+       |    AS bin, mm.mn, mm.mx
+       |  FROM s JOIN mm ON mm.id = s.id)
+       |SELECT id, bin, count(*) AS cnt,
+       |  round(cast(mn AS double) / 1000000.0, 6) AS y_min,
+       |  round(cast(mx AS double) / 1000000.0, 6) AS y_max
+       |FROM b GROUP BY 1, 2, mn, mx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_interp" -> (tsInterp _),
     "ts_spline_coeffs" -> (tsSplineCoeffs _),
@@ -364,6 +407,7 @@ object TimeSeriesOps4 {
     "ts_join" -> (tsJoin _),
     "ts_pad" -> (tsPad _),
     "ts_dropna" -> (tsDropna _),
+    "ts_hist" -> (tsHist _),
     "ts_drop" -> (tsDrop _))
 
   /** The Thomas-algorithm recurrences (SeriesMath.splineCoeffs) as a
@@ -451,5 +495,6 @@ object TimeSeriesOps4 {
     "ts_join" -> tsJoinSql,
     "ts_pad" -> tsPadSql,
     "ts_dropna" -> tsDropnaSql,
+    "ts_hist" -> tsHistSql,
     "ts_drop" -> tsDropSql)
 }
