@@ -24,6 +24,15 @@ object Explain {
       val t0 = System.nanoTime()
       println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
     }
+    // "exec": run THIS QueryExecution and print the AQE-finalized plan
+    // (the only place runtime exchange reuse / skew splits are visible)
+    if (args.length > 1 && args(1) == "exec") {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(s"rows=$n in ${(System.nanoTime() - t0) / 1e9}s")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

@@ -38,6 +38,7 @@ object SparkEntry {
       plans.AsOfNative.queries ++
       plans.RangeJoin.queries ++
       dedup.Dedup.queries ++
+      dedup.SegDedup.queries ++
       sim.Similarity.queries ++
       sim.EmbeddingStats.queries ++
       sim.Pq.queries ++
@@ -45,11 +46,13 @@ object SparkEntry {
       sim.SemDedup.queries ++
       text.TextOps.queries ++
       text.Pii.queries ++
+      text.Bloom.queries ++
       text.Quality.queries ++
       text.Dsir.queries ++
       text.CorpusOps.queries ++
       text.Corpus.queries ++
       multimodal.Multimodal.queries ++
+      multimodal.Phash.queries ++
       sources.SyntheticData.queries ++
       sources.NpySource.queries ++
       relational.Tpch.queries
@@ -77,6 +80,7 @@ object SparkEntry {
       plans.AsOfNative.oracles ++
       plans.RangeJoin.oracles ++
       dedup.Dedup.oracles ++
+      dedup.SegDedup.oracles ++
       sim.Similarity.oracles ++
       sim.EmbeddingStats.oracles ++
       sim.Pq.oracles ++
@@ -84,11 +88,13 @@ object SparkEntry {
       sim.SemDedup.oracles ++
       text.TextOps.oracles ++
       text.Pii.oracles ++
+      text.Bloom.oracles ++
       text.Quality.oracles ++
       text.Dsir.oracles ++
       text.CorpusOps.oracles ++
       text.Corpus.oracles ++
       multimodal.Multimodal.oracles ++
+      multimodal.Phash.oracles ++
       sources.SyntheticData.oracles ++
       sources.NpySource.oracles ++
       relational.Tpch.oracles

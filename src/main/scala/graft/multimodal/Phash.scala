@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.dedup.Dedup.h60Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-duplicate detection over the multimodal
+  * decode tier — the image-dedup stage of a multimodal pipeline
+  * (blockhash/aHash family: threshold a fixed grid of block lumas
+  * into a bit signature, then match by Hamming distance; the same
+  * candidate-generation discipline as [[graft.dedup.Dedup]]'s SimHash
+  * tier, but keyed on CONTENT BLOCKS of the decoded payload rather
+  * than token statistics, so two payloads sharing most of their bytes
+  * collide even when their token bags differ).
+  *
+  * The decode is this container's honest stub ([[Multimodal]]): the
+  * payload is the UTF-8 text and a block's "luma" is an h60-derived
+  * byte of its 8-char window at offset i·len/60 — deterministic,
+  * bit-identical cross-engine, and structurally exactly what a real
+  * deployment computes from pixel blocks (swap the luma source, keep
+  * every plan). 60 blocks → a 60-bit signature (bit 63 never set; no
+  * sign games).
+  *
+  * 100 TB shape: the signature is ONE row-local fold (`aggregate`
+  * over a literal 60-element sequence — no explode, no shuffle, whole
+  * stage codegen); candidate pairs use the pigeonhole band trick
+  * (6 bands × 10 bits: Hamming ≤ 5 ⇒ some band equal) with the
+  * MaxBucket occupancy cap before the self-join, so pair work is
+  * ∝ cells·cap²/2, never n². Verify = exact popcount(xor) per pair.
+  */
+object Phash {
+
+  val NBlocks = 60
+  val BlockLen = 8
+  val MaxBucket = 256
+
+  /** Row-local 60-bit blockhash of `text` (len ≥ NBlocks). */
+  private val phashExpr: String = {
+    val win = s"substring(text, cast(i * len div $NBlocks AS int) + 1, $BlockLen)"
+    val luma = s"cast(conv(substring(md5($win), 1, 15), 16, 10) AS bigint) % 256"
+    s"aggregate(sequence(0, ${NBlocks - 1}), 0L, (acc, i) -> " +
+      s"acc + (CASE WHEN $luma >= 128 THEN shiftleft(1L, i) ELSE 0L END))"
+  }
+
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= NBlocks)
+      .select(col("doc_id"), expr(phashExpr).as("phash"))
+
+  val multimodalPhashSql: String = {
+    val win = s"substr(text, cast((i * length(text)) // $NBlocks AS int) + 1, $BlockLen)"
+    s"""SELECT doc_id,
+       |  cast(list_sum(list_transform(range(0, $NBlocks), i ->
+       |    CASE WHEN (${h60Sql(win)} % 256) >= 128
+       |         THEN (1::BIGINT << cast(i AS int)) ELSE 0::BIGINT END))
+       |    AS BIGINT) AS phash
+       |FROM documents WHERE length(text) >= $NBlocks""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // multimodal_phash_pairs — banded-Hamming candidates + exact
+  // popcount verify, the payload-level near-dup join. Mirrors
+  // dedup_simhash_pairs' capped-bucket discipline exactly.
+  // -------------------------------------------------------------------
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = multimodalPhash(spark, dir)
+    val bands = sig.selectExpr("doc_id", "phash",
+      """stack(6,
+        |  0L, shiftright(phash,  0) % 1024,
+        |  1L, shiftright(phash, 10) % 1024,
+        |  2L, shiftright(phash, 20) % 1024,
+        |  3L, shiftright(phash, 30) % 1024,
+        |  4L, shiftright(phash, 40) % 1024,
+        |  5L, shiftright(phash, 50) % 1024
+        |) AS (band, bkey)""".stripMargin)
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rnk") <= MaxBucket)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+  }
+
+  val multimodalPhashPairsSql: String = {
+    val bandSel = (0 until 6).map(b =>
+      s"SELECT doc_id, phash, ${b}::BIGINT AS band, (phash >> ${10 * b}) % 1024 AS bkey FROM sig")
+      .mkString("\n       | UNION ALL ")
+    s"""WITH sig AS ($multimodalPhashSql),
+       |bands0 AS ($bandSel),
+       |bands AS (SELECT doc_id, phash, band, bkey FROM (
+       |  SELECT doc_id, phash, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rnk
+       |  FROM bands0) WHERE rnk <= $MaxBucket)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  cast(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (multimodalPhash _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql)
+}

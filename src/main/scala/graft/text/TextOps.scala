@@ -462,7 +462,7 @@ object TextOps {
       .distinct()
   }
 
-  private val shinglesSql: String = {
+  private[graft] val shinglesSql: String = {
     val leadCols = (1 until NGram)
       .map(k => s"lead(tok, $k) OVER w AS l$k").mkString(", ")
     val cat = "tok || ' ' || " +
