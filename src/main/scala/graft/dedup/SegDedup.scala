@@ -40,6 +40,14 @@ object SegDedup {
   val SegTokens = 10
   val MinDocs = 2
 
+  /** Row-local Scala mirror of the batch segmentation — one doc's
+    * ordered segment strings. MUST stay bit-identical to the window
+    * pipeline in [[segments]] (SegDedupSpec pins the equality over
+    * the sf0.001 corpus); the streaming scrub twin rides on it. */
+  private[graft] def segmentsOf(text: String): Vector[String] =
+    text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      .grouped(SegTokens).map(_.mkString(" ")).toVector
+
   /** (doc_id, seg_idx, seg, h): the deterministic segment table.
     * Dense token index i (empties dropped, 1-based) via row_number;
     * a segment row fires at every i with (i-1)%SegTokens = 0 and

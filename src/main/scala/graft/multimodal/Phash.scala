@@ -64,18 +64,36 @@ object Phash {
   // multimodal_phash_pairs — banded-Hamming candidates + exact
   // popcount verify, the payload-level near-dup join. Mirrors
   // dedup_simhash_pairs' capped-bucket discipline exactly.
+  //
+  // Band geometry is a SCALE PARAMETER (the SemDeDup corpus-derived-K
+  // discipline applied to LSH): nBands disjoint bands of bandBits
+  // each guarantee every Hamming ≤ nBands−1 pair shares a band, and
+  // the expected bucket occupancy is corpus / 2^bandBits. With the
+  // 10-bit default the buckets saturate the 256 occupancy cap near
+  // ~260k docs (2^10 keys × 256) and candidate volume plateaus at the
+  // cap bound (cells·cap²/2 — bounded, never n², but recall starts
+  // degrading and the bound itself is ~200M pairs). At larger corpora
+  // callers widen the bands — 4×15 holds occupancy in the hundreds up
+  // to ~8M docs at a Hamming ≤ 3 guarantee; past that, a longer
+  // signature (e.g. 120-bit/two-word phash, 8×15 bands — Manku et
+  // al. 2007's geometry for 8B pages) is the production path, the
+  // same plan shape throughout. The registered query pins the 6×10
+  // default; VerifyPhash hash-gates the widened geometry on the
+  // 10×/100× corpora.
   // -------------------------------------------------------------------
-  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    multimodalPhashPairs(spark, dir, 6, 10)
+
+  def multimodalPhashPairs(spark: SparkSession, dir: String,
+      nBands: Int, bandBits: Int): DataFrame = {
+    require(nBands * bandBits <= NBlocks, "bands must be disjoint")
+    val mask = 1L << bandBits
     val sig = multimodalPhash(spark, dir)
+    val stackArgs = (0 until nBands)
+      .map(b => s"${b}L, shiftright(phash, ${bandBits * b}) % $mask")
+      .mkString(", ")
     val bands = sig.selectExpr("doc_id", "phash",
-      """stack(6,
-        |  0L, shiftright(phash,  0) % 1024,
-        |  1L, shiftright(phash, 10) % 1024,
-        |  2L, shiftright(phash, 20) % 1024,
-        |  3L, shiftright(phash, 30) % 1024,
-        |  4L, shiftright(phash, 40) % 1024,
-        |  5L, shiftright(phash, 50) % 1024
-        |) AS (band, bkey)""".stripMargin)
+      s"stack($nBands, $stackArgs) AS (band, bkey)")
       .withColumn("rnk", row_number()
         .over(Window.partitionBy("band", "bkey").orderBy("doc_id")))
       .filter(col("rnk") <= MaxBucket)
@@ -88,9 +106,10 @@ object Phash {
       .distinct()
   }
 
-  val multimodalPhashPairsSql: String = {
-    val bandSel = (0 until 6).map(b =>
-      s"SELECT doc_id, phash, ${b}::BIGINT AS band, (phash >> ${10 * b}) % 1024 AS bkey FROM sig")
+  def multimodalPhashPairsSqlFor(nBands: Int, bandBits: Int): String = {
+    val mask = 1L << bandBits
+    val bandSel = (0 until nBands).map(b =>
+      s"SELECT doc_id, phash, ${b}::BIGINT AS band, (phash >> ${bandBits * b}) % $mask AS bkey FROM sig")
       .mkString("\n       | UNION ALL ")
     s"""WITH sig AS ($multimodalPhashSql),
        |bands0 AS ($bandSel),
@@ -103,6 +122,8 @@ object Phash {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  val multimodalPhashPairsSql: String = multimodalPhashPairsSqlFor(6, 10)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_phash" -> (multimodalPhash _),

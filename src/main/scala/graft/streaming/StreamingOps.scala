@@ -319,6 +319,41 @@ object StreamingOps {
           .as("contam_frac"))
   }
 
+  /** Stream–static segment scrubbing — the streaming twin of the
+    * batch `dedup_segments_clean` query: arriving documents are
+    * cleaned against the STATIC boilerplate inventory (the batch
+    * `dedup_segments` detect table: h → min_doc, trained once on the
+    * reference corpus — scrub forever). Segmentation is the row-local
+    * Scala mirror of the batch window pipeline (bit-identical, pinned
+    * by SegStreamSpec); a segment drops iff its hash is in the
+    * inventory AND this doc is not the recorded keeper, so replaying
+    * the training corpus reproduces the batch clean output exactly,
+    * and a NEW doc carrying known boilerplate is scrubbed on arrival
+    * (doc_id ∉ inventory keepers ⇒ every known segment drops — the
+    * production posture: the inventory acts as a deny-list). The
+    * inventory broadcasts per micro-batch; the only state is the
+    * per-doc aggregation. Dropped-but-counted segments keep the drop
+    * accounting auditable (n_seg vs n_kept), and an all-boilerplate
+    * doc still emits its n_kept = 0 row — the CASE-null collect
+    * skips dropped segments without filtering the doc away. */
+  def segmentScrubStream(docs: Dataset[Doc],
+      boiler: org.apache.spark.sql.DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => graft.dedup.SegDedup.segmentsOf(d.text).zipWithIndex
+        .map { case (s, i) =>
+          (d.doc_id, i.toLong, s, graft.text.TextOps.h60Of(s)) })
+      .toDF("doc_id", "seg_idx", "seg", "h")
+      .join(broadcast(boiler.select(col("h").as("bh"), col("min_doc"))),
+        col("h") === col("bh"), "left")
+      .withColumn("keep", col("bh").isNull || col("doc_id") === col("min_doc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(CASE WHEN keep THEN struct(seg_idx, seg) END))," +
+          " x -> x.seg))").as("clean_text"))
+  }
+
   /** Stream–static LM scoring — the streaming twin of the batch
     * `text_unigram_logprob` query: an unbounded document feed is
     * scored against the STATIC corpus unigram model (tok, lp µ-nats).

@@ -69,4 +69,25 @@ class PhashSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("widened 4x15 geometry: exact hammings + Hamming<=3 pigeonhole") {
+    val sigOf = graft.multimodal.Phash.multimodalPhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = graft.multimodal.Phash
+      .multimodalPhashPairs(spark, dir, 4, 15).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case ((a, b), hd) =>
+      assert(a < b)
+      assert(hd == java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)).toLong) }
+    val sigs = sigOf.toArray
+    for (i <- sigs.indices; k <- i + 1 until sigs.length) {
+      val (a, sa) = sigs(i); val (b, sb) = sigs(k)
+      val hd = java.lang.Long.bitCount(sa ^ sb)
+      if (hd <= 3) {
+        val key = if (a < b) (a, b) else (b, a)
+        assert(pairs.get(key).contains(hd.toLong),
+          s"4x15 pigeonhole miss: $key hd=$hd")
+      }
+    }
+  }
 }
