@@ -125,11 +125,106 @@ object Phash {
 
   val multimodalPhashPairsSql: String = multimodalPhashPairsSqlFor(6, 10)
 
+  // -------------------------------------------------------------------
+  // multimodal_phash_wide — the 120-bit two-word signature, the
+  // LONGER-SIGNATURE scale path the 60-bit geometry runs out of:
+  // banded-LSH chance candidates are nBands·C(n,2)/2^bandBits
+  // regardless of signature length, so cutting them needs WIDER bands
+  // — and wider disjoint bands that still cover the signature (the
+  // pigeonhole guarantee) need more signature bits. Two independent
+  // threshold bytes of the SAME block hash (bits 0-7 and 8-15 of the
+  // block's h60) give 120 bits for free — one md5 pass per block,
+  // word 1 bit-identical to multimodal_phash. 6 disjoint 20-bit
+  // bands then guarantee Hamming ≤ 5 over 120 bits with 32× fewer
+  // chance candidates than 4×15 at the same corpus.
+  // -------------------------------------------------------------------
+  private val lumasExpr: String = {
+    val win = s"substring(text, cast(i * len div $NBlocks AS int) + 1, $BlockLen)"
+    s"transform(sequence(0, ${NBlocks - 1}), i -> " +
+      s"cast(conv(substring(md5($win), 1, 15), 16, 10) AS bigint))"
+  }
+
+  def multimodalPhashWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= NBlocks)
+      .withColumn("hs", expr(lumasExpr))
+      .select(col("doc_id"),
+        expr(s"aggregate(sequence(0, ${NBlocks - 1}), 0L, (acc, i) -> " +
+          "acc + (CASE WHEN hs[i] % 256 >= 128 " +
+          "THEN shiftleft(1L, i) ELSE 0L END))").as("phash_lo"),
+        expr(s"aggregate(sequence(0, ${NBlocks - 1}), 0L, (acc, i) -> " +
+          "acc + (CASE WHEN shiftright(hs[i], 8) % 256 >= 128 " +
+          "THEN shiftleft(1L, i) ELSE 0L END))").as("phash_hi"))
+
+  val multimodalPhashWideSql: String = {
+    val win = s"substr(text, cast((i * length(text)) // $NBlocks AS int) + 1, $BlockLen)"
+    val hs = s"list_transform(range(0, $NBlocks), i -> ${h60Sql(win)})"
+    s"""SELECT doc_id,
+       |  cast(list_sum(list_transform(range(0, $NBlocks), i ->
+       |    CASE WHEN hs[cast(i AS int) + 1] % 256 >= 128
+       |         THEN (1::BIGINT << cast(i AS int)) ELSE 0::BIGINT END))
+       |    AS BIGINT) AS phash_lo,
+       |  cast(list_sum(list_transform(range(0, $NBlocks), i ->
+       |    CASE WHEN (hs[cast(i AS int) + 1] >> 8) % 256 >= 128
+       |         THEN (1::BIGINT << cast(i AS int)) ELSE 0::BIGINT END))
+       |    AS BIGINT) AS phash_hi
+       |FROM (SELECT doc_id, $hs AS hs
+       |      FROM documents WHERE length(text) >= $NBlocks)""".stripMargin
+  }
+
+  // 6 disjoint 20-bit bands over the 120-bit signature: bands 0-2
+  // from phash_lo, 3-5 from phash_hi; Hamming ≤ 5 ⇒ some band equal.
+  def multimodalPhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = multimodalPhashWide(spark, dir)
+    val stackArgs = ((0 until 3).map(b =>
+      s"${b}L, shiftright(phash_lo, ${20 * b}) % ${1L << 20}") ++
+      (3 until 6).map(b =>
+        s"${b}L, shiftright(phash_hi, ${20 * (b - 3)}) % ${1L << 20}"))
+      .mkString(", ")
+    val bands = sig.selectExpr("doc_id", "phash_lo", "phash_hi",
+      s"stack(6, $stackArgs) AS (band, bkey)")
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rnk") <= MaxBucket)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo"))) +
+          bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))))
+          .cast("long").as("hamming"))
+      .distinct()
+  }
+
+  val multimodalPhashWidePairsSql: String = {
+    val bandSel = ((0 until 3).map(b =>
+      s"SELECT doc_id, phash_lo, phash_hi, ${b}::BIGINT AS band, (phash_lo >> ${20 * b}) % ${1L << 20} AS bkey FROM sig") ++
+      (3 until 6).map(b =>
+        s"SELECT doc_id, phash_lo, phash_hi, ${b}::BIGINT AS band, (phash_hi >> ${20 * (b - 3)}) % ${1L << 20} AS bkey FROM sig"))
+      .mkString("\n       | UNION ALL ")
+    s"""WITH sig AS ($multimodalPhashWideSql),
+       |bands0 AS ($bandSel),
+       |bands AS (SELECT doc_id, phash_lo, phash_hi, band, bkey FROM (
+       |  SELECT doc_id, phash_lo, phash_hi, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rnk
+       |  FROM bands0) WHERE rnk <= $MaxBucket)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |  cast(bit_count(xor(a.phash_lo, b.phash_lo))
+       |     + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_phash" -> (multimodalPhash _),
-    "multimodal_phash_pairs" -> (multimodalPhashPairs _))
+    "multimodal_phash_pairs" -> (multimodalPhashPairs(_, _)),
+    "multimodal_phash_wide" -> (multimodalPhashWide _),
+    "multimodal_phash_wide_pairs" -> (multimodalPhashWidePairs _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> multimodalPhashSql,
-    "multimodal_phash_pairs" -> multimodalPhashPairsSql)
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql,
+    "multimodal_phash_wide" -> multimodalPhashWideSql,
+    "multimodal_phash_wide_pairs" -> multimodalPhashWidePairsSql)
 }

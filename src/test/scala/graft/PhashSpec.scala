@@ -70,6 +70,36 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("wide signature: word 1 == multimodal_phash; 120-bit pigeonhole") {
+    val wide = graft.multimodal.Phash.multimodalPhashWide(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val lo60 = graft.multimodal.Phash.multimodalPhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wide.length == lo60.size)
+    wide.foreach { case (id, (lo, hi)) =>
+      assert(lo == lo60(id), s"doc $id: wide word 1 != 60-bit phash")
+      assert(hi >= 0 && hi < (1L << 60)) }
+    val sigOf = wide.toMap
+    val pairs = graft.multimodal.Phash.multimodalPhashWidePairs(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case ((a, b), hd) =>
+      val (la, ha) = sigOf(a); val (lb, hb) = sigOf(b)
+      assert(hd == (java.lang.Long.bitCount(la ^ lb) +
+        java.lang.Long.bitCount(ha ^ hb)).toLong) }
+    val sigs = wide
+    for (i <- sigs.indices; k <- i + 1 until sigs.length) {
+      val (a, (la, ha)) = sigs(i); val (b, (lb, hb)) = sigs(k)
+      val hd = java.lang.Long.bitCount(la ^ lb) +
+        java.lang.Long.bitCount(ha ^ hb)
+      if (hd <= 5) {
+        val key = if (a < b) (a, b) else (b, a)
+        assert(pairs.get(key).contains(hd.toLong),
+          s"120-bit pigeonhole miss: $key hd=$hd")
+      }
+    }
+  }
+
   test("widened 4x15 geometry: exact hammings + Hamming<=3 pigeonhole") {
     val sigOf = graft.multimodal.Phash.multimodalPhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
