@@ -47,6 +47,7 @@ object SparkEntry {
       text.TextOps.queries ++
       text.Pii.queries ++
       text.Bloom.queries ++
+      text.Pipeline.queries ++
       text.Quality.queries ++
       text.Dsir.queries ++
       text.CorpusOps.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
       text.TextOps.oracles ++
       text.Pii.oracles ++
       text.Bloom.oracles ++
+      text.Pipeline.oracles ++
       text.Quality.oracles ++
       text.Dsir.oracles ++
       text.CorpusOps.oracles ++

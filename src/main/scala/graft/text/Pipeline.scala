@@ -1,0 +1,96 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** corpus_pipeline — the composed end-to-end keep/drop decision of a
+  * pretraining data pipeline, one row per trainable (non-benchmark)
+  * document: Gopher-rule quality filtering (corpus_quality_filter) →
+  * Bloom benchmark decontamination (corpus_bloom_contamination) →
+  * near-dup cluster dedup (dedup_clusters, keep-first within each
+  * verified minhash cluster). The surviving set plus the
+  * per-document violated-stage list IS the data card a production
+  * run publishes next to the corpus; every stage is itself an
+  * independently hash-gated operator, so the composition adds no new
+  * arithmetic — only the deterministic keep algebra.
+  *
+  * 100 TB shape: three doc_id-keyed left joins over the stage
+  * outputs (co-partitioned per-doc tables, broadcast/AQE-sized) plus
+  * ONE cluster-keyed window for the representative — each stage
+  * already carries its own scale posture (capped minhash buckets,
+  * constant-size Bloom broadcast, signal tiers bounded by
+  * docs×alphabet / docs×tokens). Absent-stage docs take the
+  * conservative default (a doc too short to shingle cannot be
+  * contamination-cleared by silence — it is short-rule dropped by
+  * the quality tier anyway).
+  */
+object Pipeline {
+
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id")
+    val q = Quality.corpusQualityFilter(spark, dir)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val b = Bloom.corpusBloomContamination(spark, dir)
+      .select(col("doc_id"), col("flagged"))
+    val rep = graft.dedup.Dedup.dedupClusters(spark, dir)
+      .withColumn("rep",
+        min("doc_id").over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("rep"))
+    base
+      .join(q, Seq("doc_id"), "left")
+      .join(b, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        concat_ws(",",
+          when(!coalesce(col("q_keep"), lit(false)), lit("quality")),
+          when(coalesce(col("flagged"), lit(false)), lit("contaminated")),
+          when(col("doc_id") =!=
+            coalesce(col("rep"), col("doc_id")), lit("duplicate")))
+          .as("reasons"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("reasons") === "").as("keep"), col("reasons"))
+  }
+
+  val corpusPipelineSql: String =
+    s"""WITH
+       |qf AS (
+       |${Quality.corpusQualityFilterSql}
+       |),
+       |bl AS (
+       |${Bloom.corpusBloomContaminationSql}
+       |),
+       |cl AS (
+       |${graft.dedup.Dedup.dedupClustersSql}
+       |),
+       |rep AS (SELECT doc_id, cluster_id,
+       |  min(doc_id) OVER (PARTITION BY cluster_id) AS rep
+       |  FROM cl)
+       |SELECT d.doc_id,
+       |  coalesce(r.cluster_id, d.doc_id) AS cluster_id,
+       |  concat_ws(',',
+       |    CASE WHEN NOT coalesce(q.keep, false) THEN 'quality' END,
+       |    CASE WHEN coalesce(b.flagged, false) THEN 'contaminated' END,
+       |    CASE WHEN d.doc_id <> coalesce(r.rep, d.doc_id)
+       |      THEN 'duplicate' END) = '' AS keep,
+       |  concat_ws(',',
+       |    CASE WHEN NOT coalesce(q.keep, false) THEN 'quality' END,
+       |    CASE WHEN coalesce(b.flagged, false) THEN 'contaminated' END,
+       |    CASE WHEN d.doc_id <> coalesce(r.rep, d.doc_id)
+       |      THEN 'duplicate' END) AS reasons
+       |FROM documents d
+       |LEFT JOIN qf q ON q.doc_id = d.doc_id
+       |LEFT JOIN bl b ON b.doc_id = d.doc_id
+       |LEFT JOIN rep r ON r.doc_id = d.doc_id
+       |WHERE d.doc_id % 50 <> 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline" -> (corpusPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_pipeline" -> corpusPipelineSql)
+}
