@@ -144,6 +144,19 @@ object Bench {
       { p(graft.spectral.Wavelet.waveletPower(spark, sfDir)) }
     warm("dedup", fam("dedup", "corpus", "docs_corpus"))
       { graft.dedup.Dedup.warm(spark, sfDir) }
+    // the h60 8-gram shingle table feeds exact AND Bloom
+    // decontamination plus the composed pipeline card
+    warm("shingles", fam("text_contamination", "corpus_bloom",
+      "corpus_pipeline", "docs_corpus"))
+      { p(graft.text.TextOps.shingles(spark, sfDir)) }
+    // the deterministic segment table feeds detect + clean
+    warm("segments", fam("dedup_segments"))
+      { p(graft.dedup.SegDedup.segments(spark, sfDir)) }
+    // each phash signature tier feeds its banded pair join
+    warm("phash", fam("multimodal_phash"))
+      { p(graft.multimodal.Phash.multimodalPhash(spark, sfDir)) }
+    warm("phash_wide", fam("multimodal_phash_wide"))
+      { p(graft.multimodal.Phash.multimodalPhashWide(spark, sfDir)) }
     // ceemdan_orthogonality is a single-pass mode pivot over the same
     // ceemdan mapGroups plan — persist one instance so CacheManager
     // substitutes it into both the standalone ceemdan query and the
