@@ -104,12 +104,14 @@ object CorpusOps {
     * DuckDB widens integer sums to HUGEINT, which serializes
     * differently from Spark's BIGINT at the driver's hash gate even
     * when the values are identical (round-11 `corpus_pack` red row). */
-  val corpusPackSql: String =
+  /** DuckDB pack twin over any (doc_id, text) relation expression —
+    * `corpus_pipeline_pack` re-points it at the pipeline survivors. */
+  def corpusPackSqlFrom(rel: String): String =
     s"""WITH nt AS (
        |  SELECT doc_id,
        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
        |    doc_id // $ChunkDocs AS bucket
-       |  FROM documents
+       |  FROM $rel
        |  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0),
        |c AS (
        |  SELECT doc_id, ntok, bucket,
@@ -131,6 +133,8 @@ object CorpusOps {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
        |  min(doc_id) AS first_doc
        |FROM s GROUP BY 1""".stripMargin
+
+  val corpusPackSql: String = corpusPackSqlFrom("documents")
 
   // -------------------------------------------------------------------
   // corpus_temperature — temperature-based source mixing (T = 0.7):

@@ -88,9 +88,39 @@ object Pipeline {
        |LEFT JOIN rep r ON r.doc_id = d.doc_id
        |WHERE d.doc_id % 50 <> 0""".stripMargin
 
+  // -------------------------------------------------------------------
+  // corpus_pipeline_pack — the trainer handoff: the pipeline's
+  // surviving documents laid on the packing tape (corpus_pack's
+  // recursive-prefix-sum concat-and-chunk, 512-token bins) — the
+  // artifact a pretraining run actually reads. The pack tier is
+  // byte-identical machinery to corpus_pack (same recursive prefix
+  // sum, same bin accounting); only the document base changes, so the
+  // composition proves the packing plan is base-agnostic. Semi-join
+  // on the keep card, then the pack plan's own bounded-window tiers.
+  // -------------------------------------------------------------------
+  def corpusPipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    val keep = corpusPipeline(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    CorpusOps.packTape(
+      Tables.table(spark, dir, "documents").join(keep, "doc_id"))
+  }
+
+  val corpusPipelinePackSql: String =
+    s"""WITH pipe AS (
+       |$corpusPipelineSql
+       |),
+       |kept_docs AS (SELECT d.doc_id, d.text
+       |  FROM documents d JOIN pipe p ON p.doc_id = d.doc_id AND p.keep),
+       |packed AS (
+       |${CorpusOps.corpusPackSqlFrom("kept_docs")}
+       |)
+       |SELECT * FROM packed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_pipeline" -> (corpusPipeline _))
+    "corpus_pipeline" -> (corpusPipeline _),
+    "corpus_pipeline_pack" -> (corpusPipelinePack _))
 
   val oracles: Map[String, String] = Map(
-    "corpus_pipeline" -> corpusPipelineSql)
+    "corpus_pipeline" -> corpusPipelineSql,
+    "corpus_pipeline_pack" -> corpusPipelinePackSql)
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.Tables
+import graft.dedup.Dedup.{h60, h60Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -212,13 +213,40 @@ object Quality {
        |  JOIN documents d ON d.doc_id = q.doc_id)
        |SELECT doc_id, lang, (rules = '') AS keep, rules FROM j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // corpus_ccnet_sample — CCNet's bucket-conditioned selection (Wenzek
+  // et al. 2020 §4: keep head+middle, downsample tail): head/middle
+  // docs pass, tail docs survive at 10% via the same deterministic
+  // doc_id hash as corpus_sample (stable under task retries, where
+  // rand() silently changes the sample per attempt); sample-absent
+  // ('unsampled') langs keep everything — a missing LM is no evidence
+  // of low quality. Pure row-local filter over the bucket assignment:
+  // no shuffle beyond corpus_ccnet_buckets' own (already
+  // sample-bounded) plan.
+  // -------------------------------------------------------------------
+  def corpusCcnetSample(spark: SparkSession, dir: String): DataFrame =
+    corpusCcnetBuckets(spark, dir)
+      .filter(col("bucket") =!= "tail" ||
+        pmod(h60(col("doc_id").cast("string")), lit(100L)) < 10)
+      .select("doc_id", "lang", "bucket")
+
+  val corpusCcnetSampleSql: String =
+    s"""WITH bkt AS (
+       |$corpusCcnetBucketsSql
+       |)
+       |SELECT doc_id, lang, bucket FROM bkt
+       |WHERE bucket <> 'tail'
+       |   OR ${h60Sql("cast(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> (textEntropy _),
     "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
+    "corpus_ccnet_sample" -> (corpusCcnetSample _),
     "corpus_quality_filter" -> (corpusQualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "text_entropy" -> textEntropySql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
+    "corpus_ccnet_sample" -> corpusCcnetSampleSql,
     "corpus_quality_filter" -> corpusQualityFilterSql)
 }

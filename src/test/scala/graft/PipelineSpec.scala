@@ -32,6 +32,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.filter(!col("keep")).count() > 0)
   }
 
+  test("pipeline pack: bins hold exactly the survivors' token mass") {
+    val keep = graft.text.Pipeline.corpusPipeline(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val keptTok = Tables.table(spark, dir, "documents")
+      .join(keep, "doc_id")
+      .select(size(org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), t => t =!= lit(""))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val (nKept, tokKept) = (keptTok.count(),
+      keptTok.agg(sum("n")).head().getLong(0))
+    val pack = graft.text.Pipeline.corpusPipelinePack(spark, dir)
+    val agg = pack.agg(sum("n_docs"), sum("n_tokens"), min("bin")).head()
+    assert(agg.getLong(0) == nKept)
+    assert(agg.getLong(1) == tokKept)
+    assert(agg.getLong(2) == 0L, "the tape starts at bin 0")
+    // the tape is contiguous: every bin below the last is present
+    val bins = pack.select("bin").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bins == bins.indices.map(_.toLong))
+  }
+
   test("every reason agrees with its source stage") {
     val p = graft.text.Pipeline.corpusPipeline(spark, dir)
       .select(col("doc_id"), col("reasons")).collect()

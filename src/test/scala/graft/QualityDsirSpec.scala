@@ -78,6 +78,24 @@ class QualityDsirSpec extends AnyFunSuite {
     assert(b.count() == Tables.table(spark, dir, "documents").count())
   }
 
+  test("ccnet sample: head/middle/unsampled all pass, tail at hash<10") {
+    val b = Quality.corpusCcnetBuckets(spark, dir)
+      .select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = Quality.corpusCcnetSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b.map(_._2).toSet.contains("tail"))
+    b.foreach { case (id, bucket) =>
+      val expect =
+        if (bucket != "tail") true
+        else graft.text.TextOps.h60Of(id.toString) % 100 < 10
+      assert(kept.contains(id) == expect, s"doc $id bucket $bucket") }
+    // the tail is genuinely downsampled, not emptied or passed through
+    val tailIds = b.filter(_._2 == "tail").map(_._1)
+    val tailKept = tailIds.count(kept.contains)
+    assert(tailKept > 0 && tailKept < tailIds.length)
+  }
+
   test("quality filter: keep <=> no rules, rules justified by signals") {
     val f = Quality.corpusQualityFilter(spark, dir)
     assert(f.filter(col("keep") =!= (col("rules") === "")).count() == 0)
