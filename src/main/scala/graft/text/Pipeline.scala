@@ -101,8 +101,23 @@ object Pipeline {
   def corpusPipelinePack(spark: SparkSession, dir: String): DataFrame = {
     val keep = corpusPipeline(spark, dir)
       .filter(col("keep")).select("doc_id")
-    CorpusOps.packTape(
-      Tables.table(spark, dir, "documents").join(keep, "doc_id"))
+    // Materialize the survivors' (doc_id, ntok) base ONCE before the
+    // prefix sum: exclusivePrefix references its input in both the
+    // intra-chunk window and the chunk-totals branch, so an
+    // unpersisted base would re-execute the whole upstream pipeline
+    // (quality + Bloom + clusters) per branch. Two narrow columns per
+    // surviving doc — the same write-once posture as the dedup
+    // candidate cache; on a cluster this is the materialized keep
+    // card every downstream trainer job reads anyway.
+    val counts = Tables.table(spark, dir, "documents")
+      .join(keep, "doc_id")
+      .select(col("doc_id"),
+        size(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), t => t =!= lit("")))
+          .cast("long").as("ntok"))
+      .persist()
+    counts.count()
+    CorpusOps.packFromCounts(counts)
   }
 
   val corpusPipelinePackSql: String =
