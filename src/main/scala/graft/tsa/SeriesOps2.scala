@@ -580,33 +580,52 @@ object SeriesOps2 {
       .filter(col("bs").isNotNull)
       .withColumn("best_period", (-col("bs.nlg")).cast("double") * dt)
       .withColumn("height", col("bs.h"))
-    // The 9×9 (a, tau) grid runs as 81 RSS aggregate expressions over
-    // the SAME groupBy(id) instead of an 81× row fan-out: the exp(ai·
-    // 0.35) factor constant-folds per cell, and the argmin cell (rss
-    // asc, ai asc, ti asc — the kernel's strict-< scan order) is a
-    // horizontal least() over 81 (rss, ai, ti) structs, so no second
-    // shuffle, no 545 MB hash table, and no global-window pick remain.
+    // The 9×9 (a, tau) grid in EXPANDED ALGEBRA (round 13 — the
+    // round-12 verdict's memory fix): the model is m = aa·W_ti with
+    // aa = exp(ai·0.35) a per-CELL constant and W_ti depending only
+    // on (row, ti), so Σ(acf − aa·W)² = Σacf² − 2aa·Σ(acf·W_ti) +
+    // aa²·ΣW_ti². The aggregate therefore carries 1 + 2×9 = 19 moment
+    // sums instead of 81 per-cell RSS sums (with best_period/height,
+    // 21 buffers vs 83 — the ~4× per-task HashAggregate width cut the
+    // verdict prescribed), and the 81 cells become post-aggregation
+    // scalar arithmetic. The argmin cell (rss asc, ai asc, ti asc —
+    // the kernel's strict-< scan order) stays a horizontal least()
+    // over 81 (rss, ai, ti) structs: one groupBy, no second shuffle.
+    // The aa constants (and exp(ti·0.5)) are Scala-computed doubles
+    // embedded as literals in BOTH engines' plans — round-trip-exact
+    // in the SQL twin, so no cross-engine libm exp() enters the cell
+    // constants (tighter than the pre-round-13 constant-fold).
     val cellGrid = for { ai <- -4 to 4; ti <- -4 to 4 } yield (ai, ti)
-    val rssSums = cellGrid.zipWithIndex.map { case ((ai, ti), g) =>
-      val tau =
-        lit(2.0) * col("best_period") * exp(lit(ti.toDouble) * 0.5)
-      val m = exp(lit(ai.toDouble) * 0.35) *
-        exp(-(col("lg") * dt) / tau) *
+    def wTi(ti: Int) = {
+      val tau = lit(2.0) * col("best_period") * lit(math.exp(ti * 0.5))
+      exp(-(col("lg") * dt) / tau) *
         cos((lit(6.283185307179586) * (col("lg") * dt)) /
           col("best_period"))
-      val d = col("acf") - m
-      round(sum(d * d), 6).as(s"r$g")
     }
+    val momentSums = sum(col("acf") * col("acf")).as("s_aa") +:
+      (-4 to 4).flatMap { ti =>
+        val w = wTi(ti)
+        Seq(sum(col("acf") * w).as(s"c_${ti + 4}"),
+          sum(w * w).as(s"q_${ti + 4}"))
+      }
     val agg = flagged.groupBy("id").agg(
       max(col("best_period")).as("best_period"),
-      rssSums :+ max(col("height")).as("height"): _*)
-    val cand = cellGrid.zipWithIndex.map { case ((ai, ti), g) =>
-      struct(col(s"r$g").as("rss"), lit(ai).as("ai"), lit(ti).as("ti"))
+      momentSums :+ max(col("height")).as("height"): _*)
+    val cand = cellGrid.map { case (ai, ti) =>
+      val aa = math.exp(ai * 0.35)
+      val rss = round(col("s_aa") - lit(2.0 * aa) * col(s"c_${ti + 4}")
+        + lit(aa * aa) * col(s"q_${ti + 4}"), 6)
+      // tau rides in the struct (past the (rss, ai, ti) sort key, so
+      // ordering is unchanged — tau is a function of ti) with the SAME
+      // embedded exp(ti·0.5) literal as the moments, keeping the
+      // post-argmin tau bit-identical to the SQL twin's.
+      struct(rss.as("rss"), lit(ai).as("ai"), lit(ti).as("ti"),
+        (lit(2.0) * col("best_period") * lit(math.exp(ti * 0.5)))
+          .as("tau"))
     }
     agg
       .withColumn("bc", least(cand: _*))
-      .withColumn("tau", lit(2.0) * col("best_period") *
-        exp(col("bc.ti").cast("double") * 0.5))
+      .withColumn("tau", col("bc.tau"))
       .select(col("id"), col("best_period"),
         (round(col("height"), 6) + 0.0).as("height"),
         (round((least(col("tau"), lit(20.0 * pmax)) / col("best_period")) *
@@ -619,7 +638,28 @@ object SeriesOps2 {
     * final projection (band literal / period alias) so the band
     * variant can rename best_period → period. */
   private def periodQualityChainSql(src: String, ml: Int, pmax: Double,
-      selHead: String): String =
+      selHead: String): String = {
+    // Expanded-algebra twins of the Spark moments (see
+    // periodQualityChain): identical arithmetic trees, with
+    // exp(ti·0.5) / 2·exp(ai·0.35) / exp(ai·0.35)² embedded as the
+    // SAME Scala-computed double literals the Spark plan carries
+    // (shortest-repr round-trip ⇒ bit-identical constants — no
+    // cross-engine libm exp() in the cell constants).
+    def wSql(ti: Int): String =
+      s"exp(-(f.lg * $QDt) / (2.0 * b.best_period * " +
+        s"${math.exp(ti * 0.5)})) * " +
+        s"cos((6.283185307179586 * (f.lg * $QDt)) / b.best_period)"
+    val momentSumsSql = (-4 to 4).map { ti =>
+      s"  sum(f.acf * (${wSql(ti)})) AS c_${ti + 4},\n" +
+        s"  sum((${wSql(ti)}) * (${wSql(ti)})) AS q_${ti + 4}"
+    }.mkString(",\n")
+    val cellBranchesSql = (for { ai <- -4 to 4; ti <- -4 to 4 } yield {
+      val aa = math.exp(ai * 0.35)
+      s"SELECT id, best_period, height, ml, $ai AS ai, $ti AS ti,\n" +
+        s"    round(s_aa - ${2.0 * aa} * c_${ti + 4} + " +
+        s"${aa * aa} * q_${ti + 4}, 6) AS rss,\n" +
+        s"    2.0 * best_period * ${math.exp(ti * 0.5)} AS tau FROM mom"
+    }).mkString("\n  UNION ALL ")
     s"""WITH bf AS ($src),
        |base AS (SELECT id, t,
        |  cast(round(y_filt * 1000000.0) AS BIGINT) AS v,
@@ -645,29 +685,24 @@ object SeriesOps2 {
        |  FROM pk
        |  WHERE lg >= 1 AND lg < ml - 1 AND acf > pv AND acf > nx)
        |  WHERE rk = 1),
-       |cells AS (SELECT b.id AS bid, b.best_period, b.height,
-       |  g1.ai, g2.ti,
-       |  exp(ai * 0.35) AS aa,
-       |  2.0 * b.best_period * exp(ti * 0.5) AS tau
-       |  FROM best b, generate_series(-4, 4) g1(ai),
-       |       generate_series(-4, 4) g2(ti)),
-       |rss AS (SELECT id, ai, ti, round(sum(d * d), 6) AS rss,
-       |  max(best_period) AS best_period, max(height) AS height,
-       |  max(tau) AS tau, max(ml) AS ml
-       |  FROM (SELECT f.id, c.ai, c.ti, c.best_period, c.height, c.tau,
-       |    f.ml,
-       |    f.acf - c.aa * exp(-(f.lg * $QDt) / c.tau)
-       |      * cos((6.283185307179586 * (f.lg * $QDt)) / c.best_period)
-       |      AS d
-       |    FROM acf f JOIN cells c ON f.id = c.bid)
-       |  GROUP BY 1, 2, 3),
+       |mom AS (SELECT f.id,
+       |  max(b.best_period) AS best_period, max(b.height) AS height,
+       |  max(f.ml) AS ml,
+       |  sum(f.acf * f.acf) AS s_aa,
+       |${momentSumsSql}
+       |  FROM acf f JOIN best b ON b.id = f.id
+       |  GROUP BY 1),
+       |grid AS (
+       |${cellBranchesSql}
+       |),
        |win AS (SELECT *, row_number() OVER (PARTITION BY id
-       |    ORDER BY rss ASC, ai ASC, ti ASC) AS rk2 FROM rss)
+       |    ORDER BY rss ASC, ai ASC, ti ASC) AS rk2 FROM grid)
        |SELECT id, $selHead,
        |  round(height, 6) + 0.0 AS height,
        |  round((least(tau, ${20.0 * pmax}) / best_period)
        |        * ((ml * height) / rss), 3) + 0.0 AS quality
        |FROM win WHERE rk2 = 1""".stripMargin
+  }
 
   val acfPeriodQualitySql: String = periodQualityChainSql(
     "\n  SELECT * FROM read_parquet('__GRAFT_OUT__/ts_butterworth/*.parquet')",
