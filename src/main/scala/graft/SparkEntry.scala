@@ -56,6 +56,7 @@ object SparkEntry {
       multimodal.Phash.queries ++
       sources.SyntheticData.queries ++
       sources.NpySource.queries ++
+      streaming.Replay.queries ++
       relational.Tpch.queries
 
   def oracleSql: Map[String, String] =
@@ -99,5 +100,6 @@ object SparkEntry {
       multimodal.Phash.oracles ++
       sources.SyntheticData.oracles ++
       sources.NpySource.oracles ++
+      streaming.Replay.oracles ++
       relational.Tpch.oracles
 }

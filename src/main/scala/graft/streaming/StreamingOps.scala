@@ -78,10 +78,22 @@ object StreamingOps {
   def asofEnrich(probes: Dataset[Event],
       refs: Dataset[Event]): Dataset[AsOfOut] = {
     import probes.sparkSession.implicits._
-    val tagged = probes.map(e =>
-        (e.user_id, e.ts.getTime / 1000, false, e.value, e.event_id))
-      .union(refs.map(e =>
-        (e.user_id, e.ts.getTime / 1000, true, e.value, e.event_id)))
+    asofTagged(probes.map((_, false)).union(refs.map((_, true))))
+  }
+
+  /** Single-stream variant of [[asofEnrich]] (probe/ref tag carried
+    * per row) — the replay harness feeds THIS shape so one micro-batch
+    * holds a slice's probes AND refs together: with two MemoryStreams
+    * the engine can fire a batch between the two addData calls
+    * (observed at sf0.01 — batch-1 probes consumed before batch-1
+    * refs landed), which is fine for a production feed but breaks a
+    * deterministic replay. Semantics identical: asofEnrich is now a
+    * map+union into this. */
+  def asofTagged(tagged0: Dataset[(Event, Boolean)]): Dataset[AsOfOut] = {
+    import tagged0.sparkSession.implicits._
+    val tagged = tagged0.map { case (e, isRef) =>
+      (e.user_id, e.ts.getTime / 1000, isRef, e.value, e.event_id)
+    }
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState[RefState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
