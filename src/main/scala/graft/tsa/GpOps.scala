@@ -399,6 +399,88 @@ object GpOps {
       |FROM z""".stripMargin
 
   // -------------------------------------------------------------------
+  // gp_posterior_interval — round 13 (r12 verdict item 4): the
+  // credible-interval summary the reference's users read off the
+  // emcee trace (gp.py:257,428 — percentile(chain, [16, 50, 84])),
+  // re-expressed over the SAME normalized grid posterior gp_posterior
+  // computes: 16/50/84% CDF quantiles + the minimal-mass 68% HPD set
+  // (highest-posterior cells, mass-ordered, until ≥ 0.68), all window
+  // arithmetic over the existing gp_harmonic_map dump — no new
+  // Cholesky work, and the last re-expressed reference capability
+  // gains a driver-hash-gated uncertainty summary.
+  //
+  // Exactness discipline (posteriorOver, extended to the running
+  // sum): quantile thresholds compare the 6 dp-ROUNDED cdf, and the
+  // HPD prefix accumulates the 6 dp posterior in integer µ-units —
+  // every cross-engine comparison runs on bit-identical quantized
+  // values, so the running sum can't straddle an engine-order
+  // boundary. HPD order is (mass desc, period asc) — deterministic
+  // ties, the argmin-scan convention.
+  // -------------------------------------------------------------------
+  def gpPosteriorInterval(spark: SparkSession, dir: String): DataFrame =
+    intervalOver(gpHarmonicMap(spark, dir))
+
+  /** The 16/50/84 quantile + 68% HPD transform over any
+    * (id, period, loglik) grid map — shared by gp_posterior_interval
+    * and the synthetic-coverage spec. */
+  def intervalOver(map: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy("id")
+      .orderBy(col("pu").desc, col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    posteriorOver(map)
+      .withColumn("pu", round(col("posterior") * 1e6, 0).cast("long"))
+      .withColumn("cum_u", sum("pu").over(wh))
+      .withColumn("hpd", col("cum_u") - col("pu") < 680000L)
+      .groupBy("id")
+      .agg(
+        min(when(col("cdf") >= 0.16, col("period"))).as("p16"),
+        min(when(col("cdf") >= 0.5, col("period"))).as("p50"),
+        min(when(col("cdf") >= 0.84, col("period"))).as("p84"),
+        sum(when(col("hpd"), 1L).otherwise(0L)).as("hpd_n"),
+        min(when(col("hpd"), col("period"))).as("hpd_lo"),
+        max(when(col("hpd"), col("period"))).as("hpd_hi"))
+      .select(col("id"), col("p16"), col("p50"), col("p84"),
+        (col("p84") - col("p16")).as("ci_width"),
+        col("hpd_n"), col("hpd_lo"), col("hpd_hi"),
+        (col("hpd_hi") - col("hpd_lo")).as("hpd_width"))
+  }
+
+  val gpPosteriorIntervalSql: String =
+    """WITH m AS (
+      |  SELECT * FROM read_parquet('__GRAFT_OUT__/gp_harmonic_map/*.parquet')),
+      |s AS (SELECT id, period, loglik,
+      |  max(loglik) OVER (PARTITION BY id) AS mx FROM m),
+      |e AS (SELECT id, period, exp(loglik - mx) AS e FROM s
+      |  WHERE isfinite(mx)),
+      |z AS (SELECT id, period, e,
+      |  sum(e) OVER (PARTITION BY id) AS z,
+      |  sum(e) OVER (PARTITION BY id ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      |  FROM e),
+      |p AS (SELECT id, period,
+      |  round(e / z, 6) + 0.0 AS posterior,
+      |  round(ce / z, 6) + 0.0 AS cdf FROM z),
+      |h AS (SELECT *, cast(round(posterior * 1000000.0) AS BIGINT)
+      |  AS pu FROM p),
+      |c AS (SELECT *, sum(pu) OVER (PARTITION BY id
+      |    ORDER BY pu DESC, period ASC
+      |    ROWS UNBOUNDED PRECEDING) AS cum_u FROM h)
+      |SELECT id,
+      |  min(CASE WHEN cdf >= 0.16 THEN period END) AS p16,
+      |  min(CASE WHEN cdf >= 0.5 THEN period END) AS p50,
+      |  min(CASE WHEN cdf >= 0.84 THEN period END) AS p84,
+      |  min(CASE WHEN cdf >= 0.84 THEN period END)
+      |    - min(CASE WHEN cdf >= 0.16 THEN period END) AS ci_width,
+      |  count(CASE WHEN cum_u - pu < 680000 THEN 1 END) AS hpd_n,
+      |  min(CASE WHEN cum_u - pu < 680000 THEN period END) AS hpd_lo,
+      |  max(CASE WHEN cum_u - pu < 680000 THEN period END) AS hpd_hi,
+      |  max(CASE WHEN cum_u - pu < 680000 THEN period END)
+      |    - min(CASE WHEN cum_u - pu < 680000 THEN period END)
+      |    AS hpd_width
+      |FROM c GROUP BY id""".stripMargin
+
+  // -------------------------------------------------------------------
   // hht_spectrogram — reference timefrequency.py:91-99 (_spectrogram):
   // bin the per-sample (freq, amp) pairs emitted by hht_inst onto a
   // (freq_grid × time) power grid. Frequency axis: 32 linear bins up
@@ -736,6 +818,7 @@ object GpOps {
     "gp_predict" -> (gpPredict _),
     "gp_loocv" -> (gpLoocv _),
     "gp_posterior" -> (gpPosterior _),
+    "gp_posterior_interval" -> (gpPosteriorInterval _),
     "gp_model_compare" -> (gpModelCompare _),
     "gp_predict_fit" -> (gpPredictFit _),
     "hht_spectrogram" -> (hhtSpectrogram _),
@@ -1006,6 +1089,7 @@ object GpOps {
     "gp_psd" -> gpPsdSql,
     "ts_envelope_coeffs" -> tsEnvelopeCoeffsSql,
     "gp_posterior" -> gpPosteriorSql,
+    "gp_posterior_interval" -> gpPosteriorIntervalSql,
     "gp_model_compare" -> gpModelCompareSql,
     "gp_predict_fit" -> gpPredictFitSql,
     "hht_spectrogram" -> hhtSpectrogramSql,

@@ -139,6 +139,45 @@ class SyntheticSeriesSpec extends AnyFunSuite {
       s"posterior median $p, expected ~$P1")
   }
 
+  test("gp_posterior_interval covers the injected 2 d period and is " +
+    "consistent with the posterior it summarizes") {
+    import org.apache.spark.sql.functions._
+    val iv = tsa.GpOps.gpPosteriorInterval(spark, synDir)
+      .filter(col("id") === 1L).collect()
+    assert(iv.length == 1, s"${iv.length} interval rows for id 1")
+    val r = iv(0)
+    val (p16, p50, p84) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(p16 <= p50 && p50 <= p84, s"quantiles out of order $p16/$p50/$p84")
+    // CI coverage of the injected period (the grid is 20 log-spaced
+    // trial periods; the posterior concentrates, so the 68% interval
+    // must straddle the injected 2 d within one grid step)
+    assert(p16 - 43200.0 <= P1 && P1 <= p84 + 43200.0,
+      s"injected $P1 outside CI [$p16, $p84]")
+    assert(r.getDouble(4) == p84 - p16, "ci_width != p84 - p16")
+    // HPD: non-empty minimal set, spans the median, bounded by the CI
+    // cell count + 1 (mass-ordered prefix can only be tighter)
+    val (hpdN, hpdLo, hpdHi) =
+      (r.getLong(5), r.getDouble(6), r.getDouble(7))
+    assert(hpdN >= 1L, "empty HPD set")
+    assert(hpdLo <= p50 + 43200.0 && p50 - 43200.0 <= hpdHi,
+      s"HPD [$hpdLo, $hpdHi] misses the median $p50")
+    assert(hpdLo - 43200.0 <= P1 && P1 <= hpdHi + 43200.0,
+      s"injected $P1 outside HPD [$hpdLo, $hpdHi]")
+    // HPD mass really reaches 68% and drops any one cell below it —
+    // recompute from the posterior the query summarizes
+    val post = tsa.GpOps.gpPosterior(spark, synDir)
+      .filter(col("id") === 1L).collect()
+      .map(row => (row.getDouble(1), row.getDouble(2)))
+    val ordered = post.sortBy { case (p, m) => (-m, p) }
+    val masses = ordered.map(_._2)
+    val n = hpdN.toInt
+    assert(masses.take(n).sum >= 0.68 - 1e-6,
+      s"HPD prefix mass ${masses.take(n).sum} < 0.68")
+    assert(masses.take(n - 1).sum < 0.68 + 1e-6,
+      s"HPD prefix not minimal: ${masses.take(n - 1).sum}")
+  }
+
   test("ts_interp keeps a grid point coinciding with the series' last sample") {
     import org.apache.spark.sql.functions._
     // series 1 samples t = T0 + k·7200, k < 360: the last sample
