@@ -54,7 +54,7 @@ object Dedup {
   }
 
   /** Word 3-shingles via window leads: (doc_id, shingle). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("idx")
     tokens(spark, dir)
       .withColumn("t1", lead("tok", 1).over(wd))
@@ -135,7 +135,7 @@ object Dedup {
     * comma-joined 4 mins. MinhashStreamSpec pins the equality
     * against the batch plan on the full sf0.001 corpus. */
   private[graft] def bandKeysOf(text: String): Seq[(Long, String)] = {
-    val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty).toSeq
     if (toks.length < 3) return Seq.empty
     val hs = toks.sliding(3).map(_.mkString(" ")).toSet.toSeq
       .map((s: String) => java.lang.Long.parseLong(md5Hex(s).take(15), 16))
@@ -178,7 +178,7 @@ object Dedup {
   }
 
   /** Candidate pairs from capped band buckets: (id1 < id2), distinct. */
-  private def minhashCand(spark: SparkSession, dir: String,
+  private[graft] def minhashCand(spark: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
     val bands = minhashBands(spark, dir, maxBucket)
     bands.as("a").join(bands.as("b"),
@@ -481,13 +481,33 @@ object Dedup {
     while (changed > 0 && rounds < MaxCcRounds) {
       val nbrMin = edges.join(frontier, edges("src") === frontier("doc_id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      val next = snapshot(labels
+      val stepped = labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(labels("doc_id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+        .select(labels("doc_id"), col("comp").as("comp0"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp1"))
+      // Pointer jumping (round 13, from the skew-stress finding): a
+      // long-diameter component — e.g. a 10⁵-member near-dup family
+      // whose variant buckets chain — needs O(diameter) neighbor-min
+      // rounds (measured 53 s on the skew corpus). Shortcutting each
+      // round through the LABEL table (comp ← comp(comp), the classic
+      // HashMin + pointer-jumping hybrid) collapses label chains
+      // geometrically, so rounds scale with log(diameter). The
+      // invariant is preserved (comp(x) is always the id of a node in
+      // x's component, and comp(minId) = minId at fixpoint), the
+      // shortcut join is label-table-small, and a shortcut-only
+      // change still enters the frontier via the chg flag below.
+      val lut = stepped
+        .select(col("doc_id").as("l_id"), col("comp1").as("l_comp"))
+      val next = snapshot(stepped
+        .join(lut, stepped("comp1") === lut("l_id"), "left")
+        .select(stepped("doc_id"),
+          least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
+            .as("comp"),
           // convergence folds into the SAME projection — counting the
           // snapshot's chg flags replaces the former full-labels join
-          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg")))
+          (least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
+            < col("comp0")).as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.select("doc_id", "comp")
       frontier = next.filter(col("chg")).select("doc_id", "comp")

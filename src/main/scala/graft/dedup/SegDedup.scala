@@ -45,7 +45,7 @@ object SegDedup {
     * pipeline in [[segments]] (SegDedupSpec pins the equality over
     * the sf0.001 corpus); the streaming scrub twin rides on it. */
   private[graft] def segmentsOf(text: String): Vector[String] =
-    text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty)
       .grouped(SegTokens).map(_.mkString(" ")).toVector
 
   /** (doc_id, seg_idx, seg, h): the deterministic segment table.

@@ -86,7 +86,14 @@ object Phash {
 
   def multimodalPhashPairs(spark: SparkSession, dir: String,
       nBands: Int, bandBits: Int): DataFrame = {
-    require(nBands * bandBits <= NBlocks, "bands must be disjoint")
+    // Disjoint AND covering: an under-covering geometry (e.g. 5×10
+    // over 60 bits) leaves bits unbanded and silently voids the
+    // pigeonhole guarantee (Hamming ≤ nBands−1 ⇒ some band equal
+    // only holds when the bands partition ALL signature bits).
+    require(nBands * bandBits == NBlocks,
+      s"bands must partition the $NBlocks-bit signature exactly " +
+        s"(got $nBands×$bandBits) — under-covering voids the " +
+        "Hamming pigeonhole recall guarantee")
     val mask = 1L << bandBits
     val sig = multimodalPhash(spark, dir)
     val stackArgs = (0 until nBands)

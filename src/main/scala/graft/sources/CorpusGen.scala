@@ -56,6 +56,26 @@ object CorpusGen {
     sb.toString
   }
 
+  /** The generator's own content-family relation, re-derived from the
+    * per-row seeds — ground truth for LSH recall measurement
+    * (round-13 verdict item 6): doc `id`'s stored text is
+    * docText(family(id)) (one token possibly rewritten for the 2%
+    * near copies), so two docs are true (near-)duplicates iff they
+    * share a family. (doc_id, family, planted: 0 none / 1 exact / 2
+    * near.) */
+  def families(spark: SparkSession, nDocs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, 32).map { boxed =>
+      val id = boxed.longValue
+      val next = mix(id)
+      val roll = unif(next)
+      if (id >= 100 && roll < 0.01) (id, id % (id / 2 + 1), 1)
+      else if (id >= 100 && roll < 0.03) (id, id % (id / 2 + 1), 2)
+      else (id, id, 0)
+    }.toDF("doc_id", "family", "planted")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.length > 0) args(0) else "target/tmp/corpus10x"
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
@@ -67,6 +87,72 @@ object CorpusGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 4th arg "skew" → the adversarial variant (nDocs = base size,
+    // nVecs reused as the hot-cluster size)
+    if (args.length > 3 && args(3) == "skew") writeSkew(spark, out, nDocs, nVecs)
+    else write(spark, out, nDocs, nVecs)
+    spark.stop()
+  }
+
+  /** Adversarial SKEW variant (round 13, r12 verdict item 5) — the
+    * base corpus with three planted pathologies a 100 TB crawl
+    * actually has:
+    *  (a) ONE 10⁶-token document (a concatenated-dump page — the
+    *      monster-row stressor for token counting / shingling / pack);
+    *  (b) a 10-token boilerplate segment PREPENDED to every ODD-id
+    *      base document (offset 0 ⇒ it aligns to the segment grid —
+    *      the hottest possible segment-dedup key; odd ids only so the
+    *      benchmark split (id % 50 == 0, all even) stays boiler-free —
+    *      a TRULY universal segment contaminates the whole corpus
+    *      under any-hit Bloom decontamination, correctly but
+    *      degenerately: everything drops);
+    *  (c) one `hot`-member near-dup cluster (single-token rewrites of
+    *      one base text — a crawl-boilerplate family far past the 256
+    *      bucket occupancy cap).
+    * doc_ids: base docs keep 0..nBase-1 semantics (boiler prepended),
+    * hot cluster at nBase..nBase+hot-1, the monster doc last. */
+  def writeSkew(spark: SparkSession, out: String, nBase: Long = 50000L,
+      hot: Long = 100000L): Unit = {
+    import spark.implicits._
+    val boiler = (0 until SegBoilerTokens).map(k => s"bw$k")
+      .mkString(" ")
+    val base = spark.range(0, nBase, 1, 32).map { boxed =>
+      val id = boxed.longValue
+      (id, if (id % 2 == 1) boiler + " " + docText(id) else docText(id))
+    }
+    val hotDocs = spark.range(nBase, nBase + hot, 1, 32).map { boxed =>
+      val id = boxed.longValue
+      val toks = docText(7L).split(' ')
+      val next = mix(id * 31 + 5)
+      val j = (unif(next) * toks.length).toInt
+      (id, toks.updated(j, Vocab((unif(next) * Vocab.length).toInt))
+        .mkString(" "))
+    }
+    val monsterId = nBase + hot
+    val monster = spark.range(monsterId, monsterId + 1).map { _ =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < 1000000) {
+        if (i > 0) sb.append(' ')
+        sb.append(Vocab(i % Vocab.length))
+        i += 1
+      }
+      (monsterId, sb.toString)
+    }
+    val docs = base.union(hotDocs).union(monster)
+      .map { case (id, text) =>
+        (id, text, "en", s"src${(id % 20).toInt}", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    new java.io.File(out).mkdirs()
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private val SegBoilerTokens = 10 // == SegDedup.SegTokens: one full segment
+
+  /** Session-preserving generator body (specs call this directly —
+    * main owns the session lifecycle, not the generator). */
+  def write(spark: SparkSession, out: String, nDocs: Long,
+      nVecs: Long): Unit = {
     import spark.implicits._
 
     val docs = spark.range(0, nDocs, 1, 32).map { id =>
@@ -113,6 +199,5 @@ object CorpusGen {
     writeOne(docs, "documents")
     writeOne(vecs, "embeddings")
     println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs}""")
-    spark.stop()
   }
 }

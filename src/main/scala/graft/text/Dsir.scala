@@ -65,7 +65,7 @@ object Dsir {
     * document's (bucket → count) map, bit-identical to the batch
     * pipeline (pinned by spec). */
   private[graft] def featureBucketsOf(text: String): Map[Long, Long] = {
-    val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty).toSeq
     val hs = toks.map(TextOps.h60Of) ++
       toks.sliding(2).filter(_.length == 2)
         .map(w => TextOps.h60Of(w.mkString(" ")))

@@ -36,11 +36,17 @@ object Quality {
   // a per-doc aggregate with map-side combine. No joins, no windows.
   // -------------------------------------------------------------------
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // Characters via ONE O(n) split, not an index explode feeding
+    // substr(text, i, 1): UTF8String.substring scans from the string
+    // start, so the index form is O(n²) per document — invisible on
+    // ~300-char docs, but a single 10⁶-char crawl page pins one task
+    // for hours (found by PipelineSkewSpec's monster-doc stressor,
+    // round 13). split('', -1)'s per-character elements are the same
+    // values substr produced, so the DuckDB twin is unchanged.
     val cc = Tables.table(spark, dir, "documents")
       .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .selectExpr("doc_id", "substr(text, i, 1) AS ch")
+      .select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     cc.groupBy("doc_id")
       .agg(sum("c").as("n_chars"),

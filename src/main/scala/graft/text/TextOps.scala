@@ -154,13 +154,20 @@ object TextOps {
   // text_fingerprint — rolling-hash document fingerprint: min/max 60-bit
   // hash over 8-char shingles (winnowing-lite) + shingle cardinality.
   // -------------------------------------------------------------------
+  // Overlapping 8-grams via ONE linear regex pass (a zero-width
+  // lookahead captures the gram at every position), not an index
+  // explode feeding substring(text, i, 8): UTF8String.substring scans
+  // from the string start, so the index form is O(n²) per document —
+  // a 10⁶-char crawl page pins one task for hours (the textEntropy
+  // finding, round 13). (?s) keeps '.' matching newlines so the gram
+  // set is exactly the substring form's; the DuckDB twin is unchanged.
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
       .select(col("doc_id"),
-        h60(expr("substring(text, i, 8)")).as("h"))
+        explode(expr("regexp_extract_all(text, '(?s)(?=(.{8}))', 1)"))
+          .as("g"))
+      .select(col("doc_id"), h60(col("g")).as("h"))
       .groupBy("doc_id")
       .agg(min("h").as("fp_min"), max("h").as("fp_max"),
         countDistinct("h").as("n_shingles"))
@@ -427,7 +434,7 @@ object TextOps {
     * stay bit-identical to the batch column pipeline below —
     * StreamingSpec pins the equality over the sf0.001 corpus. */
   private[graft] def shingleHashesOf(text: String): Set[Long] = {
-    val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty).toSeq
     if (toks.length < NGram) return Set.empty
     toks.sliding(NGram).map(w => h60Of(w.mkString(" "))).toSet
   }
