@@ -137,8 +137,10 @@ object Bench {
     // PQ codebook + compressed code table feed emb_pq_codes and both
     // ann_pq_topk stages
     warm("pq", _.contains("pq")) { graft.sim.Pq.warm(spark, sfDir) }
-    // the k-means assignment feeds emb_kmeans AND dedup_semantic
-    warm("semdedup", fam("emb_kmeans", "dedup_semantic"))
+    // the k-means assignment feeds emb_kmeans, dedup_semantic AND the
+    // streaming replay's static-codebook collect
+    warm("semdedup", fam("emb_kmeans", "dedup_semantic",
+      "streaming_semantic"))
       { graft.sim.SemDedup.warm(spark, sfDir) }
     warm("wavelet", fam("wavelet", "composite"))
       { p(graft.spectral.Wavelet.waveletPower(spark, sfDir)) }
@@ -149,6 +151,13 @@ object Bench {
     warm("shingles", fam("text_contamination", "corpus_bloom",
       "corpus_pipeline", "docs_corpus"))
       { p(graft.text.TextOps.shingles(spark, sfDir)) }
+    // the pipeline-pack survivors' count card (persisted inside
+    // packFromCounts' recursive prefix sum): registering the SAME
+    // Dataset instance here lets the family release below unpersist
+    // it once the corpus_pipeline family finishes — the round-12
+    // ADVICE leak fix (a bare in-query persist lived to session end)
+    warm("pipe_counts", fam("corpus_pipeline"))
+      { Seq(graft.text.Pipeline.packCounts(spark, sfDir)) }
     // the deterministic segment table feeds detect + clean
     warm("segments", fam("dedup_segments"))
       { p(graft.dedup.SegDedup.segments(spark, sfDir)) }
@@ -299,6 +308,18 @@ object Bench {
       // only triggers on genuinely long queries.
       val nRuns =
         if (warm > 20.0) 1 else if (warm < 2.0) shortFloor else runs
+      // Heap high-water during THIS query's timed runs (round-13
+      // verdict item: bound suite GC noise in the artifact): reset the
+      // per-pool peak counters after the gc barrier, read the summed
+      // heap-pool peaks after the runs. Together with gc_ms (and the
+      // per-query nRuns recorded below, which gc_ms amortizes over)
+      // this lets bench_compare.py subtract in-suite GC time and
+      // attribute residual drift to heap pressure instead of reading
+      // it as a query regression.
+      val heapPools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      heapPools.foreach(_.resetPeakUsage())
       val gc0 = gcMs
       val cpu0 = osBean.getProcessCpuTime
       val times = (1 to nRuns).map { _ =>
@@ -308,6 +329,7 @@ object Bench {
       }.sorted
       val gcDelta = gcMs - gc0
       val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val heapMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
       remaining -= name
       // family release: no remaining query consumes it → free the
       // cached blocks (late release is only memory; the predicates
@@ -317,23 +339,26 @@ object Bench {
         else { dss.foreach(_.unpersist()); false }
       }
       (name, times(times.size / 2), warm, gcDelta, cpuS,
-        osBean.getSystemLoadAverage)
+        osBean.getSystemLoadAverage, nRuns, heapMb)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
     val calibEnd = calibrate()
     // bound executor memory for anything running after the suite
     spark.sharedState.cacheManager.clearCache()
-    def jmap(f: ((String, Double, Double, Long, Double, Double)) => String)
-        : String = results.map(r => "\"" + r._1 + "\":" + f(r))
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Long, Double, Double, Int,
+        Long)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r))
+        .mkString("{", ",", "}")
     val qs = jmap(_._2.toString)
     val warms = jmap(r => f"${r._3}%.3f")
     val gcs = jmap(_._4.toString)
     val cpus_ = jmap(r => f"${r._5}%.3f")
     val loads = jmap(r => f"${r._6}%.2f")
+    val runsN = jmap(_._7.toString)
+    val heaps = jmap(_._8.toString)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads,"calib_s":[${f"$calibStart%.3f"},${f"$calibEnd%.3f"}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads,"runs_n":$runsN,"heap_mb":$heaps,"calib_s":[${f"$calibStart%.3f"},${f"$calibEnd%.3f"}]}"""
     println(json)
     // Also persist the full record to the repo: the driver's stdout
     // capture keeps only a tail, which beheads the per-query map in

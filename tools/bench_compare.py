@@ -11,6 +11,15 @@ fixed-work CPU probe Bench runs first, calib_s[0]) before computing
 ratios, then flags only the queries whose DRIFT-CORRECTED ratio
 exceeds the threshold.
 
+Round 13: in-suite GC time is also subtracted before flagging — the
+calibration probe catches host drift but not JVM heap history (the
+round-12 verdict's 1.27x same-code artifact delta was GC, spread
+across mid-weight queries). Each side's per-query time is reduced by
+its measured gc_ms amortized over that query's timed run count
+(runs_n when the artifact has it, the configured `runs` otherwise),
+floored at half the raw time so a pathological gc reading can never
+hide a real 2x regression.
+
 Usage: bench_compare.py OLD.json NEW.json [threshold=1.5]
 
 Exit 1 if any query regresses beyond the threshold after calibration
@@ -33,6 +42,15 @@ def load(path):
         # the host state the measurements began under
         c = float(calib[0])
     return d, c
+
+
+def gc_adjusted(d, q):
+    """Per-query median time minus its amortized in-suite GC share,
+    floored at half the raw time (see module doc)."""
+    t = d["queries"][q]
+    gc_s = d.get("gc_ms", {}).get(q, 0) / 1000.0
+    n = d.get("runs_n", {}).get(q) or d.get("runs", 1) or 1
+    return max(t - gc_s / n, t / 2.0)
 
 
 def main():
@@ -59,19 +77,25 @@ def main():
     corr_total = (tot_new / c_new) / (tot_old / c_old)
     print(f"common-query totals: old={tot_old:.1f}s new={tot_new:.1f}s "
           f"raw {tot_new / tot_old:.2f}x, corrected {corr_total:.2f}x")
+    adj_old = sum(gc_adjusted(old, q) for q in common)
+    adj_new = sum(gc_adjusted(new, q) for q in common)
+    print(f"gc-adjusted totals:  old={adj_old:.1f}s new={adj_new:.1f}s "
+          f"corrected {(adj_new / c_new) / (adj_old / c_old):.2f}x")
 
     regressions = []
     for q in common:
-        o, n = old["queries"][q], new["queries"][q]
+        o, n = gc_adjusted(old, q), gc_adjusted(new, q)
         if o <= 0:
             continue
         corr = (n / c_new) / (o / c_old)
         # sub-0.4s queries sit on the scheduling noise floor
         if corr > thresh and n > 0.4:
-            regressions.append((corr, q, o, n))
+            regressions.append((corr, q, old["queries"][q],
+                                new["queries"][q]))
     regressions.sort(reverse=True)
     for corr, q, o, n in regressions:
-        print(f"REGRESSION {q:28s} {o:7.2f}s -> {n:7.2f}s corrected {corr:.2f}x")
+        print(f"REGRESSION {q:28s} {o:7.2f}s -> {n:7.2f}s "
+              f"gc-adj corrected {corr:.2f}x")
     if not regressions:
         print(f"no drift-corrected per-query regression beyond {thresh}x")
     sys.exit(1 if regressions else 0)
