@@ -489,25 +489,35 @@ object Dedup {
       // Pointer jumping (round 13, from the skew-stress finding): a
       // long-diameter component — e.g. a 10⁵-member near-dup family
       // whose variant buckets chain — needs O(diameter) neighbor-min
-      // rounds (measured 53 s on the skew corpus). Shortcutting each
-      // round through the LABEL table (comp ← comp(comp), the classic
-      // HashMin + pointer-jumping hybrid) collapses label chains
-      // geometrically, so rounds scale with log(diameter). The
-      // invariant is preserved (comp(x) is always the id of a node in
-      // x's component, and comp(minId) = minId at fixpoint), the
-      // shortcut join is label-table-small, and a shortcut-only
-      // change still enters the frontier via the chg flag below.
-      val lut = stepped
-        .select(col("doc_id").as("l_id"), col("comp1").as("l_comp"))
-      val next = snapshot(stepped
-        .join(lut, stepped("comp1") === lut("l_id"), "left")
-        .select(stepped("doc_id"),
-          least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
-            .as("comp"),
-          // convergence folds into the SAME projection — counting the
-          // snapshot's chg flags replaces the former full-labels join
-          (least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
-            < col("comp0")).as("chg")))
+      // rounds. Shortcutting through the LABEL table (comp ←
+      // comp(comp), the classic HashMin + pointer-jumping hybrid)
+      // collapses label chains geometrically, so rounds scale with
+      // log(diameter). The invariant is preserved (comp(x) is always
+      // the id of a node in x's component, and comp(minId) = minId at
+      // fixpoint), the shortcut join is label-table-small, and a
+      // shortcut-only change still enters the frontier via the chg
+      // flag below. Engaged from round 3 only: well-behaved dedup
+      // graphs (star-shaped dup families) converge in ≤3 plain rounds
+      // and would pay the extra join for nothing (measured 1.9× on
+      // the clean sf0.1 corpus when unconditional), while a chained
+      // component reaches the jumping rounds immediately after.
+      val shortcut = rounds >= 2
+      val jumped = if (!shortcut) stepped.select(col("doc_id"),
+        col("comp1").as("comp"), (col("comp1") < col("comp0")).as("chg"))
+      else {
+        val lut = stepped
+          .select(col("doc_id").as("l_id"), col("comp1").as("l_comp"))
+        stepped
+          .join(lut, stepped("comp1") === lut("l_id"), "left")
+          .select(stepped("doc_id"),
+            least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
+              .as("comp"),
+            // convergence folds into the SAME projection — counting
+            // the snapshot's chg flags replaces the full-labels join
+            (least(col("comp1"), coalesce(col("l_comp"), col("comp1")))
+              < col("comp0")).as("chg"))
+      }
+      val next = snapshot(jumped)
       changed = next.filter(col("chg")).count()
       labels = next.select("doc_id", "comp")
       frontier = next.filter(col("chg")).select("doc_id", "comp")
