@@ -211,7 +211,7 @@ object Dedup {
 
   /** Shared oracle CTE chain ending in `cand` (capped band buckets →
     * distinct candidate pairs) — mirrors minhashCand exactly. */
-  private val minhashCandSql: String = {
+  private[graft] val minhashCandSql: String = {
     val mins = (0 until 16)
       .map(j => s"min(${mixDuck(j)}) AS m$j").mkString(",\n       |  ")
     def bandSel(b: Int) = {

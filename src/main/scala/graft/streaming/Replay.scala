@@ -51,11 +51,12 @@ object Replay {
     * element, drained in order), sink to a fresh memory table, return
     * it as a DataFrame. */
   private def runAppend[T: Encoder](spark: SparkSession, op: String,
-      batches: Seq[Seq[T]])(mk: Dataset[T] => DataFrame): DataFrame = {
+      batches: Seq[Seq[T]], mode: String = "append")(
+      mk: Dataset[T] => DataFrame): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[T]
     val qn = s"${op}_${seq.incrementAndGet()}"
-    val q = mk(input.toDS()).writeStream.outputMode("append")
+    val q = mk(input.toDS()).writeStream.outputMode(mode)
       .format("memory").queryName(qn).start()
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally q.stop()
@@ -210,13 +211,74 @@ object Replay {
        |${graft.sim.SemDedup.dedupSemanticSql}
        |) sem WHERE NOT keep""".stripMargin
 
+  // -------------------------------------------------------------------
+  // streaming_windowed_replay — the watermarked tumbling-window agg
+  // twin (StreamingOps.windowedAgg), complete-mode over 4 event-time
+  // micro-batches (the stateful partial aggregation accumulates
+  // across batches; complete mode emits the final window table).
+  // µ-unit values make the stateful sums integer-exact; second-level
+  // truncation never crosses a 300 s window boundary, so the oracle's
+  // (t // 300)·300 grouping is the stream's exact window assignment.
+  // -------------------------------------------------------------------
+  def streamingWindowedReplay(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = eventRows(spark, dir, quantize = true)
+    runAppend(spark, "win_replay", slices(rows, 4), mode = "complete") {
+      in => StreamingOps.windowedAgg(in)
+    }
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"),
+        col("sum_value").cast("long").as("sum_value_u"))
+  }
+
+  val streamingWindowedReplaySql: String =
+    """WITH s AS (SELECT epoch_us(ts) // 1000000 AS t, event_type,
+      |  cast(floor(value * 10000.0 + 0.5) AS BIGINT) AS vu FROM events)
+      |SELECT (t // 300) * 300 AS window_start, event_type,
+      |  count(*) AS n, cast(sum(vu) AS BIGINT) AS sum_value_u
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // streaming_neardedup_replay — the stateful minhash near-dedup twin
+  // (StreamingOps.nearDedupStream): documents replayed in doc_id
+  // order over 3 micro-batches; keyed band-bucket state pairs each
+  // arrival against earlier members, so candidates accumulate ACROSS
+  // batches; doc_id-ordered arrival makes the capped stream admit the
+  // same lowest-id bucket members the batch plan ranks in. Oracle:
+  // the per-band capped bucket self-join (the batch band chain
+  // WITHOUT the cross-band distinct — the stream emits one row per
+  // shared band).
+  // -------------------------------------------------------------------
+  def streamingNeardedupReplay(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[StreamingOps.Doc].collect().sortBy(_.doc_id).toSeq
+    runAppend(spark, "nd_replay", slices(docs, 3)) { in =>
+      StreamingOps.nearDedupStream(in).toDF()
+    }
+  }
+
+  val streamingNeardedupReplaySql: String =
+    s"""WITH ${graft.dedup.Dedup.minhashCandSql}
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.band
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sessionize_replay" -> (streamingSessionizeReplay _),
     "streaming_asof_replay" -> (streamingAsofReplay _),
-    "streaming_semantic_replay" -> (streamingSemanticReplay _))
+    "streaming_semantic_replay" -> (streamingSemanticReplay _),
+    "streaming_windowed_replay" -> (streamingWindowedReplay _),
+    "streaming_neardedup_replay" -> (streamingNeardedupReplay _))
 
   val oracles: Map[String, String] = Map(
     "streaming_sessionize_replay" -> streamingSessionizeReplaySql,
     "streaming_asof_replay" -> streamingAsofReplaySql,
-    "streaming_semantic_replay" -> streamingSemanticReplaySql)
+    "streaming_semantic_replay" -> streamingSemanticReplaySql,
+    "streaming_windowed_replay" -> streamingWindowedReplaySql,
+    "streaming_neardedup_replay" -> streamingNeardedupReplaySql)
 }
