@@ -549,8 +549,42 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(wc))
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCandSql,
+  /** Unrolled oracle rounds for the min-label CC below: propagation +
+    * pointer jumping halves the unresolved pointer depth per round, so
+    * 12 rounds resolve component diameters to 2¹² — far past any gate
+    * corpus (the oracle-side analogue of the Spark plan's MaxCcRounds
+    * require; a too-small unroll would surface as a hash mismatch,
+    * never silently). */
+  private val CcSqlRounds = 12
+
+  // Round 14: the old oracle was a recursive-CTE TRANSITIVE CLOSURE
+  // ((node, lbl) for every reachable label — O(V·E) work, O(V²) rows
+  // per component). Fine on the polite sf corpora (components are dup
+  // pairs), intractable on the skew gate's 10⁴-member hot family
+  // (581k candidate pairs → a dense ~10³-node component ground DuckDB
+  // for >10 min). Re-expressed as the SAME algorithm the Spark plan
+  // runs: unrolled min-label propagation (one edges⋈labels join per
+  // round) + pointer jumping (one labels⋈labels join) — O(E) per
+  // round, log-diameter rounds, exact at convergence regardless of
+  // algorithm since both compute min(doc_id) per component.
+  val dedupClustersSql: String = {
+    // every round CTE is MATERIALIZED: each is referenced twice, so
+    // inlining would 4× the expression tree per round (4¹² references
+    // to l0 — DuckDB ran out of file handles re-opening the parquet
+    // source); materialization computes each round exactly once, the
+    // same dataflow as the Spark loop's per-round snapshots
+    val rounds = (0 until CcSqlRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(m.minl, l.lbl)) AS lbl
+         |  FROM l$i l LEFT JOIN (
+         |    SELECT e.dst AS node, min(ll.lbl) AS minl
+         |    FROM l$i ll JOIN e ON e.src = ll.node GROUP BY 1) m
+         |  ON m.node = l.node),
+         |l${i + 1} AS MATERIALIZED (
+         |  SELECT p.node, least(p.lbl, j.lbl) AS lbl
+         |  FROM p$i p JOIN p$i j ON j.node = p.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashCandSql,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT c.id1, c.id2, count(*) AS ninter
        |  FROM cand c
@@ -564,16 +598,16 @@ object Dedup {
        |  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
        |  JOIN cnt n1 ON n1.doc_id = c.id1
        |  JOIN cnt n2 ON n2.doc_id = c.id2),
-       |e AS (SELECT id1 AS src, id2 AS dst FROM pj WHERE jaccard >= $ClusterTau
+       |e AS MATERIALIZED (
+       |      SELECT id1 AS src, id2 AS dst FROM pj WHERE jaccard >= $ClusterTau
        |      UNION ALL
        |      SELECT id2, id1 FROM pj WHERE jaccard >= $ClusterTau),
-       |reach(node, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
-       |SELECT node AS doc_id, min(lbl) AS cluster_id,
-       |  count(*) OVER (PARTITION BY min(lbl)) AS cluster_size
-       |FROM reach GROUP BY node""".stripMargin
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT node AS doc_id, lbl AS cluster_id,
+       |  count(*) OVER (PARTITION BY lbl) AS cluster_size
+       |FROM l$CcSqlRounds""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // dedup_substring — exact substring-level duplicate spans (Lee et

@@ -122,13 +122,23 @@ object Pipeline {
   // One live persisted card per (session, sfDir): a bare persist()
   // inside the query fn held the cached table until session end
   // (round-12 ADVICE) — the keyed holder makes the cache queryable
-  // and RELEASABLE (releaseCounts, called by Bench's family-release
-  // machinery once the corpus_pipeline family finishes; any caller
-  // that unpersists the returned Dataset also works, because a
-  // StorageLevel.NONE entry is rebuilt on next lookup).
+  // and RELEASABLE. In practice Bench releases it by registering the
+  // returned Dataset with its family-release machinery and
+  // unpersisting THAT once the corpus_pipeline family finishes — a
+  // StorageLevel.NONE entry is rebuilt on next lookup, so any caller
+  // that unpersists the Dataset works; releaseCounts is the explicit
+  // hook for harnesses that also want the map entry gone.
   private val countsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
+
+  // drop entries whose session has stopped (round-13 ADVICE: a
+  // long-lived JVM cycling sessions would otherwise pin every dead
+  // SparkSession through this map)
+  private def sweepStopped(): Unit = {
+    val it = countsCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
 
   /** The survivors' (doc_id, ntok) base, materialized ONCE before the
     * prefix sum: exclusivePrefix references its input in both the
@@ -139,7 +149,8 @@ object Pipeline {
     * candidate cache; on a cluster this is the materialized keep
     * card every downstream trainer job reads anyway. */
   private[graft] def packCounts(spark: SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    sweepStopped()
     countsCache.compute((spark, dir), (_, prev) => {
       if (prev != null && prev.storageLevel
           != org.apache.spark.storage.StorageLevel.NONE) prev
@@ -157,6 +168,7 @@ object Pipeline {
         counts
       }
     })
+  }
 
   /** Release the pack card cache for `spark` (all sfDirs). */
   def releaseCounts(spark: SparkSession): Unit = {

@@ -63,11 +63,18 @@ object Quality {
           .as("ent"))
   }
 
+  // Round 14: chars via ONE string_split(text, '') per doc, not
+  // positional substr(text, i, 1) — DuckDB's substr, like Spark's
+  // UTF8String.substring, scans from the string start, so the index
+  // form is O(n²) per document: the ORACLE-side twin of the exact
+  // defect the r13 Spark fix removed (a single 5.7 MB skew-corpus doc
+  // ground the old form for >5 min; the split form does the corpus in
+  // seconds). Same values — both engines split into identical code
+  // points.
   val textEntropySql: String =
     """WITH chars AS (
-      |  SELECT doc_id, substr(text, cast(i AS INT), 1) AS ch
-      |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
-      |        FROM documents WHERE length(text) >= 1)),
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE length(text) >= 1),
       |cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
       |agg AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_chars,
       |    count(*) AS n_uniq, max(c) AS mx,

@@ -24,7 +24,7 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
-  private val tokSql: String =
+  private[graft] val tokSql: String =
     """tk AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS tok
@@ -172,18 +172,33 @@ object TextOps {
       .agg(min("h").as("fp_min"), max("h").as("fp_max"),
         countDistinct("h").as("n_shingles"))
 
-  // Constant series (OracleConstantsSpec guards docs stay under 16384
-  // chars) because DuckDB's generate_series cannot take lateral column
-  // bounds; the i filter reproduces Spark's per-row sequence(1, len-7).
-  val textFingerprintSql: String =
-    s"""WITH sh AS (
-       |  SELECT d.doc_id,
-       |    ${h60Sql("substr(d.text, g.i, 8)")} AS h
-       |  FROM documents d, generate_series(1, 16384) AS g(i)
-       |  WHERE g.i <= length(d.text) - 7 AND length(d.text) >= 8)
+  // Round 14: 8-grams by re-concatenating 7 lead windows over the
+  // char sequence (ONE string_split per doc — the word-shingle device
+  // at char granularity), replacing the old constant generate_series
+  // + positional substr form, which was BOTH O(n²) per doc (DuckDB's
+  // substr scans from the string start — the oracle-side twin of the
+  // r13 Spark defect) AND capped at 16384 chars (DuckDB 1.0 bans
+  // lateral column bounds in generate_series), so it could not see a
+  // long document's tail at all. Linear in corpus chars, no length
+  // cap, identical gram set.
+  val textFingerprintSql: String = {
+    val leads = (1 to 7).map(k => s"lead(ch, $k) OVER w AS l$k")
+      .mkString(", ")
+    val cat = "(ch || " + (1 to 7).map(k => s"l$k").mkString(" || ") + ")"
+    s"""WITH cp AS (
+       |  SELECT doc_id, idx, ch FROM (
+       |    SELECT doc_id, generate_subscripts(cs, 1) AS idx,
+       |           unnest(cs) AS ch
+       |    FROM (SELECT doc_id, string_split(text, '') AS cs
+       |          FROM documents WHERE length(text) >= 8))),
+       |shw AS (SELECT doc_id, ch, $leads
+       |  FROM cp WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |sh AS (SELECT doc_id, ${h60Sql(cat)} AS h
+       |  FROM shw WHERE l7 IS NOT NULL)
        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
        |  count(DISTINCT h) AS n_shingles
        |FROM sh GROUP BY 1""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // multimodal_extract — opaque-binary-column plumbing: payload is a

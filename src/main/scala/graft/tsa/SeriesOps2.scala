@@ -628,8 +628,14 @@ object SeriesOps2 {
       .withColumn("tau", col("bc.tau"))
       .select(col("id"), col("best_period"),
         (round(col("height"), 6) + 0.0).as("height"),
+        // rss is a 6dp-rounded difference of large moments (expanded
+        // algebra) — a near-perfect cell fit can cancel to 0 or an
+        // epsilon negative, which the old sum-of-squares form could
+        // not; clamp before it enters the quality denominator
+        // (identically in the SQL twin)
         (round((least(col("tau"), lit(20.0 * pmax)) / col("best_period")) *
-          ((lit(ML.toLong) * col("height")) / col("bc.rss")), 3) + 0.0)
+          ((lit(ML.toLong) * col("height")) /
+            greatest(col("bc.rss"), lit(1e-6))), 3) + 0.0)
           .as("quality"))
   }
 
@@ -700,7 +706,7 @@ object SeriesOps2 {
        |SELECT id, $selHead,
        |  round(height, 6) + 0.0 AS height,
        |  round((least(tau, ${20.0 * pmax}) / best_period)
-       |        * ((ml * height) / rss), 3) + 0.0 AS quality
+       |        * ((ml * height) / greatest(rss, 1e-6)), 3) + 0.0 AS quality
        |FROM win WHERE rk2 = 1""".stripMargin
   }
 

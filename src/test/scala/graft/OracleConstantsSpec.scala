@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Two oracle SQL strings use constant ranges where DuckDB cannot take
-  * lateral bounds (ts_fill_gaps' 6 h-bin grid, text_fingerprint's
-  * shingle positions). A testdata refresh that leaves those ranges
-  * must fail HERE, loudly, instead of silently breaking the oracle
-  * compare. */
+/** Oracle SQL strings that use constant ranges where DuckDB cannot
+  * take lateral bounds (ts_fill_gaps' 6 h-bin grid, ts_interp's 5 h
+  * grid). A testdata refresh that leaves those ranges must fail HERE,
+  * loudly, instead of silently breaking the oracle compare.
+  * (text_fingerprint's 16384-char position constant is GONE — round
+  * 14 replaced it with a per-doc string_split + lead-window form that
+  * is linear and uncapped; see TextOps.textFingerprintSql.) */
 class OracleConstantsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -61,17 +63,6 @@ class OracleConstantsSpec extends AnyFunSuite {
       assert(r.getLong(0) >= 84000L && r.getLong(1) <= 108000L,
         s"$dir: 5h steps [${r.getLong(0)}, ${r.getLong(1)}] outside the " +
           "oracle's generate_series(84000, 108000) — widen tsInterpSql")
-    }
-  }
-
-  test("document length stays inside the fingerprint shingle constant") {
-    import org.apache.spark.sql.functions._
-    for (dir <- dirs) {
-      val maxLen = Tables.table(spark, dir, "documents")
-        .agg(max(length(col("text")))).collect()(0).getInt(0)
-      assert(maxLen - 7 <= 16384,
-        s"$dir: max doc length $maxLen exceeds the oracle's " +
-          "generate_series(1, 16384) — widen textFingerprintSql")
     }
   }
 

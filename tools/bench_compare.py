@@ -16,9 +16,13 @@ calibration probe catches host drift but not JVM heap history (the
 round-12 verdict's 1.27x same-code artifact delta was GC, spread
 across mid-weight queries). Each side's per-query time is reduced by
 its measured gc_ms amortized over that query's timed run count
-(runs_n when the artifact has it, the configured `runs` otherwise),
-floored at half the raw time so a pathological gc reading can never
-hide a real 2x regression.
+(runs_n when the artifact has it, the configured `runs` otherwise).
+Round 14 (ADVICE): the subtraction is CAPPED at 25% of the raw time
+— the old t/2 floor let a raw 2.0x slowdown with large gc_ms adjust
+to exactly 1.0x. Under the cap, a regression beyond threshold/0.75
+(e.g. 2.0x raw at the default 1.5x threshold) always flags even if
+GC accompanies it; GC-attributable drift up to 25% of a run is still
+forgiven.
 
 Usage: bench_compare.py OLD.json NEW.json [threshold=1.5]
 
@@ -45,12 +49,14 @@ def load(path):
 
 
 def gc_adjusted(d, q):
-    """Per-query median time minus its amortized in-suite GC share,
-    floored at half the raw time (see module doc)."""
+    """Per-query median time minus its amortized in-suite GC share;
+    the subtraction is capped at 25% of the raw time (see module
+    doc — the cap bounds how much a pathological gc reading can
+    forgive)."""
     t = d["queries"][q]
     gc_s = d.get("gc_ms", {}).get(q, 0) / 1000.0
     n = d.get("runs_n", {}).get(q) or d.get("runs", 1) or 1
-    return max(t - gc_s / n, t / 2.0)
+    return t - min(gc_s / n, 0.25 * t)
 
 
 def main():
