@@ -459,6 +459,13 @@ object StreamingOps {
       .withColumn("Ch", col("ycw") - col("ym") * col("C"))
       .withColumn("Sh", col("ysw") - col("ym") * col("S"))
       .withColumn("YY", col("y2") - col("ym") * col("ym"))
+      // degenerate windows have no spectrum: n = 1 gives YY = 0
+      // EXACTLY (y2 == ym²) and a zero tan2 denominator (C2 ==
+      // C²−S²), which ANSI mode turns into a query-killing divide —
+      // a (window,user) needs minimal support before a periodogram
+      // means anything, so require n ≥ 4 and positive variance
+      // (mirrored in the replay oracle)
+      .filter(col("n") >= 4 && col("YY") > 0.0)
     // the batch query's tau rotation + power, verbatim
     val withTau = m
       .withColumn("tan2", (col("S2") - lit(2.0) * col("S") * col("C")) /
