@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfNative.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinNative.RangeJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfKeyPushdown)
   }
 }

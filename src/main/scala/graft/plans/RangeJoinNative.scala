@@ -1,0 +1,240 @@
+package graft.plans
+
+import graft.Tables
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.DoubleType
+
+/** Native range (interval) join — the round-13 verdict's second
+  * native-operator tour (stretch item 8), modeled on [[AsOfNative]]:
+  * a whole-operator Catalyst extension for the one remaining headline
+  * plan whose composed formulation ([[RangeJoin.binned]]) carries a
+  * visible row amplification — the reference side explodes onto
+  * width/bin + 1 bins, so widening the interval (or shrinking the
+  * bin) inflates the shuffle ∝ interval width / bin at 100×.
+  *
+  * Physical semantics: both sides hash-clustered on the key (ONE
+  * exchange each, planned by EnsureRequirements from the declared
+  * distributions) and sorted by (key, t) / (key, lo); a per-partition
+  * streaming merge sweeps an ACTIVE interval buffer — a reference
+  * interval enters when its lo passes under the probe cursor and
+  * leaves when its hi falls behind it (probe times are nondecreasing
+  * within a key, so eviction is safe-forever, the sweep-line
+  * argument). No bin explode, no residual re-check: per-task memory
+  * is the max number of CONCURRENTLY OPEN intervals per key (the
+  * quantity a user can actually reason about), and the cost class is
+  * a sort-merge join — shuffle + sort + linear sweep + output.
+  */
+object RangeJoinNative {
+
+  /** Logical node: inner interval-containment join. For every probe
+    * (left) row and every reference (right) interval of the same key
+    * with lo <= t <= hi, emit the probe columns plus the requested
+    * reference columns (names copied — callers keep them clash-free,
+    * as with any join). */
+  case class RangeJoinPlan(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightLo: Expression,
+      rightHi: Expression,
+      rightValues: Seq[Expression],
+      rightOutAttrs: Seq[Attribute]) extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ rightOutAttrs
+    override def producedAttributes: AttributeSet = AttributeSet(rightOutAttrs)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object RangeJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case RangeJoinPlan(l, r, lk, rk, lt, lo, hi, rv, out) =>
+        RangeJoinExec(planLater(l), planLater(r), lk, rk, lt, lo, hi,
+          rv, out) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical sweep-line interval join. Declared distribution/order
+    * requirements let Catalyst plan the exchanges and sorts (and AQE
+    * coalesce them), exactly like [[AsOfNative.AsOfJoinExec]]. */
+  case class RangeJoinExec(
+      left: SparkPlan,
+      right: SparkPlan,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightLo: Expression,
+      rightHi: Expression,
+      rightValues: Seq[Expression],
+      rightOutAttrs: Seq[Attribute]) extends BinaryExecNode {
+    require(leftTime.dataType == DoubleType &&
+      rightLo.dataType == DoubleType && rightHi.dataType == DoubleType,
+      "range-join time/interval columns must be double (epoch seconds)")
+
+    override def output: Seq[Attribute] = left.output ++ rightOutAttrs
+    override def producedAttributes: AttributeSet = AttributeSet(rightOutAttrs)
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightLo, Ascending))
+    // the sweep emits probe rows in their sorted order
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lOut = left.output
+      val rOut = right.output
+      val lKeyExprs = leftKeys
+      val rKeyExprs = rightKeys
+      val lTimeExpr = leftTime
+      val rLoExpr = rightLo
+      val rHiExpr = rightHi
+      val rValExprs = rightValues
+      val outAttrs = output
+      val rightAttrs = rightOutAttrs
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        if (!lIter.hasNext) Iterator.empty
+        else {
+          val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+          val keyOrd =
+            RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+          val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+          val rLo = BindReferences.bindReference(rLoExpr, rOut)
+          val rHi = BindReferences.bindReference(rHiExpr, rOut)
+          val rValProj = UnsafeProjection.create(rValExprs, rOut)
+          val outProj = UnsafeProjection.create(outAttrs, lOut ++ rightAttrs)
+          val joined = new JoinedRow
+          // the right row under the cursor (projection buffers are
+          // only valid until the next rIter fetch — copy on admit)
+          var hasPending = false
+          var pendingKey: UnsafeRow = null
+          var pendingLo = 0.0
+          var pendingHi = 0.0
+          var pendingVals: UnsafeRow = null
+          // sweep state for the current key group
+          var curKey: UnsafeRow = null
+          val activeHi = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val activeVals =
+            scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+          lIter.flatMap { l =>
+            val lk = lKeyProj(l)
+            val lt = lTime.eval(l).asInstanceOf[Double]
+            if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
+              activeHi.clear(); activeVals.clear()
+              curKey = lk.copy()
+            }
+            // admit reference intervals that have OPENED (lo <= t);
+            // rights of earlier keys can never match again — drop
+            var done = false
+            while (!done) {
+              if (!hasPending) {
+                if (rIter.hasNext) {
+                  val r = rIter.next()
+                  pendingKey = rKeyProj(r)
+                  pendingLo = rLo.eval(r).asInstanceOf[Double]
+                  pendingHi = rHi.eval(r).asInstanceOf[Double]
+                  pendingVals = rValProj(r)
+                  hasPending = true
+                } else done = true
+              }
+              if (hasPending) {
+                val cmp = keyOrd.compare(pendingKey, lk)
+                if (cmp < 0) hasPending = false
+                else if (cmp == 0 && pendingLo <= lt) {
+                  if (pendingHi >= lt) { // already-expired never enters
+                    activeHi += pendingHi
+                    activeVals += pendingVals.copy()
+                  }
+                  hasPending = false
+                } else done = true // right ahead: later key or lo > t
+              }
+            }
+            // evict closed intervals (hi < t): probe t is nondecreasing
+            // within the key, so they can never match a later probe
+            var i = 0
+            while (i < activeHi.length) {
+              if (activeHi(i) < lt) {
+                activeHi.remove(i); activeVals.remove(i)
+              } else i += 1
+            }
+            // every active interval contains t — one output row each
+            activeVals.toIndexedSeq.iterator
+              .map(v => outProj(joined(l, v)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Idempotent runtime registration for caller-owned sessions (the
+    * driver's) — the [[AsOfNative.ensureRegistered]] device. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val ex = spark.experimental
+    if (!ex.extraStrategies.contains(RangeJoinStrategy))
+      ex.extraStrategies = ex.extraStrategies :+ RangeJoinStrategy
+  }
+
+  /** Inner interval-containment join with the same surface as
+    * [[RangeJoin.binned]]: probe rows (point `time`) against `ref`
+    * intervals [`lo`, `hi`] (inclusive) sharing `key`; output = all
+    * probe columns + `valueCols` from every containing interval. */
+  def join(probe: DataFrame, ref: DataFrame, key: String, time: String,
+      lo: String, hi: String, valueCols: Seq[String]): DataFrame = {
+    val spark = probe.sparkSession
+    ensureRegistered(spark)
+    val lPlan = probe.queryExecution.analyzed
+    val rPlan = ref.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val vals = valueCols.map(attr(rPlan, _))
+    val outAttrs = vals.map(v =>
+      AttributeReference(v.name, v.dataType, v.nullable)())
+    GraftShims.ofRows(spark, RangeJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
+      attr(lPlan, time), attr(rPlan, lo), attr(rPlan, hi), vals, outAttrs))
+  }
+
+  /** Query twin of `events_window_join` through the native operator —
+    * identical aggregation over the sweep-line join instead of the
+    * binned explode; the three formulations (binned, native, DuckDB
+    * inequality join) all check each other under the same oracle. */
+  def eventsWindowJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.series(spark, dir)
+    val raw = Tables.table(spark, dir, "events")
+    val purchases = raw
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("id"),
+        col("event_id").as("peid"),
+        Tables.tSeconds(raw).as("lo"))
+      .withColumn("hi", col("lo") + lit(RangeJoin.WindowSecs))
+    join(ev.select("id", "t", "y"), purchases, "id", "t", "lo", "hi",
+        Seq("peid"))
+      .groupBy("id", "peid")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("y") * 100.0, 0).cast("long")).cast("double")
+          / 100.0).as("sum_y"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_join_native" -> (eventsWindowJoinNative _))
+
+  val oracles: Map[String, String] = Map(
+    "events_window_join_native" -> RangeJoin.eventsWindowJoinSql)
+}
