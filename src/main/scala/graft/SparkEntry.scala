@@ -37,6 +37,7 @@ object SparkEntry {
       plans.AsOf.queries ++
       plans.AsOfNative.queries ++
       plans.RangeJoin.queries ++
+      plans.RangeJoinNative.queries ++
       dedup.Dedup.queries ++
       dedup.SegDedup.queries ++
       sim.Similarity.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       multimodal.Phash.queries ++
       sources.SyntheticData.queries ++
       sources.NpySource.queries ++
+      sources.SkewGate.queries ++
       streaming.Replay.queries ++
       relational.Tpch.queries
 
@@ -81,6 +83,7 @@ object SparkEntry {
       plans.AsOf.oracles ++
       plans.AsOfNative.oracles ++
       plans.RangeJoin.oracles ++
+      plans.RangeJoinNative.oracles ++
       dedup.Dedup.oracles ++
       dedup.SegDedup.oracles ++
       sim.Similarity.oracles ++
@@ -100,6 +103,7 @@ object SparkEntry {
       multimodal.Phash.oracles ++
       sources.SyntheticData.oracles ++
       sources.NpySource.oracles ++
+      sources.SkewGate.oracles ++
       streaming.Replay.oracles ++
       relational.Tpch.oracles
 }
