@@ -31,6 +31,19 @@ import org.apache.spark.sql.types.DoubleType
   * is the max number of CONCURRENTLY OPEN intervals per key (the
   * quantity a user can actually reason about), and the cost class is
   * a sort-merge join — shuffle + sort + linear sweep + output.
+  *
+  * Workload guidance (measured — `graft.RangeStress`, SCALING.md
+  * round 14): uniform interval widths → [[RangeJoin.binned]] at
+  * bin = width (its best case, 2 rows/interval, codegen'd hash
+  * join); heterogeneous widths → this operator (the binned form's
+  * shuffle amplifies ∝ max-width/bin — 38× measured at a
+  * median-tuned bin over [1 min, 7 d] widths — while this op's
+  * shuffle stays 1× with no bin knob to mis-tune); heterogeneous
+  * widths AND a hot key → binned coarse or salt the key first,
+  * because binning doubles as time-axis salting (a hot key's output
+  * splits across its bins) whereas this op's key-only clustering
+  * serializes a hot key into one task, like any sort-merge join on a
+  * skewed key.
   */
 object RangeJoinNative {
 
