@@ -62,8 +62,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // its scaladoc; the registered query output is still distributed)
     // VerifyRecall.scala: recall-measurement main (driver-side scalar
     // reads of one-row aggregates only)
+    // RangeStress.scala: range-join stress main (same shape — one-row
+    // aggregate sinks read as scalars)
     val allowCollect = Set("Prof.scala", "Explain.scala", "Replay.scala",
-      "VerifyRecall.scala")
+      "VerifyRecall.scala", "RangeStress.scala")
     val bad = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .filterNot(p => allowCollect(p.getFileName.toString))
