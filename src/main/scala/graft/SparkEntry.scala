@@ -38,6 +38,7 @@ object SparkEntry {
       plans.AsOfNative.queries ++
       plans.RangeJoin.queries ++
       plans.RangeJoinNative.queries ++
+      plans.RangeJoinAuto.queries ++
       dedup.Dedup.queries ++
       dedup.SegDedup.queries ++
       sim.Similarity.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       plans.AsOfNative.oracles ++
       plans.RangeJoin.oracles ++
       plans.RangeJoinNative.oracles ++
+      plans.RangeJoinAuto.oracles ++
       dedup.Dedup.oracles ++
       dedup.SegDedup.oracles ++
       sim.Similarity.oracles ++

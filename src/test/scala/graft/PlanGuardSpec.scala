@@ -64,8 +64,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // reads of one-row aggregates only)
     // RangeStress.scala: range-join stress main (same shape — one-row
     // aggregate sinks read as scalars)
+    // RangeJoinAuto.scala: plan-choice statistics — two one-row
+    // aggregate reads over the smaller join side BEFORE planning (the
+    // adaptive-planning pattern); the data path stays distributed
     val allowCollect = Set("Prof.scala", "Explain.scala", "Replay.scala",
-      "VerifyRecall.scala", "RangeStress.scala")
+      "VerifyRecall.scala", "RangeStress.scala", "RangeJoinAuto.scala")
     val bad = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .filterNot(p => allowCollect(p.getFileName.toString))
