@@ -59,11 +59,28 @@ object Replay {
     * element, drained in order), sink to a fresh memory table, return
     * it as a DataFrame. */
   private def runAppend[T: Encoder](spark: SparkSession, op: String,
-      batches: Seq[Seq[T]], mode: String = "append", parts: Int = 8)(
+      batches: Seq[Seq[T]], mode: String = "append", parts: Int = 8,
+      inParts: Int = 1)(
       mk: Dataset[T] => DataFrame): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     sweepStopped()
-    val input = MemoryStream[T]
+    // Round 14 (optimization): a MemoryStream without numPartitions
+    // plans ONE input partition per addData block, so a twin's
+    // per-arrival kernel (feature hashing, shingling, minhash bands,
+    // the ×nf trig fan-out) ran single-threaded per micro-batch — for
+    // those twins the map stage, not the stateful shuffle, was the
+    // replay wall (guide §2.1: read the stage, not the operator).
+    // `inParts` > 1 splits each batch across that many input
+    // partitions; output is unchanged because every stateful twin
+    // sorts its group's rows by a total key (or is order-insensitive:
+    // integer-exact sums / join sets / 6 dp-rounded powers — the same
+    // cross-engine discipline the oracles already rely on). Twins
+    // whose map stage is a trivial projection (as-of tagging, exact
+    // dedup, the stream–stream interval join) keep 1 input partition:
+    // measured, the extra per-batch tasks only ADDED wall (interval
+    // replay 12.6 s → 25.8 s at 32 input partitions).
+    val input =
+      if (inParts > 1) MemoryStream[T](inParts) else MemoryStream[T]
     val qn = s"${op}_${seq.incrementAndGet()}"
     // Replay-session tuning (round-13 verdict item 2): a replay
     // micro-batch costs state-store commits × shuffle partitions —
@@ -80,11 +97,61 @@ object Replay {
     // tunes only the replay gate.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // Spark 4.1 wraps every checkpoint write in the checksum file
+    // manager: each state-store delta commit AWAITS a checksum
+    // computed on a side pool (StageProf: the replay's task time was
+    // 49 s at 1.9 s CPU, dominated by ChecksumCheckpointFileManager.
+    // awaitResult inside finalizeDeltaFile). The replay checkpoint is
+    // run-scoped scratch on a local disk — corruption detection buys
+    // nothing here — so scope the checksum off for the gate queries;
+    // production twins keep whatever their session sets.
+    val ckSumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCkSum = spark.conf.getOption(ckSumKey)
+    spark.conf.set(ckSumKey, "false")
+    // Round 14 (optimization): the replay's wall was never the data —
+    // StageProf showed the micro-batch stages at 49 s task time but
+    // only 1.9 s CPU: every state-store partition commit fsyncs its
+    // delta file to the disk-backed default checkpoint dir, parts ×
+    // batches times per run. The gate needs the checkpoint only while
+    // the query runs (determinism comes from the ordered feed, not
+    // from recovery), so point it at a RAM-backed dir when one exists
+    // — commit semantics, plans and results are unchanged; production
+    // twins configure their own durable checkpointLocation.
+    val ckBase = if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-replay-ck"
+      else sys.props("java.io.tmpdir") + "/graft-replay-ck"
+    val ckDir = s"$ckBase/$qn"
     val q = try mk(input.toDS()).writeStream.outputMode(mode)
+      .option("checkpointLocation", ckDir)
       .format("memory").queryName(qn).start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCkSum match {
+        case Some(v) => spark.conf.set(ckSumKey, v)
+        case None => spark.conf.unset(ckSumKey)
+      }
+    }
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    finally {
+      q.stop()
+      // Every run loads parts× state-store providers keyed by its
+      // fresh checkpoint dir, and a stopped query does NOT unload
+      // them — across a 12-replay × multi-run bench ~10³ dead
+      // providers accumulate, and each 60 s maintenance tick then
+      // iterates all of them doing Hadoop local-FS shell forks
+      // (chmod/stat — no native hadoop lib here) while holding the
+      // provider-map lock, which StageProf caught as task threads
+      // BLOCKED in StateStore.getStateStoreProvider mid-measurement.
+      // Unload eagerly: a provider for a deleted checkpoint can never
+      // be useful again.
+      org.apache.spark.sql.graft.StateStoreBridge.unloadAll()
+      // the checkpoint is run-scoped scratch: delete it so repeated
+      // bench runs don't accumulate state/offset files in the RAM dir
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(ckDir))
+    }
     Option(lastSink.put((spark, op), qn))
       .foreach(spark.catalog.dropTempView(_))
     spark.table(qn)
@@ -128,7 +195,8 @@ object Replay {
     val sentinelTs = new java.sql.Timestamp((maxT + 10 * Gap) * 1000)
     val sentinels = rows.map(_.user_id).distinct.sorted
       .map(u => Event(-1L, sentinelTs, u, "flush", 0.0))
-    runAppend(spark, "sess_replay", slices(rows, 4) :+ sentinels) { in =>
+    runAppend(spark, "sess_replay", slices(rows, 4) :+ sentinels,
+      inParts = spark.sparkContext.defaultParallelism) { in =>
       StreamingOps.sessionize(in, gapSec = Gap, useTimeout = false).toDF()
     }
       .select(col("user_id"), col("session_start"), col("n_events"),
@@ -170,7 +238,8 @@ object Replay {
     val ordered = tagged.sortBy { case (e, isRef) =>
       (e.ts.getTime / 1000, !isRef, e.event_id)
     }
-    runAppend(spark, "asof_replay", slices(ordered, 4)) { in =>
+    runAppend(spark, "asof_replay", slices(ordered, 4),
+      inParts = spark.sparkContext.defaultParallelism) { in =>
       StreamingOps.asofTagged(in).toDF()
     }
   }
@@ -198,10 +267,14 @@ object Replay {
   def streamingSemanticReplay(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val coarse = centroidArrays(
-      graft.sim.SemDedup.coarseCentroids(spark, dir), 1)
-    val fine = centroidArrays(
-      graft.sim.SemDedup.fineCentroids(spark, dir), 16)
+    // train the static codebook once per run: the fine tier's plan
+    // embeds the coarse chain, so unshared builders re-ran the coarse
+    // Lloyd step per tier (see SemDedup.centroidsShared)
+    val (coarseDf, fineDf, release) =
+      graft.sim.SemDedup.centroidsShared(spark, dir)
+    val (coarse, fine) = try {
+      (centroidArrays(coarseDf, 1), centroidArrays(fineDf, 16))
+    } finally release()
     val corpus = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[Vec].collect().sortBy(_.vec_id).toSeq
@@ -250,7 +323,8 @@ object Replay {
       dir: String): DataFrame = {
     import spark.implicits._
     val rows = eventRows(spark, dir, quantize = true)
-    runAppend(spark, "win_replay", slices(rows, 4), mode = "complete") {
+    runAppend(spark, "win_replay", slices(rows, 4), mode = "complete",
+      inParts = spark.sparkContext.defaultParallelism) {
       in => StreamingOps.windowedAgg(in)
     }
       .select(col("window.start").cast("long").as("window_start"),
@@ -282,7 +356,8 @@ object Replay {
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[StreamingOps.Doc].collect().sortBy(_.doc_id).toSeq
-    runAppend(spark, "nd_replay", slices(docs, 3)) { in =>
+    runAppend(spark, "nd_replay", slices(docs, 3),
+      inParts = spark.sparkContext.defaultParallelism) { in =>
       StreamingOps.nearDedupStream(in).toDF()
     }
   }
@@ -423,7 +498,8 @@ object Replay {
     import spark.implicits._
     withStatic(graft.text.TextOps.benchShingleSet(spark, dir)) { bench =>
       runAppend(spark, "contam_replay", slices(docRows(spark, dir), 3),
-        mode = "complete") { in =>
+        mode = "complete",
+        inParts = spark.sparkContext.defaultParallelism) { in =>
         StreamingOps.contaminationStream(in, bench)
       }
     }
@@ -444,7 +520,8 @@ object Replay {
     import spark.implicits._
     withStatic(graft.text.TextOps.unigramModel(spark, dir)) { lm =>
       runAppend(spark, "lmscore_replay", slices(docRows(spark, dir), 3),
-        mode = "complete") { in =>
+        mode = "complete",
+        inParts = spark.sparkContext.defaultParallelism) { in =>
         StreamingOps.scoreDocs(in, lm)
       }
     }
@@ -472,7 +549,8 @@ object Replay {
     import spark.implicits._
     withStatic(graft.text.Dsir.lambdaTable(spark, dir)) { lam =>
       runAppend(spark, "dsir_replay", slices(docRows(spark, dir), 3),
-        mode = "complete") { in =>
+        mode = "complete",
+        inParts = spark.sparkContext.defaultParallelism) { in =>
         StreamingOps.dsirScoreStream(in, lam)
       }
     }
@@ -488,7 +566,8 @@ object Replay {
     withStatic(graft.dedup.SegDedup.dedupSegments(spark, dir)
       .select(col("h"), col("min_doc"))) { boiler =>
       runAppend(spark, "scrub_replay", slices(docRows(spark, dir), 3),
-        mode = "complete") { in =>
+        mode = "complete",
+        inParts = spark.sparkContext.defaultParallelism) { in =>
         StreamingOps.segmentScrubStream(in, boiler)
       }
     }
@@ -507,7 +586,8 @@ object Replay {
   def streamingGlsReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rows = eventRows(spark, dir, quantize = false)
-    runAppend(spark, "gls_replay", slices(rows, 4), mode = "complete") {
+    runAppend(spark, "gls_replay", slices(rows, 4), mode = "complete",
+      inParts = spark.sparkContext.defaultParallelism) {
       in => StreamingOps.streamingGls(in)
     }
       .select(col("window_start").cast("long").as("window_start"),

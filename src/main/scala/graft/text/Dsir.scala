@@ -75,16 +75,23 @@ object Dsir {
   /** The per-bucket log-ratio table (b, lam µ-nats) — the static side
     * of the streaming stream–static scoring twin. */
   def lambdaTable(spark: SparkSession, dir: String): DataFrame = {
+    // Round 14 (optimization): the old tgt/raw split filtered doc_id
+    // BELOW the feature aggregate (Catalyst pushes the split-filter
+    // into the union branches), so the two model branches each re-ran
+    // the whole tokenize→lead-window→hash pipeline — plus a full_outer
+    // join to stitch the B-row tables back together. One conditional
+    // aggregation over the UNSPLIT feature table computes both counts
+    // in a single pass (identical integer sums ⇒ identical λ), and
+    // leaves the f subtree canonically equal to the scoring side's so
+    // the (doc_id, b) exchange is reused instead of recomputed
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange). Both totals fold into the same B-row aggregate.
     val f = features(spark, dir)
-    val tgt = f.filter(col("doc_id") % 50 === 0)
-      .groupBy("b").agg(sum("c").as("ct"))
-    val raw = f.filter(col("doc_id") % 50 =!= 0)
-      .groupBy("b").agg(sum("c").as("cr"))
-    val tt = tgt.agg(sum("ct").as("tt"))
-    val tr = raw.agg(sum("cr").as("tr"))
-    tgt.join(raw, Seq("b"), "full_outer")
-      .na.fill(0L, Seq("ct", "cr"))
-      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+    val perB = f.groupBy("b").agg(
+      sum(when(col("doc_id") % 50 === 0, col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("doc_id") % 50 =!= 0, col("c")).otherwise(0L)).as("cr"))
+    val tot = perB.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    perB.crossJoin(broadcast(tot))
       .select(col("b"),
         round((log((col("ct") + 1).cast("double") / (col("tt") + B)) -
           log((col("cr") + 1).cast("double") / (col("tr") + B))) *
