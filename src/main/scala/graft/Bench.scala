@@ -22,6 +22,25 @@ object Bench {
       // 0.4 s at 64 KB). At real scale partitions are byte-bound, so
       // the lower floor is inert there.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Round 14: the bypass-merge shuffle writer opens R files PER
+      // MAP TASK (32×32 = 1024 creates for a byte-tiny exchange) —
+      // StageProf caught task threads in FileOutputStream.open inside
+      // shuffle writes across the suite. Forcing the sort writer (1
+      // data + 1 index file per map task) cuts creates 32×. Local
+      // harness setting: at real scale reduce-partition counts exceed
+      // the 200-partition bypass threshold anyway, so this flag is
+      // inert there — it only matters where R is small.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Shuffle/scratch blocks on the RAM-backed dir when one exists
+      // (another ~10-20% on the shuffle-heavy queries here): the
+      // suite's shuffles are KB-to-MB sized, so this is page-cache
+      // hygiene, not a capacity bet. Cluster deployments set
+      // spark.local.dir to their NVMe array via spark-defaults — this
+      // only overrides the local harness default.
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isWritable(
+          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,7 @@ object Prof {
       // keeps parallelism-first targeting at full width (at real scale
       // partitions are byte-bound anyway, so this floor is inert).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,14 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       // keep CPU-heavy small-byte stages at full width (see Bench)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // same local-harness shuffle hygiene as Bench (sort writer +
+      // RAM-backed scratch when present) — the dump is untimed but
+      // the driver pays its wall-clock
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isWritable(
+          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
