@@ -472,46 +472,11 @@ object Dedup {
     // frame is edge-incident-small (labels, not corpus), so only a
     // couple of tiny snapshots are ever live together.
     val edges = snapshot(edgesIn)
-    // Round 14 (optimization): the loop is latency-bound, not
-    // work-bound — 2 rounds over a 255-edge gate graph cost 2.5 s,
-    // all of it per-exchange stage scheduling (the frames are
-    // snapshots, so every round is 5-7 tiny exchanges at the session
-    // width). Scope the loop's shuffle width down and skip AQE's
-    // per-exchange re-optimization barrier for the label frames; the
-    // edge PIPELINE above materialized under the session conf, and
-    // the width is derived from the label count, so a billion-node
-    // graph keeps full width (scale-adaptive, guide §2). Restored
-    // before returning — the final labels frame is a snapshot, so no
-    // downstream plan inherits the scoped conf.
-    val spark = edges.sparkSession
-    val loopConf = Seq(
-      "spark.sql.shuffle.partitions" -> null,
-      "spark.sql.adaptive.enabled" -> null)
-      .map { case (k, _) => k -> spark.conf.getOption(k) }
-    def restore(): Unit = loopConf.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-    try {
-      ccLoop(spark, edges)
-    } finally restore()
-  }
-
-  private def ccLoop(spark: SparkSession,
-      edges: DataFrame): (DataFrame, Int) = {
     var labels = snapshot(edges.select(col("src").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("comp")))
     var frontier = labels // round 0: every node is "changed"
     var changed = labels.count()
-    // width ∝ label count (64k labels per post-shuffle partition, the
-    // same parallelism-first sizing AQE would pick by bytes), capped
-    // at the session width so big graphs are unaffected
-    val width = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      changed / 65536L + 1L)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
-    if (width < 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
     var rounds = 0
     while (changed > 0 && rounds < MaxCcRounds) {
       val nbrMin = edges.join(frontier, edges("src") === frontier("doc_id"))
