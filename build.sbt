@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only a tail of stdout and parses the LAST line
+// as the bench contract JSON — sbt's "[success] Total time ..."
+// banner printed after the forked main's output has beheaded that
+// parse every round (BENCH_r01..r14 all `parsed: null`). Suppress it
+// so graft.Bench's compact JSON line is the final stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

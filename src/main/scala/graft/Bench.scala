@@ -36,11 +36,9 @@ object Bench {
       // suite's shuffles are KB-to-MB sized, so this is page-cache
       // hygiene, not a capacity bet. Cluster deployments set
       // spark.local.dir to their NVMe array via spark-defaults — this
-      // only overrides the local harness default.
-      .config("spark.local.dir",
-        if (java.nio.file.Files.isWritable(
-          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-local"
-        else System.getProperty("java.io.tmpdir"))
+      // only overrides the local harness default. Round 15: per-JVM
+      // dir + startup sweep of dead runs' leftovers (Scratch.scala).
+      .config("spark.local.dir", Scratch.localDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -400,7 +398,7 @@ object Bench {
         Long)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r))
         .mkString("{", ",", "}")
-    val qs = jmap(_._2.toString)
+    val qs = jmap(r => f"${r._2}%.3f")
     val warms = jmap(r => f"${r._3}%.3f")
     val gcs = jmap(_._4.toString)
     val cpus_ = jmap(r => f"${r._5}%.3f")
@@ -408,9 +406,20 @@ object Bench {
     val runsN = jmap(_._7.toString)
     val heaps = jmap(_._8.toString)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val calib = s"""[${f"$calibStart%.3f"},${f"$calibEnd%.3f"}]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"wall":$wall,"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads,"runs_n":$runsN,"heap_mb":$heaps,"calib_s":[${f"$calibStart%.3f"},${f"$calibEnd%.3f"}]}"""
-    println(json)
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"wall":${f"$wall%.1f"},"sf":"$sfDir","gc_ms":$gcs,"cpu_s":$cpus_,"warm_s":$warms,"load":$loads,"runs_n":$runsN,"heap_mb":$heaps,"calib_s":$calib}"""
+    // Round 15 (r14 verdict item 2 — the driver could not parse the
+    // bench line for two rounds): stdout gets ONE COMPACT contract
+    // line (metric/value/unit/queries/sf/calib only, 3 dp values,
+    // ~4.5 KB at 195 queries instead of ~18 KB with 7 telemetry
+    // maps) printed as the LAST stdout line (build.sbt suppresses
+    // sbt's trailing "[success]" banner via showSuccess := false).
+    // The full telemetry record is file-only in BENCH.json below —
+    // same numbers, the stdout line is a strict subset.
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_s":$calib}"""
+    println(compact)
     // Also persist the full record to the repo: the driver's stdout
     // capture keeps only a tail, which beheads the per-query map in
     // BENCH_r{N}.json — the file is the durable artifact. Targeted

@@ -23,10 +23,8 @@ object Verify {
       // RAM-backed scratch when present) — the dump is untimed but
       // the driver pays its wall-clock
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.local.dir",
-        if (java.nio.file.Files.isWritable(
-          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-local"
-        else System.getProperty("java.io.tmpdir"))
+      // per-JVM RAM scratch + stale-run sweep (round 15, Scratch.scala)
+      .config("spark.local.dir", Scratch.localDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,7 +50,40 @@ object Dedup {
     // the 60-bit signature pass is shared verbatim by dedup_simhash
     // and dedup_simhash_pairs (round 12)
     val sig = simhashSig(spark, dir).persist(); sig.count()
-    Seq(sh, cand, sig)
+    // Round 15 (r14 verdict item 6): the CC label table is consumed by
+    // THREE queries (dedup_clusters, corpus_pipeline(+pack) via the
+    // rep join, docs_corpus) and, being an imperative loop of
+    // localCheckpoint snapshots, can never be a canonically-equal
+    // subplan the CacheManager could substitute — each invocation
+    // re-RAN the whole propagation loop (4-6 rounds × 2 jobs each,
+    // per timed run). Materialize it once through the same keyed
+    // holder pattern as Pipeline.packCounts; registering the Dataset
+    // here lets Bench's family release free it after docs_corpus.
+    val cl = dedupClusters(spark, dir)
+    Seq(sh, cand, sig, cl)
+  }
+
+  // One live persisted cluster table per (session, sfDir) — the
+  // packCounts holder pattern (queryable AND releasable: an
+  // unpersisted entry is rebuilt on next lookup, so any caller that
+  // unpersists the returned Dataset works; releaseClusters is the
+  // explicit hook for harnesses that also want the map entry gone).
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def sweepStoppedClusters(): Unit = {
+    val it = clustersCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Release the cluster-table cache for `spark` (all sfDirs). */
+  def releaseClusters(spark: SparkSession): Unit = {
+    val it = clustersCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
   }
 
   /** Word 3-shingles via window leads: (doc_id, shingle). */
@@ -529,7 +562,27 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** The cluster table, materialized once per (session, sfDir) via
+    * the keyed holder above: the CC loop is eager/imperative, so
+    * without the holder every consumer invocation re-ran the whole
+    * propagation loop. Identical rows either way (the holder only
+    * dedups work); storage is released by Bench's family-release or
+    * [[releaseClusters]]. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    sweepStoppedClusters()
+    clustersCache.compute((spark, dir), (_, prev) => {
+      if (prev != null && prev.storageLevel
+          != org.apache.spark.storage.StorageLevel.NONE) prev
+      else {
+        val cl = dedupClustersCompute(spark, dir).persist()
+        cl.count()
+        cl
+      }
+    })
+  }
+
+  private def dedupClustersCompute(spark: SparkSession,
+      dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir)
       .filter(col("jaccard") >= ClusterTau)
       .select("id1", "id2")

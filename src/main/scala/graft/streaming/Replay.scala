@@ -117,13 +117,21 @@ object Replay {
     // from recovery), so point it at a RAM-backed dir when one exists
     // — commit semantics, plans and results are unchanged; production
     // twins configure their own durable checkpointLocation.
-    val ckBase = if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-replay-ck"
-      else sys.props("java.io.tmpdir") + "/graft-replay-ck"
-    val ckDir = s"$ckBase/$qn"
+    // Round 15 (r14 ADVICE item 1): the base is pid-suffixed so two
+    // concurrent JVMs (Bench + Verify) can never collide on a
+    // checkpoint path, and a crashed run's leftovers are swept by the
+    // next Scratch.localDir() call instead of persisting to reboot.
+    val ckDir = s"${graft.Scratch.replayCkBase()}/$qn"
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    // defensive: a stale dir here (killed run, same pid recycled)
+    // would make append-mode queries throw on checkpoint recovery
+    rm(new java.io.File(ckDir))
     val q = try mk(input.toDS()).writeStream.outputMode(mode)
       .option("checkpointLocation", ckDir)
       .format("memory").queryName(qn).start()
+    catch { case e: Throwable => rm(new java.io.File(ckDir)); throw e }
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevCkSum match {
@@ -142,14 +150,13 @@ object Replay {
       // (chmod/stat — no native hadoop lib here) while holding the
       // provider-map lock, which StageProf caught as task threads
       // BLOCKED in StateStore.getStateStoreProvider mid-measurement.
-      // Unload eagerly: a provider for a deleted checkpoint can never
-      // be useful again.
-      org.apache.spark.sql.graft.StateStoreBridge.unloadAll()
+      // Unload eagerly — scoped to THIS query's checkpoint root
+      // (round 15, r14 VERDICT item 9: unloadAll() would close a
+      // concurrently-running stateful query's providers mid-batch).
+      org.apache.spark.sql.graft.StateStoreBridge
+        .unloadForCheckpoint(ckDir)
       // the checkpoint is run-scoped scratch: delete it so repeated
       // bench runs don't accumulate state/offset files in the RAM dir
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
       rm(new java.io.File(ckDir))
     }
     Option(lastSink.put((spark, op), qn))
@@ -586,8 +593,16 @@ object Replay {
   def streamingGlsReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rows = eventRows(spark, dir, quantize = false)
-    runAppend(spark, "gls_replay", slices(rows, 4), mode = "complete",
-      inParts = spark.sparkContext.defaultParallelism) {
+    // inParts stays 1 (round 15, r14 ADVICE item 3): the GLS twin's
+    // state is DOUBLE-precision moment averages, so splitting a batch
+    // across input partitions makes the partial-aggregation merge
+    // order nondeterministic — the 6 dp power rounding absorbs it in
+    // practice, but a value near a rounding boundary would make the
+    // hash gate flaky run-to-run. Every other fan-out twin keeps
+    // inParts>1 because its accumulation is integer-exact or sorted
+    // by a total key; gls is the one FP aggregate, and most of its
+    // r14 win came from the checksum/provider fixes anyway.
+    runAppend(spark, "gls_replay", slices(rows, 4), mode = "complete") {
       in => StreamingOps.streamingGls(in)
     }
       .select(col("window_start").cast("long").as("window_start"),

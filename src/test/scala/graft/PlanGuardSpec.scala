@@ -32,9 +32,18 @@ class PlanGuardSpec extends AnyFunSuite {
   // a corpus×corpus product, not a grid fan-out.
   private val MaxCrossSideBytes = BigInt(32L * 1024 * 1024)
 
+  // ONE planning pass shared by both plan tests (round 15, test-wall
+  // budget): building fn(spark, dir) twice re-ran analysis + the
+  // optimizer for every registered query — and for the 12 streaming
+  // replays, fn() EXECUTES the whole replay — so each test paid
+  // ~2.5 min for the same QueryExecutions. sparkPlan forces
+  // optimizedPlan, so both assertions read the same computed lineage.
+  private lazy val qes = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    (name, fn(spark, dir).queryExecution)
+  }
+
   test("no registered query plans a cartesian product") {
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val qe = fn(spark, dir).queryExecution
+    val offenders = qes.flatMap { case (name, qe) =>
       val cart = qe.sparkPlan.collect { case c: CartesianProductExec => c }
       if (cart.nonEmpty) Some(name) else None
     }
@@ -43,8 +52,7 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("every cross-join keeps one broadcast-tiny side") {
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val qe = fn(spark, dir).queryExecution
+    val offenders = qes.flatMap { case (name, qe) =>
       val fat = qe.optimizedPlan.collect {
         case j: Join if j.condition.isEmpty =>
           j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
